@@ -1,0 +1,67 @@
+"""Vector math as pure column expressions (SURVEY.md §2.8 X17–X18).
+
+Everything here compiles to JVM-side higher-order functions (zip_with /
+aggregate) inside whole-stage codegen — no Python UDFs, no Arrow transfer, so
+a cosine top-k over 100 TB of embeddings is an embarrassingly-parallel scan.
+
+Semantics mirror the reference:
+- cosine_similarity: dot/(‖a‖·‖b‖), 0.0 when either norm is 0
+  (reference rag/embeddings/manager.py:69-98).
+- distance_to_score: score = max(0, 1 − distance) clamped into [0,1]
+  (reference rag/database/search.py:53-56; bounds models/base.py:122).
+
+All arithmetic is done in DOUBLE regardless of the storage type (testdata
+stores ARRAY<FLOAT>) so results are bit-stable against a double-precision
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    """Cast ARRAY<FLOAT> → ARRAY<DOUBLE> so accumulation happens in fp64."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (sequential fold ⇒ deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity with the reference's zero-norm guard → 0.0."""
+    a, b = as_double(a), as_double(b)
+    na, nb = norm(a), norm(b)
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(dot(a, b) / (na * nb))
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def distance_to_score(distance: Column) -> Column:
+    """score = max(0, 1 − distance), clamped to [0, 1]."""
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.lit(1.0) - distance))
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize (0-vector passes through unchanged).
+
+    After normalization, cosine ≡ dot, and Euclidean distance is a monotone
+    transform of cosine (‖a−b‖² = 2−2cos) — which lets MLlib's Euclidean LSH
+    (BucketedRandomProjectionLSH) stand in for approximate cosine search.
+    """
+    v = as_double(vec)
+    n = norm(v)
+    return F.when(n == 0.0, v).otherwise(F.transform(v, lambda x: x / n))

@@ -1,0 +1,228 @@
+"""Memory-engine operators (SURVEY.md §2.9 Q1–Q8) as batch transforms.
+
+The reference is an OLTP-ish keyed store (SQLite/Redis). The Spark-first
+re-expression treats the ``memories`` table as state and each operation as a
+deterministic DataFrame transform ``state → state'`` (SURVEY §7 "OLTP-on-
+batch"). Upserts use union + window-dedupe on (key, updated_at) so vanilla
+parquet suffices; on a Delta-enabled cluster the same transforms compile to
+MERGE/DELETE.
+
+Scale notes: every transform here is a narrow map or a single keyed shuffle on
+``key`` — partition the table by bucket(key) in production and the window
+dedupe co-locates with zero extra exchange. Stats are one multi-aggregate
+pass (map-side partial agg).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.ttl import (
+    effective_ttl,
+    expiry_for_policy,
+    is_expired,
+    not_expired_predicate,
+)
+
+
+def memories_live(memories: DataFrame, now: Column) -> DataFrame:
+    """F3 — the always-on not-expired view every reader sees
+    (reference memory/storage/sqlite.py:162-164; Redis offloads to SETEX)."""
+    return memories.where(not_expired_predicate(F.col("expires_at"), now))
+
+
+def memory_list(
+    memories: DataFrame,
+    now: Column,
+    *,
+    keys: Sequence[str] | None = None,
+    memory_types: Sequence[str] | None = None,
+    include_expired: bool = False,
+    tags: dict[str, str] | None = None,
+    created_after=None,
+    created_before=None,
+    limit: int = 10,
+    offset: int = 0,
+) -> DataFrame:
+    """Q5 — memory_list (reference memory/storage/sqlite.py:143-180).
+
+    F1 (keys IN) ∧ F2 (type IN) ∧ F3 (not expired unless include_expired) ∧
+    F4 (tags / created-range — declared in MemoryQuery models/memory.py:138-161
+    but unimplemented by every reference backend; implemented here) → L1
+    pagination. The reference paginates with NO order-by (storage order);
+    Spark has no stable scan order, so we order deterministically by
+    (created_at, key) — documented deviation, SURVEY §7.3.
+    """
+    df = memories
+    if keys is not None:
+        df = df.where(F.col("key").isin(list(keys)))
+    if memory_types is not None:
+        df = df.where(F.col("memory_type").isin(list(memory_types)))
+    if not include_expired:
+        df = df.where(not_expired_predicate(F.col("expires_at"), now))
+    if tags:
+        for k, v in tags.items():
+            df = df.where(F.col("tags").getItem(k) == v)
+    if created_after is not None:
+        df = df.where(F.col("created_at") > created_after)
+    if created_before is not None:
+        df = df.where(F.col("created_at") < created_before)
+    return df.orderBy(F.col("created_at").asc(), F.col("key").asc()).offset(offset).limit(limit)
+
+
+def memory_stats(memories: DataFrame, now: Column) -> DataFrame:
+    """Q6 — full stats in ONE aggregate pass (map-side combinable).
+
+    A1 total, A3 expired count, A9 avg TTL / oldest / newest / max access /
+    total bytes — the reference declares A9 in MemoryStats
+    (models/memory.py:164-190) but stubs the values to 0/None in both backends
+    (sqlite.py:220-228, redis.py:130-138); implemented fully here.
+    size_bytes approximates the reference's sys.getsizeof via octet_length of
+    the JSON payload (X14, models/memory.py:72-76 — documented approximation).
+    """
+    expired = is_expired(F.col("expires_at"), now)
+    return memories.agg(
+        F.count("*").alias("total_memories"),
+        F.sum(expired.cast("long")).alias("expired_memories"),
+        F.round(F.avg("ttl_seconds"), 6).alias("avg_ttl_seconds"),
+        F.min("created_at").alias("oldest_memory"),
+        F.max("created_at").alias("newest_memory"),
+        F.max("access_count").alias("max_access_count"),
+        F.sum(F.octet_length(F.col("data"))).alias("total_size_bytes"),
+    )
+
+
+def memory_stats_by_type(memories: DataFrame) -> DataFrame:
+    """Q6/A2 — count per memory_type (reference sqlite.py:207-211)."""
+    return memories.groupBy("memory_type").agg(F.count("*").alias("cnt"))
+
+
+def cleanup_expired(memories: DataFrame, now: Column) -> tuple[DataFrame, DataFrame]:
+    """Q7 — the 300 s expiry sweep (reference memory/manager/queries.py:32-44,
+    sqlite.py:182-195): DELETE WHERE expires_at IS NOT NULL AND expires_at <= now.
+
+    Returns (surviving_state, expired_rows); the count of the second element
+    is the reference's return value, and its rows feed the memory_expired
+    event stream (§2.10).
+    """
+    cond = F.col("expires_at").isNotNull() & (F.col("expires_at") <= now)
+    return memories.where(~cond), memories.where(cond)
+
+
+def expired_count(memories: DataFrame, now: Column) -> DataFrame:
+    """Q7 count as a single-row aggregate (oracle-checkable)."""
+    cond = F.col("expires_at").isNotNull() & (F.col("expires_at") <= now)
+    return memories.agg(F.sum(cond.cast("long")).alias("expired_count"))
+
+
+def memory_add(memories: DataFrame, new_rows: DataFrame, now: Column) -> DataFrame:
+    """Q1 — add/upsert. Default TTL by type (X11), expiry by policy (X9),
+    then last-writer-wins on key (reference sqlite.py INSERT OR REPLACE,
+    :81-105 — same key silently replaces).
+
+    Physical shape: union + row_number over (key ORDER BY updated_at DESC) —
+    a single shuffle on key; with a bucketed table this is exchange-free.
+    """
+    prepared = (
+        new_rows.withColumn("ttl_seconds", effective_ttl(F.col("ttl_seconds"), F.col("memory_type")).cast("int"))
+        .withColumn(
+            "expires_at",
+            expiry_for_policy(
+                F.col("expiration_policy"), F.col("ttl_seconds"), F.col("created_at"), F.col("last_accessed_at")
+            ),
+        )
+    )
+    return upsert_by_key(memories, prepared.select(*memories.columns))
+
+
+def upsert_by_key(state: DataFrame, updates: DataFrame) -> DataFrame:
+    """S2 — last-writer-wins keyed upsert via union + window dedupe.
+
+    `updates` rows win ties (marked with a higher priority), matching
+    INSERT OR REPLACE semantics.
+    """
+    s = state.withColumn("_prio", F.lit(0))
+    u = updates.withColumn("_prio", F.lit(1))
+    w = Window.partitionBy("key").orderBy(F.col("_prio").desc(), F.col("updated_at").desc())
+    return (
+        s.unionByName(u)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_prio")
+    )
+
+
+def memory_touch(memories: DataFrame, key: str, now: Column) -> DataFrame:
+    """Q2/X10 — touch on read: last_accessed=now, access_count+1, sliding
+    policy recomputes expires_at (reference models/memory.py:85-94).
+
+    Narrow transform — no shuffle: a predicated column rewrite.
+    """
+    hit = F.col("key") == key
+    sliding = hit & (F.col("expiration_policy") == "sliding") & F.col("ttl_seconds").isNotNull() & (F.col("ttl_seconds") > 0)
+    return (
+        memories.withColumn("access_count", F.when(hit, F.col("access_count") + 1).otherwise(F.col("access_count")))
+        .withColumn("last_accessed_at", F.when(hit, now).otherwise(F.col("last_accessed_at")))
+        .withColumn(
+            "expires_at",
+            F.when(sliding, F.timestamp_add("SECOND", F.col("ttl_seconds").cast("long"), now)).otherwise(
+                F.col("expires_at")
+            ),
+        )
+    )
+
+
+def memory_update(
+    memories: DataFrame,
+    key: str,
+    now: Column,
+    *,
+    data: str | None = None,
+    tags: dict[str, str] | None = None,
+    extend_ttl: int | None = None,
+) -> DataFrame:
+    """Q3 — update: replace data, MERGE tags (right-biased dict.update — the
+    reference tool docstring says "replace" but the code merges:
+    memory/manager/operations.py:129-132), updated_at=now, optional TTL extend
+    recomputing expires_at per policy (X9).
+
+    Requires spark.sql.mapKeyDedupPolicy=LAST_WIN (set in session.py) so
+    map_concat right-biases duplicate keys.
+    """
+    hit = F.col("key") == key
+    df = memories.withColumn("updated_at", F.when(hit, now).otherwise(F.col("updated_at")))
+    if data is not None:
+        df = df.withColumn("data", F.when(hit, F.lit(data)).otherwise(F.col("data")))
+    if tags:
+        new_tags = F.create_map(*[x for k, v in tags.items() for x in (F.lit(k), F.lit(v))])
+        df = df.withColumn(
+            "tags",
+            F.when(hit, F.map_concat(F.coalesce(F.col("tags"), F.create_map()), new_tags)).otherwise(F.col("tags")),
+        )
+    if extend_ttl is not None:
+        df = df.withColumn("ttl_seconds", F.when(hit, F.lit(extend_ttl)).otherwise(F.col("ttl_seconds")))
+        df = df.withColumn(
+            "expires_at",
+            F.when(
+                hit,
+                expiry_for_policy(
+                    F.col("expiration_policy"), F.col("ttl_seconds"), F.col("created_at"), F.col("last_accessed_at")
+                ),
+            ).otherwise(F.col("expires_at")),
+        )
+    return df
+
+
+def memory_delete(memories: DataFrame, key: str) -> DataFrame:
+    """Q4 — idempotent delete by key (reference sqlite.py:128-141)."""
+    return memories.where(F.col("key") != key)
+
+
+def memory_exists(memories: DataFrame, key: str, now: Column) -> DataFrame:
+    """Q8 — exists = live row with this key (reference queries.py:63-105)."""
+    return memories.where((F.col("key") == key) & not_expired_predicate(F.col("expires_at"), now)).select(
+        F.lit(key).alias("key")
+    )

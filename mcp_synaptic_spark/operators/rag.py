@@ -1,0 +1,208 @@
+"""RAG search / similarity operators (SURVEY.md §2.9 Q13–Q19).
+
+The reference delegates k-NN to an in-process ChromaDB HNSW index
+(rag/database/search.py:21-101). Spark-first re-expression: exact brute-force
+cosine as a one-pass scan + ``TakeOrderedAndProject`` (per-partition top-k
+heaps, driver merge — no shuffle of the corpus), with the query vector folded
+into the plan as a literal (broadcast to every task). At 100 TB this is the
+exact baseline; `operators/similarity.py` adds the LSH-bucketed approximate
+path for latency-sensitive scale.
+
+Determinism contract (for the DuckDB oracle): scores are computed in fp64,
+ordering uses ``round(score, 9)`` with the id as tiebreak, and emitted scores
+are rounded to 6 dp so order-insensitive value hashes are bit-stable across
+engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, distance_to_score
+from ..schemas import DEFAULT_SIMILARITY_THRESHOLD, MAX_RAG_RESULTS
+
+ROUND_DP = 6  # emitted float precision
+ORDER_DP = 9  # precision used for ordering / ranking
+
+
+def query_vector_lit(vec: Sequence[float]) -> Column:
+    """Embed the query vector into the plan as an ARRAY<DOUBLE> literal.
+
+    A literal reaches every task with the plan itself — the moral equivalent
+    of a broadcast variable, with zero extra shuffle.
+    """
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def score_against(embeddings: DataFrame, query: Column, vec_col: str = "embedding") -> DataFrame:
+    """Append distance/score columns for one query vector (X17 + X18)."""
+    sim = cosine_similarity(F.col(vec_col), query)
+    return embeddings.withColumn("distance", F.round(F.lit(1.0) - sim, ROUND_DP)).withColumn(
+        "score", F.round(distance_to_score(F.lit(1.0) - sim), ROUND_DP)
+    )
+
+
+def rag_search(
+    embeddings: DataFrame,
+    query: Column | Sequence[float],
+    documents: DataFrame | None = None,
+    *,
+    limit: int = MAX_RAG_RESULTS,
+    threshold: float = DEFAULT_SIMILARITY_THRESHOLD,
+    max_results: int = MAX_RAG_RESULTS,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "id",
+    metadata_predicate: Column | None = None,
+) -> DataFrame:
+    """Q13 — the flagship pipeline (reference rag/database/search.py:21-101).
+
+    embed query → (optional metadata pre-filter) → cosine → score=max(0,1−d)
+    → threshold filter → top-k (k = min(limit, max_results), reference
+    search.py:38) → 1-based rank assigned AFTER the threshold filter
+    (search.py:89-98).
+
+    Physical shape: corpus scan with the filter and projection pushed to
+    parquet; per-partition top-k heap (TakeOrderedAndProject) — the corpus is
+    never shuffled; the k surviving rows then join `documents` (broadcast —
+    k ≤ 100 rows).
+    """
+    if not isinstance(query, Column):
+        query = query_vector_lit(query)
+    k = min(limit, max_results)
+
+    scored = score_against(embeddings, query, vec_col)
+    if documents is not None:
+        scored = scored.join(documents, scored[id_col] == documents[doc_id_col]).drop(documents[doc_id_col])
+    if metadata_predicate is not None:
+        scored = scored.where(metadata_predicate)
+
+    topk = (
+        scored.where(F.col("score") >= threshold)
+        .orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    # rank over ≤k rows — the single-partition window is on the tiny result set,
+    # never on the corpus.
+    w = Window.orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def find_similar(
+    embeddings: DataFrame,
+    target_id,
+    documents: DataFrame | None = None,
+    *,
+    limit: int = MAX_RAG_RESULTS,
+    threshold: float = 0.8,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "id",
+) -> DataFrame:
+    """Q16 — docs similar to a given doc, excluding itself
+    (reference rag/retrieval.py:100-136: fetch k+1 then filter id ≠ target).
+    """
+    target_vec = F.first(F.col(vec_col))
+    qrow = embeddings.where(F.col(id_col) == target_id).agg(target_vec.alias("qv"))
+    # single-row broadcast cross join — the query vector rides along with every task
+    scored = score_against(
+        embeddings.crossJoin(F.broadcast(qrow)),
+        F.col("qv"),
+        vec_col,
+    ).drop("qv")
+    scored = scored.where(F.col(id_col) != target_id)
+    if documents is not None:
+        scored = scored.join(documents, scored[id_col] == documents[doc_id_col]).drop(documents[doc_id_col])
+    topk = (
+        scored.where(F.col("score") >= threshold)
+        .orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
+        .limit(limit)
+    )
+    w = Window.orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def pairwise_similarity(embeddings: DataFrame, id_a, id_b, *, id_col: str = "id", vec_col: str = "embedding") -> DataFrame:
+    """Q19 — compute_similarity(text1, text2) as a 1-row plan
+    (reference rag/embeddings/manager.py:69-98)."""
+    a = embeddings.where(F.col(id_col) == id_a).select(F.col(vec_col).alias("va"))
+    b = embeddings.where(F.col(id_col) == id_b).select(F.col(vec_col).alias("vb"))
+    return a.crossJoin(F.broadcast(b)).select(
+        F.lit(str(id_a)).alias("id_a"),
+        F.lit(str(id_b)).alias("id_b"),
+        F.round(cosine_similarity(F.col("va"), F.col("vb")), ROUND_DP).alias("similarity"),
+    )
+
+
+def batch_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 3,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    carry_cols: Sequence[str] = (),
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """N×M batch similarity join: top-k corpus neighbors per query row.
+
+    Physical shape: broadcast the (small) query side, stream the corpus once;
+    per-query top-k via a window partitioned by query id — the shuffle moves
+    only (qid, id, score[, carry]) tuples, never the vectors, and partitioning
+    by qid spreads the ranking across the cluster (no global single-partition
+    sort).
+    """
+    q = F.broadcast(queries) if broadcast_queries else queries
+    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    scored = (
+        corpus.crossJoin(q)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(distance_to_score(F.lit(1.0) - sim), ROUND_DP).alias("score"),
+            *[F.col(c) for c in carry_cols],
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    label_col: str = "label",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Majority label among the k nearest corpus vectors, per query.
+
+    Ties broken toward the smaller label value (deterministic).
+    """
+    nn = batch_topk_join(
+        queries,
+        corpus.select(id_col, vec_col, label_col),
+        k=k,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        id_col=id_col,
+        vec_col=vec_col,
+        carry_cols=(label_col,),
+    )
+    counts = nn.groupBy(query_id_col, label_col).agg(F.count("*").alias("votes"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("votes").desc(), F.col(label_col).asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col(query_id_col), F.col(label_col).alias("predicted_label"), F.col("votes"))
+    )

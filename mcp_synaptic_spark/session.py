@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[N]`` single-JVM; the config choices below are the
+ones that matter at cluster scale too (AQE, shuffle partitions, Arrow for the
+few pandas-UDF paths, broadcast threshold). Keep everything declarative so the
+same plans survive a 1000-executor deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "mcp-synaptic-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    - AQE on: runtime coalescing of shuffle partitions + skew-join splitting —
+      at 100 TB the static partition count is always wrong for someone.
+    - mapKeyDedupPolicy=LAST_WIN: required for the reference's right-biased
+      tag/metadata merge semantics (dict.update, reference
+      memory/manager/operations.py:129-132) via map_concat.
+    - Arrow enabled for pandas-UDF paths (embedding providers, multimodal).
+    - session timezone pinned to UTC: the reference stores tz-aware UTC
+      timestamps (models/base.py:33-40); pinning makes oracle comparison and
+      cluster runs location-independent.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # the driver's events.parquet stores TIMESTAMP(NANOS); Spark reads it
+        # as nanos-since-epoch LONG and sources/tables.py converts to micros
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

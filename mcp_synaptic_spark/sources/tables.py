@@ -1,0 +1,51 @@
+"""Parquet table loaders over the driver's testdata layout.
+
+Plain ``spark.read.parquet`` — the vectorized parquet reader plus Catalyst
+give us column pruning and predicate/filter pushdown for free, so point
+lookups (reference memory/storage/sqlite.py:110-126) become pruned scans
+rather than index probes. At cluster scale the same loaders work over a
+partitioned table root; nothing here assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the parquet; with nanosAsLong (session.py)
+        # it arrives as a LONG of nanos. Integer-div to micros (matching
+        # DuckDB's ns→µs truncation) — integer `div`, not `/`, because a
+        # double can't hold 1.7e18 exactly.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql access."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
