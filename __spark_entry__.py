@@ -20,8 +20,11 @@ from pyspark.sql import functions as F
 
 from mcp_synaptic_spark.functions.ttl import parse_ttl
 from mcp_synaptic_spark.functions.vector import cosine_similarity
+from mcp_synaptic_spark.operators import dedup as D
 from mcp_synaptic_spark.operators import memory as M
 from mcp_synaptic_spark.operators import rag as R
+from mcp_synaptic_spark.operators import retrieval as RT
+from mcp_synaptic_spark.operators import text_analysis as TA
 from mcp_synaptic_spark.sources.tables import load_table
 from mcp_synaptic_spark.sources.memories import (
     MEMORIES_CTE_SQL,
@@ -514,6 +517,324 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# text analysis (beyond-reference: training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.token_stats(_t(spark, sf_dir, "documents"))
+
+
+_BPE_PAT_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_ORACLE_TOKEN_STATS = f"""
+SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+  len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS n_bpe_tokens,
+  length(text) AS n_chars
+FROM documents
+"""
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.quality_score(_t(spark, sf_dir, "documents"))
+
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in TA.STOPWORDS) + "]"
+
+_ORACLE_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+    length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    t -> list_contains({_STOP_LIST_SQL}, t))) AS n_stop
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_words,
+    CASE WHEN n_words > 0 THEN n_chars::DOUBLE / n_words ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_words > 0 THEN n_stop::DOUBLE / n_words ELSE 0.0 END AS stop_ratio,
+    CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END AS length_ok,
+    n_chars
+  FROM base
+)
+SELECT doc_id, n_words,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stop_ratio, 6) AS stopword_ratio,
+  round(0.3 * length_ok
+      + 0.2 * (CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+      + 0.2 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+      + 0.3 * least(1.0, stop_ratio * 5), 6) AS quality_score
+FROM feat
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql(words: tuple[str, ...]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return (
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"t -> list_contains({lst}, t)))"
+    )
+
+
+_LANGS_SORTED = sorted(TA.LANG_MARKERS)
+_ORACLE_LANG_ID = f"""
+WITH scored AS (
+  SELECT doc_id,
+    {", ".join(f"{_lang_score_sql(TA.LANG_MARKERS[lo])} AS score_{lo}" for lo in _LANGS_SORTED)}
+  FROM documents
+)
+SELECT doc_id,
+  CASE {" ".join(f"WHEN score_{lo} = greatest({', '.join('score_' + x for x in _LANGS_SORTED)}) THEN '{lo}'" for lo in _LANGS_SORTED)} END AS predicted_lang,
+  greatest({", ".join("score_" + x for x in _LANGS_SORTED)}) AS marker_hits
+FROM scored
+"""
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_FINGERPRINT = """
+WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents)
+SELECT doc_id, md5(norm) AS fingerprint, length(norm) AS norm_length FROM n
+"""
+
+
+def _q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.lang_distribution(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_LANG_DIST = """
+SELECT lang, count(*) AS n_docs, round(avg(length(text)), 6) AS avg_chars,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 6) AS share
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# retrieval utilities (Q15 / Q17 / Q18)
+# ---------------------------------------------------------------------------
+
+def _q_doc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RT.document_summary(_t(spark, sf_dir, "documents"), max_summary_length=120)
+
+
+_ORACLE_DOC_SUMMARY = """
+WITH s AS (
+  SELECT doc_id AS id, u.pos AS pos, u.s AS sentence
+  FROM (
+    SELECT doc_id,
+      unnest(list_transform(generate_series(1, length(string_split_regex(text, '\\. '))),
+             i -> {'pos': i, 's': string_split_regex(text, '\\. ')[i]})) AS u
+    FROM documents)
+), c AS (
+  SELECT id, pos, sentence,
+         sum(length(sentence) + 2) OVER (PARTITION BY id ORDER BY pos) - 2 AS cum_len
+  FROM s
+), kept AS (
+  SELECT * FROM c WHERE cum_len <= 120 OR pos = 1
+)
+SELECT id, string_agg(sentence, '. ' ORDER BY pos) AS summary, count(*)::INT AS n_sentences
+FROM kept GROUP BY id
+"""
+
+
+def _q_search_by_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return RT.search_by_metadata(docs, (F.col("lang") == "de") & (F.col("n_chars") > 200), limit=10)
+
+
+_ORACLE_SEARCH_BY_METADATA = """
+SELECT * FROM documents WHERE lang = 'de' AND n_chars > 200 ORDER BY doc_id ASC LIMIT 10
+"""
+
+
+def _q_assemble_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    topk = R.rag_search(
+        _with_query_vec(emb, 0), F.col("qv"), id_col="vec_id", threshold=0.0, limit=5, max_results=5
+    ).select("vec_id", "score", "rank")
+    ranked = topk.join(docs, topk["vec_id"] == docs["doc_id"]).select(
+        F.col("rank"), F.col("text").alias("content")
+    )
+    return RT.assemble_context(ranked, max_context_length=800)
+
+
+_ORACLE_ASSEMBLE_CONTEXT = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         round(greatest(0.0, least(1.0, {_cos('e.embedding::DOUBLE[]', 'q.qv')})), 6) AS score
+  FROM embeddings e, q
+),
+topk AS (
+  SELECT vec_id, score FROM scored WHERE score >= 0.0
+  ORDER BY round(score, 9) DESC, vec_id ASC LIMIT 5
+),
+ranked AS (
+  SELECT d.text AS content,
+         row_number() OVER (ORDER BY round(t.score, 9) DESC, t.vec_id ASC) AS rank
+  FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+),
+costed AS (
+  SELECT *, length(content) + CASE WHEN rank > 1 THEN 2 ELSE 0 END AS cost FROM ranked
+),
+flagged AS (
+  SELECT *, CASE WHEN sum(cost) OVER (ORDER BY rank) <= 800 THEN 1 ELSE 0 END AS fits FROM costed
+),
+inc AS (
+  SELECT *, min(fits) OVER (ORDER BY rank) AS include FROM flagged
+),
+pc AS (
+  SELECT *,
+    coalesce(sum(CASE WHEN include = 1 THEN cost END)
+             OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum,
+    coalesce(min(include) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1) AS prev_all
+  FROM inc
+),
+parts AS (
+  SELECT rank,
+    CASE WHEN include = 1 THEN content
+         WHEN include = 0 AND prev_all = 1 AND (800 - prev_cum - 2) >= 100
+           THEN substr(content, 1, (800 - prev_cum - 2 - 3)::INT) || '...'
+    END AS part
+  FROM pc
+)
+SELECT string_agg(part, chr(10)||chr(10) ORDER BY rank) AS context,
+       count(*)::INT AS n_docs,
+       length(string_agg(part, chr(10)||chr(10) ORDER BY rank)) AS n_chars
+FROM parts WHERE part IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup suite (beyond-reference: exact / MinHash-LSH / n-gram / SimHash /
+# embedding-cosine)
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+_SHINGLES_CTE = """
+d AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+sh AS (
+  SELECT id,
+    CASE WHEN length(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, length(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+    END AS shingles
+  FROM d)
+"""
+
+_ORACLE_DEDUP_MINHASH = f"""
+WITH {_SHINGLES_CTE.strip()},
+ex AS (SELECT id, unnest(shingles) AS s FROM sh),
+hashed AS (
+  SELECT id, g.i,
+         min(('0x' || substr(md5(g.i::VARCHAR || ':' || s), 1, 15))::BIGINT) AS mh
+  FROM ex CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+  GROUP BY id, g.i
+),
+bands AS (
+  SELECT id, i // 2 AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS band_key
+  FROM hashed GROUP BY id, i // 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b USING (band, band_key) WHERE a.id < b.id
+),
+ver AS (
+  SELECT id_a, id_b,
+    round(length(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+      (length(sa.shingles) + length(sb.shingles) - length(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+  FROM cand JOIN sh sa ON sa.id = cand.id_a JOIN sh sb ON sb.id = cand.id_b
+)
+SELECT * FROM ver WHERE jaccard >= 0.5
+"""
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    return D.ngram_jaccard_pairs(docs, threshold=0.3)
+
+
+_ORACLE_DEDUP_NGRAM = f"""
+WITH d AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS w
+           FROM documents WHERE doc_id % 2 = 0),
+sh AS (
+  SELECT id,
+    CASE WHEN length(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, length(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+    END AS shingles
+  FROM d)
+SELECT a.id AS id_a, b.id AS id_b,
+  round(length(list_intersect(a.shingles, b.shingles))::DOUBLE /
+    (length(a.shingles) + length(b.shingles) - length(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE length(list_intersect(a.shingles, b.shingles))::DOUBLE /
+    (length(a.shingles) + length(b.shingles) - length(list_intersect(a.shingles, b.shingles))) >= 0.3
+"""
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return D.simhash_pairs(docs, max_hamming=3)
+
+
+_ORACLE_DEDUP_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE doc_id % 5 = 0
+),
+h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks),
+bitsums AS (
+  SELECT id, g.b, sum(CASE WHEN (th >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) g
+  GROUP BY id, g.b
+),
+sig AS (
+  SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+  FROM bitsums GROUP BY id
+)
+SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+_ORACLE_DEDUP_EMBEDDING = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round({_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')}, 6) >= 0.45
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -542,6 +863,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "events_hourly": _q_events_hourly,
         "events_json": _q_events_json,
+        # text analysis (tokens, quality, lang-ID, fingerprint)
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "lang_distribution": _q_lang_distribution,
+        # retrieval utilities (Q15, Q17, Q18)
+        "doc_summary": _q_doc_summary,
+        "search_by_metadata": _q_search_by_metadata,
+        "assemble_context": _q_assemble_context,
+        # dedup suite
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
     }
 
 
@@ -566,4 +903,17 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": _ORACLE_TPCH_Q5,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "events_json": _ORACLE_EVENTS_JSON,
+        "token_stats": _ORACLE_TOKEN_STATS,
+        "quality_score": _ORACLE_QUALITY,
+        "lang_id": _ORACLE_LANG_ID,
+        "fingerprint": _ORACLE_FINGERPRINT,
+        "lang_distribution": _ORACLE_LANG_DIST,
+        "doc_summary": _ORACLE_DOC_SUMMARY,
+        "search_by_metadata": _ORACLE_SEARCH_BY_METADATA,
+        "assemble_context": _ORACLE_ASSEMBLE_CONTEXT,
+        "dedup_exact": _ORACLE_DEDUP_EXACT,
+        "dedup_minhash": _ORACLE_DEDUP_MINHASH,
+        "dedup_ngram_jaccard": _ORACLE_DEDUP_NGRAM,
+        "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
+        "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,
     }

@@ -1,0 +1,236 @@
+"""Deduplication operators for training-data pipelines (north-star surface):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design notes
+------------------
+- Exact dedup: hash-groupBy — one shuffle on the 16-byte digest, map-side
+  partial agg. At 100 TB the digest shuffle is ~0.02% of input bytes.
+- MinHash+LSH: shingle → k minhashes → band buckets → candidate pairs via a
+  bucket self-join → exact-Jaccard verify on candidates only. The self-join
+  shuffles (band_id, band_key) pairs, never documents; candidate verification
+  re-joins shingle sets for the tiny candidate subset. This is the standard
+  sub-quadratic near-dup pipeline (MMDS ch.3 shape).
+- Hash functions are md5-derived (first 15 hex chars → 60-bit int) so the
+  DuckDB oracle can reproduce them bit-for-bit. At production scale swap
+  HASH_EXPR for xxhash64 (same pipeline, faster digests; no oracle).
+- SimHash: 32-bit signatures from token hashes; near-dups = pairs within
+  Hamming distance via XOR+bit_count on a candidate subset.
+- Embedding near-dup: exact pairwise cosine over a blocked self-join;
+  at scale, pre-bucket with LSH (similarity.py) before the pairwise pass.
+
+No Python UDFs anywhere — everything stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import whitespace_tokens, word_shingles
+from ..functions.vector import cosine_similarity
+
+#: 60-bit portable hash of a string: int(md5(s)[:15], 16).
+#: Identical in DuckDB as ('0x' || substr(md5(s), 1, 15))::BIGINT.
+
+
+def _h(s: Column) -> Column:
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def _h_seeded(seed: int, s: Column) -> Column:
+    """Seeded variant: hash of '<seed>:<s>' — k independent hash families
+    without modular arithmetic (no int64 overflow, oracle-portable)."""
+    return _h(F.concat(F.lit(f"{seed}:"), s))
+
+
+def exact_dedup_groups(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(content) → groups with >1 member.
+
+    Returns (content_hash, n_copies, keep_id) — keep_id is the canonical
+    survivor (min id), the rest are droppable.
+    """
+    return (
+        docs.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the min-id row per content hash (one keyed shuffle)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(F.col(id_col).asc())
+    return docs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def shingle_sets(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingles array) — distinct word n-grams per document."""
+    return docs.select(F.col(id_col).alias("id"), word_shingles(F.col(content_col), n).alias("shingles"))
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def minhash_signatures(shingles_df: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(id, minhash_0..k-1) — element-wise min over seeded shingle hashes.
+
+    One explode + one groupBy(id) with k min-aggregates: a single shuffle on
+    id, combiner-friendly.
+    """
+    exploded = shingles_df.select("id", F.explode("shingles").alias("sh"))
+    hashed = exploded.select(
+        "id", *[_h_seeded(i, F.col("sh")).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return hashed.groupBy("id").agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    k=16 hashes in 8 bands of 2 rows ⇒ P(candidate) = 1−(1−j²)⁸ (≈0.9 at
+    j=0.5, ≈1 above 0.8). Candidates sharing ≥1 band bucket are verified with
+    exact Jaccard over shingle sets; pairs ≥ threshold survive.
+
+    Output: (id_a, id_b, jaccard), id_a < id_b.
+    """
+    rows = num_hashes // bands
+    sh = shingle_sets(docs, content_col, id_col, shingle_n).cache()
+    sig = minhash_signatures(sh, num_hashes)
+    # band key = concat of the band's minhashes
+    band_rows = []
+    for b in range(bands):
+        key = F.concat_ws("-", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)])
+        band_rows.append(sig.select("id", F.lit(b).alias("band"), key.alias("band_key")))
+    buckets = band_rows[0]
+    for extra in band_rows[1:]:
+        buckets = buckets.unionByName(extra)
+
+    left = buckets.select(F.col("band"), F.col("band_key"), F.col("id").alias("id_a"))
+    right = buckets.select(F.col("band"), F.col("band_key"), F.col("id").alias("id_b"))
+    candidates = (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = (
+        candidates.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exhaustive pairwise n-gram Jaccard (exact ground truth for LSH recall
+    checks). Quadratic — apply only to a pre-filtered subset; the LSH pipeline
+    above is the scale path.
+    """
+    sh = shingle_sets(docs, content_col, id_col, shingle_n)
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, *, content_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash: bit b set iff Σ_tokens (±1 by token-hash bit b) > 0.
+
+    One explode + one groupBy(id) with `bits` conditional sums — single
+    shuffle, combiner-friendly.
+    """
+    toks = docs.select(F.col(id_col).alias("id"), F.explode(whitespace_tokens(F.col(content_col))).alias("tok"))
+    h = _h(F.col("tok"))
+    hashed = toks.select("id", h.alias("th"))
+    sums = hashed.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = sums.select(
+        "id",
+        sum(
+            (F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(bits)),
+            F.lit(0),
+        ).cast("bigint").alias("simhash"),
+    )
+    return sig
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance (XOR + bit_count).
+
+    Pairwise over the signature table (signatures are 8 bytes/doc, so the
+    self-join input is tiny relative to the corpus); at extreme scale, block
+    on signature prefixes first (pigeonhole: d ≤ 3 ⇒ one of 4 prefixes equal).
+    """
+    sig = simhash_signatures(docs, content_col=content_col, id_col=id_col, bits=bits)
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact pairwise).
+
+    Quadratic in corpus size — the exact baseline. The scale path buckets
+    vectors with LSH (similarity.py random-hyperplane buckets) and runs this
+    only within buckets.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )

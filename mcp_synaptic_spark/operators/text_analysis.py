@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data pipelines (beyond-reference
+surface called for by the north star: language-ID, quality scoring, token
+counting, fingerprinting).
+
+Everything is a narrow per-row projection (no shuffle) except the
+distribution aggregates — at 100 TB these run as a single scan with map-side
+partial aggregation. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    bpe_ish_token_count,
+    content_hash,
+    normalize_for_fingerprint,
+    word_count,
+)
+
+# tiny per-language function-word profiles for the n-gram/stopword heuristic;
+# deterministic and engine-portable (plain substring counts)
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "ist"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "est"),
+    "zh": ("de5", "shi4", "le5"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def _count_tokens_in(content: Column, vocab: tuple[str, ...]) -> Column:
+    """Number of whitespace tokens of lower(content) that are in `vocab`."""
+    toks = F.split(F.trim(F.lower(content)), r"\s+")
+    member = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(toks, lambda t: F.array_contains(member, t)))
+
+
+def token_stats(docs: DataFrame, content_col: str = "text") -> DataFrame:
+    """Per-doc token counting: whitespace words + BPE-ish regex tokens."""
+    c = F.col(content_col)
+    return docs.select(
+        F.col("doc_id"),
+        word_count(c).alias("n_words"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        F.length(c).alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, content_col: str = "text") -> DataFrame:
+    """Per-doc quality features + a composite score ∈ [0,1].
+
+    Features mirror common pretraining-data filters: length band, mean word
+    length, punctuation density, stopword density.
+    """
+    c = F.col(content_col)
+    n_chars = F.length(c)
+    n_words = word_count(c)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    n_stop = _count_tokens_in(c, STOPWORDS)
+    mean_word_len = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(F.lit(0.0))
+    length_ok = ((n_chars >= 50) & (n_chars <= 5000)).cast("double")
+    word_len_ok = ((mean_word_len >= 3.0) & (mean_word_len <= 12.0)).cast("double")
+    punct_ok = (punct_ratio <= 0.2).cast("double")
+    score = F.round(0.3 * length_ok + 0.2 * word_len_ok + 0.2 * punct_ok + 0.3 * F.least(F.lit(1.0), stop_ratio * 5), 6)
+    return docs.select(
+        F.col("doc_id"),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, content_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax over per-language marker-word counts,
+    deterministic tie-break on language code order."""
+    c = F.col(content_col)
+    scores = [
+        _count_tokens_in(c, words).alias(f"score_{lang}")
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select(F.col("doc_id"), *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lo}") for lo in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lo}") == best, F.lit(lo)) for lo in langs]
+    )
+    return scored.select("doc_id", pred.alias("predicted_lang"), best.alias("marker_hits"))
+
+
+def fingerprint(docs: DataFrame, content_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the normalized text (X13 over a
+    canonical form) + the normalized length — the exact-dedup key."""
+    norm = normalize_for_fingerprint(F.col(content_col))
+    return docs.select(
+        F.col("doc_id"),
+        content_hash(norm).alias("fingerprint"),
+        F.length(norm).alias("norm_length"),
+    )
+
+
+def lang_distribution(docs: DataFrame) -> DataFrame:
+    """Corpus language histogram with share-of-corpus.
+
+    The total stays inside the plan (1-row broadcast cross join) — no
+    driver-side count action."""
+    total = docs.agg(F.count("*").alias("_total"))
+    return (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg(F.length("text")), 6).alias("avg_chars"))
+        .crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_docs") / F.col("_total"), 6))
+        .drop("_total")
+    )
