@@ -1,0 +1,66 @@
+"""Dedup operator tests with planted duplicates: exact groups, MinHash-LSH
+recall vs exact Jaccard ground truth, SimHash on identical docs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_synaptic_spark.operators import dedup as D
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tomorrow"  # 1-word diff
+OTHER = "completely different words about spark query engines and big data systems"
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),        # exact dup of 1
+        (3, NEAR),        # near dup of 1/2
+        (4, OTHER),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = D.exact_dedup_groups(_docs(spark)).collect()
+    assert len(out) == 1
+    assert out[0].n_copies == 2 and out[0].keep_id == 1
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = D.exact_dedup(_docs(spark))
+    assert out.count() == 4
+    assert out.where("doc_id = 2").count() == 0  # dup dropped, min id kept
+
+
+def test_minhash_lsh_finds_planted_pairs(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in D.minhash_lsh_pairs(_docs(spark), threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup ⇒ jaccard 1
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0  # near dup
+    assert all(4 not in p and 5 not in p for p in pairs)  # unrelated docs not paired
+
+
+def test_minhash_matches_exact_jaccard_on_candidates(spark):
+    docs = _docs(spark)
+    lsh = {(r.id_a, r.id_b): r.jaccard for r in D.minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    exact = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    for pair, j in lsh.items():
+        assert abs(exact[pair] - j) < 1e-9  # verify step reports true jaccard
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    out = {(r.id_a, r.id_b): r.hamming for r in D.simhash_pairs(_docs(spark), max_hamming=32).collect()}
+    assert out[(1, 2)] == 0  # identical text ⇒ identical signature
+    assert out[(1, 3)] <= 6  # near dup ⇒ small distance
+    assert out[(1, 4)] > 6  # unrelated ⇒ large distance
+
+
+def test_embedding_near_dup(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = [(r.id_a, r.id_b) for r in D.embedding_near_dup_pairs(emb, threshold=0.95).collect()]
+    assert out == [(1, 2)]

@@ -1,0 +1,112 @@
+"""Text function + analysis tests — word-count edge cases mirror the
+reference (tests/unit/models/test_rag.py:74-91: Python str.split semantics);
+summary/context-assembly greedy semantics from rag/retrieval.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_synaptic_spark.functions import text as TX
+from mcp_synaptic_spark.operators import retrieval as RT
+from mcp_synaptic_spark.operators import text_analysis as TA
+
+
+def test_word_count_python_split_semantics(spark):
+    df = spark.createDataFrame(
+        [("hello world",), ("",), ("   ",), ("one",), ("a  b\t c",)], "t string"
+    )
+    out = [r.n for r in df.select(TX.word_count(F.col("t")).alias("n")).collect()]
+    assert out == [2, 0, 0, 1, 3]  # empty/whitespace → 0, runs collapse
+
+
+def test_sanitize_string(spark):
+    df = spark.createDataFrame([("  <b>bold</b> text\x00here  ",)], "t string")
+    out = df.select(TX.sanitize_string(F.col("t")).alias("s")).first().s
+    assert out == "bold texthere"  # tags stripped, control chars removed, trimmed
+
+
+def test_key_validation(spark):
+    df = spark.createDataFrame(
+        [("valid_key-1.x",), ("has space",), ("",), ("x" * 256,), ("ok",)], "k string"
+    )
+    out = [r.v for r in df.select(TX.is_valid_key(F.col("k")).alias("v")).collect()]
+    assert out == [True, False, False, False, True]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+    out = [r.s for r in df.select(TX.word_shingles(F.col("t"), 3).alias("s")).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == ["a b"]  # shorter than n ⇒ whole text as one shingle
+
+
+def test_quality_score_bounds(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat with a hat and a bat near the flat door today"), (2, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TA.quality_score(docs).collect()}
+    assert 0.0 <= out[1].quality_score <= 1.0
+    assert out[1].quality_score > out[2].quality_score  # real sentence beats 1-char doc
+    assert out[1].stopword_ratio > 0.2
+
+
+def test_lang_id_picks_marker_language(spark):
+    docs = spark.createDataFrame(
+        [(1, "der hund und die katze ist hier"), (2, "the cat and the dog of mine")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.predicted_lang for r in TA.lang_id(docs).collect()}
+    assert out[1] == "de"
+    assert out[2] == "en"
+
+
+def test_fingerprint_normalizes(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.fingerprint for r in TA.fingerprint(docs).collect()}
+    assert out[1] == out[2]  # case + whitespace normalized away
+    assert out[1] != out[3]
+
+
+def test_document_summary_budget(spark):
+    docs = spark.createDataFrame(
+        [(1, "First sentence here. Second part follows. Third bit. Fourth chunk ends")],
+        "doc_id long, text string",
+    )
+    out = RT.document_summary(docs, max_summary_length=45).first()
+    # 'First sentence here' (19) + '. ' + 'Second part follows' (19) = 40 ≤ 45; third would exceed
+    assert out.summary == "First sentence here. Second part follows"
+    assert out.n_sentences == 2
+
+
+def test_document_summary_first_sentence_always_kept(spark):
+    docs = spark.createDataFrame([(1, "A very long opening sentence that blows the budget. Tail")],
+                                 "doc_id long, text string")
+    out = RT.document_summary(docs, max_summary_length=10).first()
+    assert out.n_sentences == 1
+    assert out.summary.startswith("A very long")
+
+
+def test_assemble_context_greedy_with_truncation(spark):
+    ranked = spark.createDataFrame(
+        [(1, "A" * 100), (2, "B" * 100), (3, "C" * 200)], "rank int, content string"
+    )
+    out = RT.assemble_context(ranked, max_context_length=320, min_truncate=50).first()
+    # doc1 (100) + sep(2) + doc2 (100) = 202 fits; doc3 needs 202+2+200=404 > 320
+    # leftover = 320 − 202 − 2 = 116 ≥ 50 ⇒ truncated head of doc3 (113 chars) + '...'
+    parts = out.context.split("\n\n")
+    assert parts[0] == "A" * 100 and parts[1] == "B" * 100
+    assert parts[2] == "C" * 113 + "..."
+    assert out.n_docs == 3
+    assert out.n_chars <= 320
+
+
+def test_assemble_context_no_truncation_when_tiny_leftover(spark):
+    ranked = spark.createDataFrame([(1, "A" * 100), (2, "B" * 100)], "rank int, content string")
+    out = RT.assemble_context(ranked, max_context_length=110, min_truncate=100).first()
+    # only doc1 fits; leftover = 110−100−2 = 8 < 100 ⇒ no truncated tail
+    assert out.context == "A" * 100
+    assert out.n_docs == 1
