@@ -1,0 +1,203 @@
+"""Approximate nearest-neighbor search at scale (north-star surface).
+
+Three tiers, all returning the same (qid, id, score, rank) shape as the exact
+brute-force baseline in operators/rag.py (which remains the correctness
+oracle):
+
+1. Random-hyperplane LSH (cosine-native): bucket = sign-bit string of dots
+   with p seeded hyperplanes. Candidates share a bucket (multi-probe: or a
+   bucket within Hamming 1); exact cosine re-rank within candidates. Pure
+   column expressions — no UDFs, no MLlib dependency, deterministic given the
+   seed.
+2. MLlib BucketedRandomProjectionLSH over L2-normalized vectors (Euclidean
+   LSH; after normalization ‖a−b‖² = 2−2cos, so Euclidean NN ≡ cosine NN).
+3. IVF (inverted file): KMeans coarse quantizer; queries probe the nprobe
+   nearest centroids and re-rank exactly within those cells. The classic
+   billion-scale layout: cells are Parquet partitions ⇒ partition pruning
+   turns a corpus scan into an nprobe-cell scan.
+
+At 100 TB: tier 1/3 candidate generation shuffles only (bucket_key, id)
+pairs; vectors are re-read only for the candidate set (semi-join pushdown).
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double, cosine_similarity, dot, l2_normalize
+from .rag import ORDER_DP, ROUND_DP
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (seeded PRNG, driver-side only)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket(vec_col, planes: Sequence[Sequence[float]]):
+    """Sign-bit bucket id for a vector column: Σ 2^i · [v·pᵢ ≥ 0]."""
+    v = as_double(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(dot(v, plane) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate per-query top-k via hyperplane-LSH candidate buckets.
+
+    multiprobe=True also probes the n_planes buckets at Hamming distance 1
+    from the query bucket — the standard recall boost that costs
+    (n_planes+1)× candidate lookups, not a larger index.
+
+    Physical shape: corpus bucketed once (narrow projection, shuffle on
+    bucket only if the join needs it); the join key is (bucket), so the
+    corpus never cross-joins the query set.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), planes).alias("bucket"))
+
+    qb = queries.select(
+        F.col(query_id_col), F.col(query_vec_col), hyperplane_bucket(F.col(query_vec_col), planes).alias("qbucket")
+    )
+    if multiprobe:
+        probes = F.array(F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(F.lit(2**i)) for i in range(len(planes))])
+        qb = qb.withColumn("bucket", F.explode(probes))
+    else:
+        qb = qb.withColumn("bucket", F.col("qbucket"))
+
+    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    scored = (
+        c.join(F.broadcast(qb.select(query_id_col, query_vec_col, "bucket")), "bucket")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), sim)), ROUND_DP).alias("score"),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def mllib_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approximate top-k (cosine via
+    L2-normalization). Returns (qid, id, score, rank)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import VectorUDT  # noqa: F401  (schema dependency)
+
+    c = corpus.select(F.col(id_col), array_to_vector(l2_normalize(F.col(vec_col))).alias("features"))
+    q = queries.select(
+        F.col(query_id_col), array_to_vector(l2_normalize(F.col(query_vec_col))).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(c)
+    # threshold 2.0 = the max possible L2 distance between unit vectors
+    joined = model.approxSimilarityJoin(q, c, 2.0, distCol="l2")
+    # cos = 1 − l2²/2 for unit vectors
+    scored = joined.select(
+        F.col(f"datasetA.{query_id_col}").alias(query_id_col),
+        F.col(f"datasetB.{id_col}").alias(id_col),
+        F.round(F.lit(1.0) - F.col("l2") * F.col("l2") / 2.0, ROUND_DP).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_build(
+    corpus: DataFrame,
+    *,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build an IVF index: KMeans centroids + cell assignment per vector.
+
+    Returns (corpus with `cell` column, centroid list). In production, write
+    the result partitioned by `cell` — queries then prune to nprobe cells at
+    the parquet-partition level.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = corpus.select(F.col(id_col), F.col(vec_col), array_to_vector(as_double(F.col(vec_col))).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(feats)
+    assigned = model.transform(feats).select(id_col, vec_col, "cell")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    indexed_corpus: DataFrame,
+    centroids: list[list[float]],
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query: probe the nprobe nearest cells, exact cosine re-rank inside.
+
+    The (qid, cell) probe list is tiny and broadcast; with the corpus
+    partitioned by cell the join is a partition-pruned scan.
+    """
+    cent = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    qcells = (
+        queries.select(query_id_col, query_vec_col)
+        .select(query_id_col, query_vec_col, F.posexplode(cent).alias("cell", "cellvec"))
+        .withColumn("cdist", F.lit(1.0) - cosine_similarity(F.col(query_vec_col), F.col("cellvec")))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("cdist").asc(), F.col("cell").asc())
+    probes = qcells.withColumn("rn", F.row_number().over(wq)).where(F.col("rn") <= nprobe).select(
+        query_id_col, query_vec_col, "cell"
+    )
+
+    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    scored = (
+        indexed_corpus.join(F.broadcast(probes), "cell")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), sim)), ROUND_DP).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

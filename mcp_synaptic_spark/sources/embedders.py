@@ -1,0 +1,122 @@
+"""Embedding providers (SURVEY.md §2.11) as Arrow-batched mapInPandas
+transforms — the Spark re-expression of the reference's pluggable provider
+ABC (rag/embeddings/base.py:12-56; selection manager.py:26-29).
+
+Providers:
+- hash_embedder: deterministic md5-seeded vectors — the test/CI provider,
+  mirroring the reference's own integration-test pattern
+  (tests/integration/test_rag_integration.py:38-46). Pure function of the
+  text, so embeddings are reproducible across runs and engines.
+- api_embedder: OpenAI-compatible POST /v1/embeddings per Arrow batch with
+  retry/backoff (the reference batches + retries too: rag/embeddings/
+  api.py:89-118, utils/async_utils.py:38-56). Network calls are gated — the
+  transform builds lazily and never fires in tests.
+
+Empty-text guard (F8, reference rag/embeddings/base.py:50-56): blank texts
+are refused — here they yield NULL vectors, filterable upstream with
+`.where(trim(col) != '')`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _hash_vector(text: str, dim: int) -> list[float] | None:
+    if not text or not text.strip():
+        return None  # F8 empty-text guard
+    raw: list[float] = []
+    seed = text.encode("utf-8")
+    while len(raw) < dim:
+        seed = hashlib.md5(seed).digest()
+        raw.extend((b - 127.5) / 127.5 for b in seed)
+    v = raw[:dim]
+    norm = math.sqrt(sum(x * x for x in v))
+    return [float(x / norm) for x in v] if norm else [0.0] * dim
+
+
+def _embed_schema(id_field: T.StructField) -> T.StructType:
+    return T.StructType(
+        [id_field, T.StructField("embedding", T.ArrayType(T.FloatType()), True)]
+    )
+
+
+def hash_embedder(
+    docs: DataFrame, *, id_col: str = "doc_id", content_col: str = "text", dim: int = 64
+) -> DataFrame:
+    """Deterministic embedding provider: (id, embedding array<float>)."""
+    id_field = next(f for f in docs.schema.fields if f.name == id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "embedding": [_hash_vector(t, dim) for t in pdf[content_col]],
+                }
+            )
+
+    return docs.mapInPandas(run, schema=_embed_schema(id_field))
+
+
+def api_embedder(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    endpoint: str = "http://localhost:8000/v1/embeddings",
+    model: str = "text-embedding-3-small",
+    dim: int = 1536,
+    api_key_env: str = "EMBEDDING_API_KEY",
+    max_retries: int = 3,
+    backoff_seconds: float = 1.0,
+) -> DataFrame:
+    """HTTP embedding provider: one POST per Arrow batch, retry w/ backoff.
+
+    Each partition opens its own session; batching rides on Arrow batch size
+    (spark.sql.execution.arrow.maxRecordsPerBatch), the same knob that bounds
+    request payloads. Requires network + urllib only (stdlib).
+    """
+    id_field = next(f for f in docs.schema.fields if f.name == id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+        import os
+        import time
+        import urllib.request
+
+        key = os.environ.get(api_key_env, "")
+
+        def post(texts: list[str]) -> list[list[float]]:
+            body = json.dumps({"model": model, "input": texts}).encode()
+            req = urllib.request.Request(
+                endpoint,
+                data=body,
+                headers={"Content-Type": "application/json", "Authorization": f"Bearer {key}"},
+            )
+            last_err: Exception | None = None
+            for attempt in range(max_retries):
+                try:
+                    with urllib.request.urlopen(req, timeout=60) as resp:
+                        payload = json.loads(resp.read())
+                    return [d["embedding"] for d in payload["data"]]
+                except Exception as e:  # noqa: BLE001 — retry any transport error
+                    last_err = e
+                    time.sleep(backoff_seconds * (2**attempt))
+            raise RuntimeError(f"embedding API failed after {max_retries} retries: {last_err}")
+
+        for pdf in batches:
+            texts = list(pdf[content_col])
+            nonempty = [t for t in texts if t and t.strip()]
+            vecs = iter(post(nonempty)) if nonempty else iter(())
+            out = [next(vecs) if (t and t.strip()) else None for t in texts]
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": out})
+
+    return docs.mapInPandas(run, schema=_embed_schema(id_field))

@@ -1,0 +1,76 @@
+"""Streaming expiry sweep + change-event emission (SURVEY.md §2.10).
+
+Reference behavior re-expressed:
+- periodic cleanup loop (core/server.py:86-98, every
+  MEMORY_CLEANUP_INTERVAL_SECONDS=300): here a Structured Streaming query
+  with trigger(processingTime=...) whose foreachBatch applies
+  operators.memory.cleanup_expired to the state table and rewrites it;
+- SSE events memory_expired / document_added (README.md:196-205): here the
+  expired rows of each sweep are appended to an events sink table — a
+  change feed any downstream reader can readStream.
+
+State lives in parquet (swap for Delta on a cluster for ACID rewrites — the
+transforms are identical). The sweep is driven by a rate-source tick; each
+tick is one sweep.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.memory import cleanup_expired
+
+
+def run_expiry_sweep(
+    spark: SparkSession,
+    state_dir: str,
+    events_dir: str,
+    *,
+    interval_seconds: int = 300,
+    now_fn=None,
+    checkpoint_dir: str | None = None,
+):
+    """Start the periodic sweep as a streaming query; returns the handle.
+
+    now_fn() -> datetime lets tests pin the clock (defaults to wall clock,
+    matching the reference's behavior).
+    """
+    ticks = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+
+    def sweep(batch_df: DataFrame, batch_id: int) -> None:
+        sweep_once(spark, state_dir, events_dir, now=(now_fn() if now_fn else None))
+
+    return (
+        ticks.writeStream.trigger(processingTime=f"{interval_seconds} seconds")
+        .option("checkpointLocation", checkpoint_dir or os.path.join(state_dir, "_checkpoint"))
+        .foreachBatch(sweep)
+        .start()
+    )
+
+
+def sweep_once(spark: SparkSession, state_dir: str, events_dir: str, now: datetime | None = None) -> int:
+    """One expiry sweep: drop expired rows from the state table, append
+    memory_expired events. Returns the number of rows expired (the
+    reference's cleanup return value, memory/manager/queries.py:32-44)."""
+    now = now or datetime.now(timezone.utc)
+    now_col = F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S")))
+    state = spark.read.parquet(state_dir)
+    survivors, expired = cleanup_expired(state, now_col)
+
+    events = expired.select(
+        F.lit("memory_expired").alias("event_type"),
+        F.col("key"),
+        now_col.alias("ts"),
+    )
+    n = events.count()
+    if n:
+        events.write.mode("append").parquet(events_dir)
+        # rewrite state without the expired rows (Delta: DELETE WHERE instead)
+        tmp = state_dir.rstrip("/") + "_next"
+        survivors.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
+    return n

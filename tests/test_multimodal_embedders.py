@@ -1,0 +1,73 @@
+"""Multimodal plumbing + embedding provider tests (decode itself is stubbed —
+no media libs in this container; the Spark-side schema/batch shape is real)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_synaptic_spark.operators import multimodal as MM
+from mcp_synaptic_spark.sources.embedders import hash_embedder
+
+
+def _media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake payload 1", '{"w": 640}'),
+        (2, "image", b"\x89PNG fake payload 2", '{"w": 320}'),
+        (3, "video", b"RIFF fake video bytes", None),
+        (4, "audio", b"ID3 fake audio", None),
+    ]
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_extract_features_schema_and_determinism(spark):
+    out = MM.extract_features(_media(spark)).collect()
+    assert len(out) == 4
+    for r in out:
+        assert len(r.features) == MM.FEATURE_DIM
+        assert all(0.0 <= x < 1.0 for x in r.features)
+        assert r.n_bytes > 0
+    # deterministic: same payload ⇒ same features across runs
+    again = {r.media_id: r.features for r in MM.extract_features(_media(spark)).collect()}
+    assert all(again[r.media_id] == r.features for r in out)
+
+
+def test_decode_media_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"bytes", "image")
+
+
+def test_frame_sample_plan(spark):
+    out = MM.frame_sample_plan(_media(spark), every_n=5).collect()
+    assert all(r.media_id == 3 for r in out)  # only the video row
+    idxs = [r.frame_idx for r in out]
+    assert idxs == sorted(idxs) and idxs[0] == 0
+    assert all(i % 5 == 0 for i in idxs)
+
+
+def test_hash_embedder_deterministic_and_normalized(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "different"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.embedding for r in hash_embedder(docs, dim=32).collect()}
+    assert out[1] == out[2]  # same text ⇒ same vector
+    assert out[1] != out[3]
+    assert out[4] is None  # F8 empty-text guard
+    norm = sum(x * x for x in out[1]) ** 0.5
+    assert abs(norm - 1.0) < 1e-5  # unit-normalized
+
+
+def test_hash_embedder_feeds_search(spark):
+    """End-to-end: embed with the provider, search with the Q13 pipeline."""
+    from mcp_synaptic_spark.operators import rag as R
+
+    docs = spark.createDataFrame(
+        [(1, "spark engine"), (2, "spark engine"), (3, "unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    emb = hash_embedder(docs, dim=32).withColumnRenamed("doc_id", "id")
+    qv = emb.where("id = 1").first().embedding
+    out = R.rag_search(emb, qv, threshold=0.0, limit=3).collect()
+    assert [r.id for r in out[:2]] == [1, 2]  # identical text ties at score 1.0
+    assert out[0].score == 1.0 and out[1].score == 1.0

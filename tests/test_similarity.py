@@ -1,0 +1,76 @@
+"""ANN tier tests: recall of hyperplane-LSH / MLlib-LSH / IVF against the
+exact brute-force baseline (operators/rag.py) on the driver's embeddings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_synaptic_spark.operators import rag as R
+from mcp_synaptic_spark.operators import similarity as S
+from mcp_synaptic_spark.sources.tables import load_table
+
+K = 5
+
+
+def _corpus_and_queries(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding")
+    )
+    queries = emb.where(F.col("id") % 100 == 0).select(
+        F.col("id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return emb, queries
+
+
+def _exact_topk(emb, queries):
+    return {
+        (r.qid, r.id)
+        for r in R.batch_topk_join(queries, emb, k=K).collect()
+    }
+
+
+def _recall(approx_rows, exact_pairs):
+    approx = {(r.qid, r.id) for r in approx_rows}
+    return len(approx & exact_pairs) / len(exact_pairs)
+
+
+def test_hyperplane_lsh_recall(spark, sf_dir):
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    exact = _exact_topk(emb, queries)
+    approx = S.lsh_topk_join(queries, emb, dim=64, k=K, n_planes=4, multiprobe=True).collect()
+    # this corpus is near-orthogonal (true-neighbor cos ≈ 0.3) — the hard
+    # case for sign-LSH: P(bucket match) ≈ (1−θ/π)^p. At p=4 with Hamming-1
+    # multiprobe the expected recall is ~0.5-0.7; clustered corpora do far
+    # better. The exact tier (rag.batch_topk_join) remains the default.
+    assert _recall(approx, exact) >= 0.4
+    # self-match must always survive (identical vector ⇒ identical bucket)
+    qids = {r.qid for r in approx}
+    for q in qids:
+        assert (q, q) in {(r.qid, r.id) for r in approx}
+
+
+def test_hyperplane_lsh_deterministic(spark, sf_dir):
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    a = sorted(map(tuple, S.lsh_topk_join(queries, emb, dim=64, k=K, seed=7).collect()))
+    b = sorted(map(tuple, S.lsh_topk_join(queries, emb, dim=64, k=K, seed=7).collect()))
+    assert a == b
+
+
+def test_mllib_lsh_recall(spark, sf_dir):
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    exact = _exact_topk(emb, queries)
+    approx = S.mllib_lsh_topk(queries, emb, k=K, num_hash_tables=4).collect()
+    assert _recall(approx, exact) >= 0.5
+
+
+def test_ivf_recall_and_probe_scaling(spark, sf_dir):
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    exact = _exact_topk(emb, queries)
+    indexed, centroids = S.ivf_build(emb, n_cells=8)
+    few = S.ivf_topk(queries, indexed, centroids, k=K, nprobe=2).collect()
+    all_probe = S.ivf_topk(queries, indexed, centroids, k=K, nprobe=8).collect()
+    # probing every cell ≡ exact brute force
+    assert _recall(all_probe, exact) == 1.0
+    # fewer probes trade recall for scan cost, but never below the cell that
+    # contains the query itself
+    assert _recall(few, exact) >= 0.3

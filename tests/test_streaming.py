@@ -1,0 +1,102 @@
+"""Streaming slice tests: stream≡batch for windowed aggregates (Spark's
+unified API), expiry sweep state transitions, and change-event emission."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from mcp_synaptic_spark.sources.tables import load_table
+from mcp_synaptic_spark.streaming import expiry, windows
+
+
+def _stream_events(spark, sf_dir):
+    batch = load_table(spark, sf_dir, "events")
+    return (
+        spark.readStream.schema(batch.schema)
+        .parquet(os.path.join(sf_dir))  # placeholder; overridden in tests
+    )
+
+
+def test_tumbling_counts_stream_equals_batch(spark, sf_dir, tmp_path):
+    # materialize events (post ns→µs conversion) so the file stream reads
+    # the same rows the batch plan sees
+    batch_events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_src")
+    batch_events.write.parquet(src)
+
+    stream = spark.readStream.schema(batch_events.schema).parquet(src)
+    q = (
+        windows.tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in windows.tumbling_counts(batch_events).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_session_windows_batch_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),  # same session (gap < 30m)
+        (1, "2024-01-01 01:00:00", 3.0),  # new session (50m gap)
+        (2, "2024-01-01 00:05:00", 4.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sorted(
+        windows.session_windows(ev, gap="30 minutes").collect(),
+        key=lambda r: (r.user_id, r.session_start),
+    )
+    assert len(out) == 3
+    s1, s2, s3 = out
+    assert s1.user_id == 1 and s1.n_events == 2 and s1.total_value == 3.0
+    # session end = last event + gap
+    assert s1.session_end == datetime.fromisoformat("2024-01-01 00:40:00")
+    assert s2.user_id == 1 and s2.n_events == 1
+    assert s3.user_id == 2 and s3.n_events == 1
+
+
+def test_expiry_sweep_once(spark, tmp_path):
+    state_dir = str(tmp_path / "memories")
+    events_dir = str(tmp_path / "expiry_events")
+    rows = [
+        ("id-a", "a", "{}", "short_term", "absolute",
+         datetime.fromisoformat("2024-01-14 00:00:00"), datetime.fromisoformat("2024-01-14 00:00:00"),
+         None, datetime.fromisoformat("2024-01-14 01:00:00"), 3600, 0, None, None),
+        ("id-b", "b", "{}", "permanent", "never",
+         datetime.fromisoformat("2024-01-14 00:00:00"), datetime.fromisoformat("2024-01-14 00:00:00"),
+         None, None, 0, 0, None, None),
+    ]
+    schema = (
+        "id string, key string, data string, memory_type string, expiration_policy string, "
+        "created_at timestamp, updated_at timestamp, last_accessed_at timestamp, "
+        "expires_at timestamp, ttl_seconds int, access_count int, "
+        "tags map<string,string>, metadata string"
+    )
+    spark.createDataFrame(rows, schema).write.parquet(state_dir)
+
+    n = expiry.sweep_once(spark, state_dir, events_dir, now=datetime.fromisoformat("2024-01-15 00:00:00"))
+    assert n == 1
+    survivors = [r.key for r in spark.read.parquet(state_dir).collect()]
+    assert survivors == ["b"]
+    ev = spark.read.parquet(events_dir).collect()
+    assert len(ev) == 1 and ev[0].event_type == "memory_expired" and ev[0].key == "a"
+
+    # idempotent second sweep: nothing left to expire, no new events
+    assert expiry.sweep_once(spark, state_dir, events_dir, now=datetime.fromisoformat("2024-01-16 00:00:00")) == 0
