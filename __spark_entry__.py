@@ -517,6 +517,268 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# memory state transitions (Q1–Q4, Q8) — transform applied, post-state checked
+# ---------------------------------------------------------------------------
+
+def _q_memory_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 — upsert a deterministic batch of updates (every key ending in 7
+    gets new data + bumped update time), then show the post-state slice."""
+    mem = _memories(spark, sf_dir)
+    updates = (
+        mem.where(F.col("key").endswith("7"))
+        .withColumn("data", F.lit('{"updated": true}'))
+        .withColumn("updated_at", now_col())
+    )
+    out = M.upsert_by_key(mem, updates)
+    return out.where(F.col("key").endswith("7") | F.col("key").endswith("1")).select(
+        "key", "data", "updated_at"
+    )
+
+
+_ORACLE_MEMORY_UPSERT = f"""
+WITH {MEMORIES_CTE_SQL.strip()},
+updates AS (
+  SELECT key, '{{"updated": true}}' AS data, {NOW_SQL} AS updated_at
+  FROM memories_derived WHERE key LIKE '%7'
+),
+merged AS (
+  SELECT key, data, updated_at, 0 AS prio FROM memories_derived
+  UNION ALL SELECT key, data, updated_at, 1 AS prio FROM updates
+),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY key ORDER BY prio DESC, updated_at DESC) AS rn
+  FROM merged
+)
+SELECT key, data, updated_at FROM dedup
+WHERE rn = 1 AND (key LIKE '%7' OR key LIKE '%1')
+"""
+
+
+def _q_memory_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/X10 — touch one key; emit it plus an untouched control row."""
+    out = M.memory_touch(_memories(spark, sf_dir), "mem-1", now_col())
+    return out.where(F.col("key").isin(["mem-1", "mem-2"])).select(
+        "key", "access_count", "last_accessed_at", "expires_at"
+    )
+
+
+_ORACLE_MEMORY_TOUCH = f"""
+WITH {MEMORIES_CTE_SQL.strip()}
+SELECT key,
+  CASE WHEN key = 'mem-1' THEN access_count + 1 ELSE access_count END AS access_count,
+  CASE WHEN key = 'mem-1' THEN {NOW_SQL} ELSE last_accessed_at END AS last_accessed_at,
+  CASE WHEN key = 'mem-1' AND expiration_policy = 'sliding'
+            AND ttl_seconds IS NOT NULL AND ttl_seconds > 0
+       THEN {NOW_SQL} + ttl_seconds * INTERVAL '1 second'
+       ELSE expires_at END AS expires_at
+FROM memories_derived WHERE key IN ('mem-1', 'mem-2')
+"""
+
+
+def _q_memory_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — delete by key; verify via post-state count + absence flag."""
+    out = M.memory_delete(_memories(spark, sf_dir), "mem-3")
+    return out.agg(
+        F.count("*").alias("n_after"),
+        F.sum((F.col("key") == "mem-3").cast("long")).alias("deleted_still_present"),
+    )
+
+
+_ORACLE_MEMORY_DELETE = f"""
+WITH {MEMORIES_CTE_SQL.strip()}
+SELECT count(*) AS n_after,
+       sum(CASE WHEN key = 'mem-3' THEN 1 ELSE 0 END) AS deleted_still_present
+FROM memories_derived WHERE key != 'mem-3'
+"""
+
+
+def _q_memory_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 — exists(): live row check for a present key and an absent one."""
+    mem = _memories(spark, sf_dir)
+    hit = M.memory_exists(mem, "mem-2", now_col()).agg(F.count("*").alias("n"))
+    miss = M.memory_exists(mem, "no-such-key", now_col()).agg(F.count("*").alias("n"))
+    return (
+        hit.select(F.lit("mem-2").alias("key"), F.col("n").alias("exists_live"))
+        .unionByName(miss.select(F.lit("no-such-key").alias("key"), F.col("n").alias("exists_live")))
+    )
+
+
+_ORACLE_MEMORY_EXISTS = f"""
+WITH {MEMORIES_CTE_SQL.strip()}
+SELECT 'mem-2' AS key,
+  (SELECT count(*) FROM memories_derived
+   WHERE key = 'mem-2' AND (expires_at IS NULL OR expires_at > {NOW_SQL})) AS exists_live
+UNION ALL
+SELECT 'no-such-key',
+  (SELECT count(*) FROM memories_derived
+   WHERE key = 'no-such-key' AND (expires_at IS NULL OR expires_at > {NOW_SQL}))
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed / temporal queries (streaming twins) + pagination + JSON keys
+# ---------------------------------------------------------------------------
+
+def _q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_synaptic_spark.streaming.windows import sliding_counts
+
+    return sliding_counts(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_EVENTS_SLIDING = """
+WITH s AS (
+  SELECT make_timestamp((floor(epoch(ts) / 1800)::BIGINT) * 1800 * 1000000) AS w0 FROM events
+),
+u AS (
+  SELECT w0 AS window_start FROM s
+  UNION ALL
+  SELECT w0 - INTERVAL '30 minutes' FROM s
+)
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end, count(*) AS n_events
+FROM u GROUP BY 1
+"""
+
+
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_synaptic_spark.streaming.windows import session_windows
+
+    return session_windows(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+_ORACLE_EVENTS_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+g AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM g GROUP BY user_id, sid
+"""
+
+
+def _q_orders_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+L4 — pagination with the has_more envelope (models/base.py:75-98)."""
+    orders = _t(spark, sf_dir, "orders")
+    total = orders.agg(F.count("*").alias("_total"))
+    page = orders.orderBy(F.col("o_orderkey").asc()).offset(20).limit(10)
+    return (
+        page.crossJoin(F.broadcast(total))
+        .withColumn("total_count", F.col("_total"))
+        .withColumn("has_more", (F.lit(20) + F.lit(10)) < F.col("_total"))
+        .drop("_total")
+    )
+
+
+_ORACLE_ORDERS_PAGE = """
+SELECT o.*, t.total_count, (20 + 10) < t.total_count AS has_more
+FROM (SELECT * FROM orders ORDER BY o_orderkey ASC LIMIT 10 OFFSET 20) o,
+     (SELECT count(*) AS total_count FROM orders) t
+"""
+
+
+def _q_props_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — distinct JSON payload keys across the corpus
+    (reference rag/database/stats.py:47-54)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.explode(F.json_object_keys(F.col("props"))).alias("json_key"))
+        .groupBy("json_key")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+_ORACLE_PROPS_KEYS = """
+SELECT k AS json_key, count(*) AS n_rows
+FROM (SELECT unnest(json_keys(props)) AS k FROM events)
+GROUP BY k
+"""
+
+
+def _q_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15 — sanitize_string over HTML-wrapped content (wrapper added
+    deterministically so stripping is observable)."""
+    from mcp_synaptic_spark.functions.text import sanitize_string
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = F.concat(F.lit("<p class='doc'>"), F.col("text"), F.lit("</p>  "))
+    return docs.select(
+        "doc_id",
+        sanitize_string(wrapped, max_length=200).alias("clean"),
+        F.length(sanitize_string(wrapped, max_length=200)).alias("clean_len"),
+    )
+
+
+_ORACLE_SANITIZE = """
+WITH w AS (
+  SELECT doc_id, '<p class=''doc''>' || text || '</p>  ' AS s FROM documents
+),
+c AS (
+  SELECT doc_id,
+    substr(trim(regexp_replace(regexp_replace(s, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                               '<[^>]*>', '', 'g')), 1, 200) AS clean
+  FROM w
+)
+SELECT doc_id, clean, length(clean) AS clean_len FROM c
+"""
+
+
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + agg — the pushdown showcase (all three
+    predicates reach the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("2024-07-01 00:00:00")))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+_ORACLE_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2024-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '2024-07-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def _q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-style ranking generalized: top-3 orders by value per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rank")
+    )
+
+
+_ORACLE_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, CAST(rank AS INT) AS rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # text analysis (beyond-reference: training-data pipeline operators)
 # ---------------------------------------------------------------------------
 
