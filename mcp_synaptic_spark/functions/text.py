@@ -65,13 +65,18 @@ def bpe_ish_token_count(content: Column) -> Column:
     return F.size(F.regexp_extract_all(content, F.lit(BPE_TOKEN_PATTERN), 0))
 
 
-def word_shingles(content: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles — the MinHash/Jaccard input unit.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token array.
 
-    Built with sequence+transform over the token array (no UDF); documents
-    shorter than n words contribute their full token string as one shingle.
+    `toks` must be a plain column reference, not an expression tree: higher-
+    order functions are interpreted, with no common-subexpression elimination
+    inside the lambda, so every `element_at(toks, …)` re-evaluates whatever
+    expression `toks` is. Passing the raw split-regex expression here made
+    shingling ~50× slower than reading a materialized array column.
+
+    Documents shorter than n words contribute their full token string as one
+    shingle.
     """
-    toks = whitespace_tokens(content)
     k = F.size(toks)
     joined = F.array_join(toks, " ")
     ngrams = F.transform(
@@ -79,6 +84,13 @@ def word_shingles(content: Column, n: int = 3) -> Column:
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
     )
     return F.when(k < n, F.array(joined)).otherwise(F.array_distinct(ngrams))
+
+
+def word_shingles(content: Column, n: int = 3) -> Column:
+    """Shingles straight from a content column — convenience for one-off /
+    test use. In operator pipelines prefer a two-step projection
+    (tokens column, then shingles_from_tokens) so the tokenizer runs once."""
+    return shingles_from_tokens(whitespace_tokens(content), n)
 
 
 def normalize_for_fingerprint(content: Column) -> Column:

@@ -26,8 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import whitespace_tokens, word_shingles
-from ..functions.vector import cosine_similarity
+from ..functions.text import shingles_from_tokens, whitespace_tokens
+from ..functions.vector import as_double, dot_fixed, norm_fixed, probe_dim
 
 #: 60-bit portable hash of a string: int(md5(s)[:15], 16).
 #: Identical in DuckDB as ('0x' || substr(md5(s), 1, 15))::BIGINT.
@@ -35,6 +35,19 @@ from ..functions.vector import cosine_similarity
 
 def _h(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to core count when the input has fewer partitions.
+
+    CPU-bound stages (shingling, seeded hashing, pairwise arithmetic) must not
+    inherit single-file parallelism from a small parquet read. At production
+    scale input splits >> cores, so this is a no-op — no extra shuffle.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
 
 
 def _h_seeded(seed: int, s: Column) -> Column:
@@ -66,8 +79,18 @@ def exact_dedup(docs: DataFrame, content_col: str = "text", id_col: str = "doc_i
 
 
 def shingle_sets(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingles array) — distinct word n-grams per document."""
-    return docs.select(F.col(id_col).alias("id"), word_shingles(F.col(content_col), n).alias("shingles"))
+    """(id, shingles array) — distinct word n-grams per document.
+
+    Two projection steps on purpose: tokens materialize first, so the shingle
+    HOF reads a plain array attribute instead of re-running the tokenizer per
+    element (see functions/text.py:shingles_from_tokens). CollapseProject
+    keeps them separate because the token expression is non-cheap and
+    referenced many times.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), whitespace_tokens(F.col(content_col)).alias("toks")
+    )
+    return toks.select("id", shingles_from_tokens(F.col("toks"), n).alias("shingles"))
 
 
 def _jaccard(a: Column, b: Column) -> Column:
@@ -107,16 +130,26 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard), id_a < id_b.
     """
     rows = num_hashes // bands
-    sh = shingle_sets(docs, content_col, id_col, shingle_n).cache()
-    sig = minhash_signatures(sh, num_hashes)
-    # band key = concat of the band's minhashes
-    band_rows = []
-    for b in range(bands):
-        key = F.concat_ws("-", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)])
-        band_rows.append(sig.select("id", F.lit(b).alias("band"), key.alias("band_key")))
-    buckets = band_rows[0]
-    for extra in band_rows[1:]:
-        buckets = buckets.unionByName(extra)
+    sh = shingle_sets(_ensure_parallelism(docs), content_col, id_col, shingle_n).cache()
+    # cache signatures: the bucket self-join reads them twice, and without a
+    # barrier each read re-runs the explode+16-hash+groupBy pipeline
+    sig = minhash_signatures(sh, num_hashes).cache()
+    # band keys in ONE pass: array of (band, key) structs + explode — not one
+    # select per band unioned (that re-reads sig `bands` times)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
 
     left = buckets.select(F.col("band"), F.col("band_key"), F.col("id").alias("id_a"))
     right = buckets.select(F.col("band"), F.col("band_key"), F.col("id").alias("id_b"))
@@ -143,17 +176,36 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.3,
 ) -> DataFrame:
-    """Exhaustive pairwise n-gram Jaccard (exact ground truth for LSH recall
-    checks). Quadratic — apply only to a pre-filtered subset; the LSH pipeline
-    above is the scale path.
+    """Exact pairwise n-gram Jaccard via an inverted-index join.
+
+    Instead of the quadratic crossJoin + array_intersect, explode shingles
+    into postings and self-join on the shingle: only pairs sharing ≥1 shingle
+    ever materialize, and |A∩B| falls out of a count per (id_a, id_b). With a
+    positive threshold this is exactly equivalent to the exhaustive pass
+    (zero-overlap pairs have Jaccard 0), but work scales with the posting-list
+    join output, not N². At 100 TB the one skew risk is a stop-shingle whose
+    posting list is huge — mitigate by capping document frequency (drop
+    shingles in > max_df docs; they only connect near-identical boilerplate).
     """
-    sh = shingle_sets(docs, content_col, id_col, shingle_n)
-    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        a.crossJoin(b)
+    if threshold <= 0.0:
+        raise ValueError("inverted-index Jaccard requires threshold > 0")
+    sh = shingle_sets(_ensure_parallelism(docs), content_col, id_col, shingle_n)
+    # cache the postings: both sides of the self-join read them, and without a
+    # materialization barrier each side re-runs tokenize+shingle+explode
+    sized = sh.select(
+        "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+    ).cache()
+    a = sized.select(F.col("sh"), F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    b = sized.select(F.col("sh"), F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    inter = (
+        a.join(b, "sh")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -166,7 +218,9 @@ def simhash_signatures(
     One explode + one groupBy(id) with `bits` conditional sums — single
     shuffle, combiner-friendly.
     """
-    toks = docs.select(F.col(id_col).alias("id"), F.explode(whitespace_tokens(F.col(content_col))).alias("tok"))
+    toks = _ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), F.explode(whitespace_tokens(F.col(content_col))).alias("tok")
+    )
     h = _h(F.col("tok"))
     hashed = toks.select("id", h.alias("th"))
     sums = hashed.groupBy("id").agg(
@@ -200,6 +254,9 @@ def simhash_pairs(
     on signature prefixes first (pigeonhole: d ≤ 3 ⇒ one of 4 prefixes equal).
     """
     sig = simhash_signatures(docs, content_col=content_col, id_col=id_col, bits=bits)
+    # CPU-bound pairwise pass: force core-level parallelism on the stream side
+    # (AQE coalesces the tiny signature shuffle down to one partition).
+    sig = sig.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
     b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -217,20 +274,35 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact pairwise).
 
-    Quadratic in corpus size — the exact baseline. The scale path buckets
-    vectors with LSH (similarity.py random-hyperplane buckets) and runs this
-    only within buckets.
+    Norms are computed once per vector BEFORE the self-join (N rows, not N²),
+    and the per-pair dot product is unrolled over the known dimension so it
+    stays inside whole-stage codegen (functions/vector.py:dot_fixed) instead
+    of an interpreted HOF fold — same sequential addition order, so values
+    are bit-identical to the oracle. Quadratic in corpus size — the exact
+    baseline. The scale path buckets vectors with LSH (similarity.py
+    random-hyperplane buckets) and runs this only within buckets.
     """
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if dim is None:
+        dim = probe_dim(embeddings, vec_col)
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm_fixed(F.col("v"), dim))
+    # The pairwise stage is CPU-bound, so parallelism must come from cores,
+    # not input splits — a small corpus read as one parquet file would
+    # otherwise run the whole N² pass on a single task.
+    base = _ensure_parallelism(base)
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(0.0)).otherwise(
+        dot_fixed(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    )
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine")
-        )
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

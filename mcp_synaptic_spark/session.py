@@ -41,6 +41,14 @@ def get_spark(app_name: str = "mcp-synaptic-spark", shuffle_partitions: int | No
         # the driver's events.parquet stores TIMESTAMP(NANOS); Spark reads it
         # as nanos-since-epoch LONG and sources/tables.py converts to micros
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate turns explode(expensive_expr) into a
+        # pushed-down filter that re-evaluates the full expression tree per
+        # row (shingle pipelines paid ~2× for it); the explode inputs here are
+        # never empty arrays, so the inferred filter only costs.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
