@@ -1117,20 +1117,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cleanup_expired_count": _q_cleanup_expired_count,
         "memories_live_count": _q_memories_live_count,
         "parse_ttl": _q_parse_ttl,
+        # memory state transitions (Q1–Q4, Q8, X10, S2) — post-state checked
+        "memory_upsert": _q_memory_upsert,
+        "memory_touch": _q_memory_touch,
+        "memory_delete": _q_memory_delete,
+        "memory_exists": _q_memory_exists,
         # document stats (Q14, A4–A8, X12)
         "doc_stats": _q_doc_stats,
-        # relational suite (joins, multi-agg, top-k, windows, JSON)
+        # relational suite (joins, multi-agg, top-k, windows, JSON, pagination)
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "orders_page": _q_orders_page,
+        "props_keys": _q_props_keys,
         "events_hourly": _q_events_hourly,
         "events_json": _q_events_json,
+        # streaming twins (tumbling in events_hourly; sliding + session here)
+        "events_sliding": _q_events_sliding,
+        "events_sessions": _q_events_sessions,
         # text analysis (tokens, quality, lang-ID, fingerprint)
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "lang_distribution": _q_lang_distribution,
+        "sanitize": _q_sanitize,
         # retrieval utilities (Q15, Q17, Q18)
         "doc_summary": _q_doc_summary,
         "search_by_metadata": _q_search_by_metadata,
@@ -1159,17 +1172,28 @@ def oracle_sql() -> dict[str, str]:
         "cleanup_expired_count": _ORACLE_CLEANUP_EXPIRED,
         "memories_live_count": _ORACLE_MEMORIES_LIVE,
         "parse_ttl": _ORACLE_PARSE_TTL,
+        "memory_upsert": _ORACLE_MEMORY_UPSERT,
+        "memory_touch": _ORACLE_MEMORY_TOUCH,
+        "memory_delete": _ORACLE_MEMORY_DELETE,
+        "memory_exists": _ORACLE_MEMORY_EXISTS,
         "doc_stats": _ORACLE_DOC_STATS,
         "tpch_q1": _ORACLE_TPCH_Q1,
         "tpch_q3": _ORACLE_TPCH_Q3,
         "tpch_q5": _ORACLE_TPCH_Q5,
+        "tpch_q6": _ORACLE_TPCH_Q6,
+        "top_orders_per_customer": _ORACLE_TOP_ORDERS,
+        "orders_page": _ORACLE_ORDERS_PAGE,
+        "props_keys": _ORACLE_PROPS_KEYS,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "events_json": _ORACLE_EVENTS_JSON,
+        "events_sliding": _ORACLE_EVENTS_SLIDING,
+        "events_sessions": _ORACLE_EVENTS_SESSIONS,
         "token_stats": _ORACLE_TOKEN_STATS,
         "quality_score": _ORACLE_QUALITY,
         "lang_id": _ORACLE_LANG_ID,
         "fingerprint": _ORACLE_FINGERPRINT,
         "lang_distribution": _ORACLE_LANG_DIST,
+        "sanitize": _ORACLE_SANITIZE,
         "doc_summary": _ORACLE_DOC_SUMMARY,
         "search_by_metadata": _ORACLE_SEARCH_BY_METADATA,
         "assemble_context": _ORACLE_ASSEMBLE_CONTEXT,
