@@ -779,6 +779,220 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# RAG document CRUD (Q9–Q12, S7–S9, P1, J2) — post-state checked
+# ---------------------------------------------------------------------------
+
+_WORD_COUNT_SQL = (
+    "CASE WHEN trim({c}) = '' THEN 0 "
+    "ELSE length(regexp_split_to_array(trim({c}), '\\s+')) END"
+)
+
+
+def _q_doc_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 — upsert two docs (one replaces id 3, one brand-new id 999999);
+    show the affected slice plus an untouched control row (id 4)."""
+    from mcp_synaptic_spark.operators import documents as DOC
+
+    docs = _t(spark, sf_dir, "documents")
+    new_rows = spark.createDataFrame(
+        [
+            (3, "replacement text for document three", "en", "synthetic", 35),
+            (999999, "a brand new synthetic document", "en", "synthetic", 30),
+        ],
+        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = DOC.document_add(docs, new_rows)
+    return out.where(F.col("doc_id").isin([3, 4, 999999])).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+_ORACLE_DOC_ADD = """
+WITH new_rows(doc_id, text, lang, source, n_chars) AS (
+  VALUES (3, 'replacement text for document three', 'en', 'synthetic', 35),
+         (999999, 'a brand new synthetic document', 'en', 'synthetic', 30)
+),
+merged AS (
+  SELECT doc_id, text, lang, source, n_chars, 0 AS prio FROM documents
+  UNION ALL SELECT doc_id, text, lang, source, n_chars, 1 FROM new_rows
+),
+d AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY prio DESC) AS rn FROM merged
+)
+SELECT doc_id, text, lang, source, n_chars FROM d
+WHERE rn = 1 AND doc_id IN (3, 4, 999999)
+"""
+
+
+def _q_doc_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 — point read + P1 derived-metadata split + J2 embedding join."""
+    from mcp_synaptic_spark.operators import documents as DOC
+
+    out = DOC.document_get(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings"), 7
+    )
+    return out.select(
+        "doc_id", "text", "lang", "content_length", "word_count",
+        "content_hash", "embedding_dimension",
+    )
+
+
+_ORACLE_DOC_GET = f"""
+SELECT d.doc_id, d.text, d.lang,
+       length(d.text) AS content_length,
+       {_WORD_COUNT_SQL.format(c="d.text")} AS word_count,
+       md5(d.text) AS content_hash,
+       (SELECT len(embedding) FROM embeddings e WHERE e.vec_id = 7) AS embedding_dimension
+FROM documents d WHERE d.doc_id = 7
+"""
+
+
+def _q_doc_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 — replace content of doc 5 (delete + re-add semantics); derived
+    columns recompute; doc 6 rides along untouched as the control."""
+    from mcp_synaptic_spark.operators import documents as DOC
+
+    out = DOC.document_update(
+        _t(spark, sf_dir, "documents"), 5, F.lit("updated content for document five")
+    )
+    return out.where(F.col("doc_id").isin([5, 6])).select(
+        "doc_id", "text", "content_hash", "content_length", "word_count"
+    )
+
+
+_ORACLE_DOC_UPDATE = f"""
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 5 THEN 'updated content for document five' ELSE text END AS text
+  FROM documents WHERE doc_id IN (5, 6)
+)
+SELECT doc_id, text, md5(text) AS content_hash,
+       length(text) AS content_length,
+       {_WORD_COUNT_SQL.format(c="text")} AS word_count
+FROM u
+"""
+
+
+def _q_doc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 — delete doc 3 from both tables; verify post-state counts."""
+    from mcp_synaptic_spark.operators import documents as DOC
+
+    docs_after, emb_after = DOC.document_delete(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings"), 3
+    )
+    d = docs_after.agg(
+        F.count("*").alias("n_docs_after"),
+        F.sum((F.col("doc_id") == 3).cast("long")).alias("doc_still_present"),
+    )
+    e = emb_after.agg(F.count("*").alias("n_emb_after"))
+    return d.crossJoin(e)
+
+
+_ORACLE_DOC_DELETE = """
+SELECT (SELECT count(*) FROM documents WHERE doc_id != 3) AS n_docs_after,
+       0 AS doc_still_present,
+       (SELECT count(*) FROM embeddings WHERE vec_id != 3) AS n_emb_after
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN tiers + embedding provider + multimodal plumbing — rows-only checks
+# (approximate / non-SQL-expressible; exact twins live in batch_topk etc.)
+# ---------------------------------------------------------------------------
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k (similarity.py tier 1) — approximate, so
+    rows-only; recall vs the exact batch_topk twin is asserted in tests."""
+    from mcp_synaptic_spark.operators.similarity import lsh_topk_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return lsh_topk_join(queries, emb, dim=64, k=5, id_col="vec_id")
+
+
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer top-k (similarity.py tier 3): KMeans cells +
+    nprobe-cell exact re-rank."""
+    from mcp_synaptic_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    indexed, centroids = ivf_build(emb, n_cells=16, id_col="vec_id")
+    queries = emb.where(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(queries, indexed, centroids, k=5, nprobe=4, id_col="vec_id")
+
+
+def _q_embed_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 — batch embedding via the deterministic hash provider
+    (mapInPandas, Arrow-batched); unit-norm property checked per row."""
+    from mcp_synaptic_spark.sources.embedders import hash_embedder
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_embedder(docs, dim=64)
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x), 3).alias("sq_norm"),
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + typed metadata, feature
+    extraction via mapInPandas (deterministic fake decoder — the real decode
+    seam is operators/multimodal.py:decode_media)."""
+    from mcp_synaptic_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.to_json(F.struct("lang", "source")).alias("metadata"),
+    )
+    feats = extract_features(media, use_fake=True)
+    return feats.select("media_id", "media_type", "n_bytes", F.size("features").alias("feat_dim"))
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: deterministic frame-index explode."""
+    from mcp_synaptic_spark.operators.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return frame_sample_plan(media, every_n=10)
+
+
+_ORACLE_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) % 100 + 1 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx FROM m
+"""
+
+_ORACLE_EMBED_TEXTS = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN NULL ELSE CAST(64 AS INT) END AS dim,
+       CASE WHEN trim(text) = '' THEN NULL ELSE 1.0 END AS sq_norm
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # text analysis (beyond-reference: training-data pipeline operators)
 # ---------------------------------------------------------------------------
 
@@ -1122,6 +1336,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_touch": _q_memory_touch,
         "memory_delete": _q_memory_delete,
         "memory_exists": _q_memory_exists,
+        # document CRUD (Q9–Q12, S7–S9, P1, J2)
+        "doc_add": _q_doc_add,
+        "doc_get": _q_doc_get,
+        "doc_update": _q_doc_update,
+        "doc_delete": _q_doc_delete,
+        # ANN tiers + providers + multimodal (approximate / Python-seam ops)
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "embed_texts": _q_embed_texts,
+        "multimodal_features": _q_multimodal_features,
+        "frame_sample": _q_frame_sample,
         # document stats (Q14, A4–A8, X12)
         "doc_stats": _q_doc_stats,
         # relational suite (joins, multi-agg, top-k, windows, JSON, pagination)
@@ -1176,6 +1401,12 @@ def oracle_sql() -> dict[str, str]:
         "memory_touch": _ORACLE_MEMORY_TOUCH,
         "memory_delete": _ORACLE_MEMORY_DELETE,
         "memory_exists": _ORACLE_MEMORY_EXISTS,
+        "doc_add": _ORACLE_DOC_ADD,
+        "doc_get": _ORACLE_DOC_GET,
+        "doc_update": _ORACLE_DOC_UPDATE,
+        "doc_delete": _ORACLE_DOC_DELETE,
+        "embed_texts": _ORACLE_EMBED_TEXTS,
+        "frame_sample": _ORACLE_FRAME_SAMPLE,
         "doc_stats": _ORACLE_DOC_STATS,
         "tpch_q1": _ORACLE_TPCH_Q1,
         "tpch_q3": _ORACLE_TPCH_Q3,
