@@ -63,10 +63,15 @@ def cosine_distance(a: Column, b: Column) -> Column:
 
 def dot_fixed(a: Column, b: Column, dim: int) -> Column:
     """Σ aᵢ·bᵢ unrolled over a known dimension (sequential order ⇒ matches
-    the `dot` fold bit-for-bit). Inputs must already be ARRAY<DOUBLE>."""
-    acc = a.getItem(0) * b.getItem(0)
+    the `dot` fold bit-for-bit).
+
+    Elements are cast to double individually — NEVER wrap the inputs in
+    as_double() here: getItem on a transform() expression re-evaluates the
+    whole array transform once per element (64 casts × 64 elements), which is
+    slower than the HOF fold it replaces. Pass plain column references."""
+    acc = a.getItem(0).cast("double") * b.getItem(0).cast("double")
     for i in range(1, dim):
-        acc = acc + a.getItem(i) * b.getItem(i)
+        acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
     return acc
 
 
@@ -76,8 +81,8 @@ def norm_fixed(a: Column, dim: int) -> Column:
 
 def cosine_similarity_fixed(a: Column, b: Column, dim: int) -> Column:
     """cosine_similarity with an unrolled dot — use on pairwise hot paths
-    where dim is known. Casts to double internally."""
-    a, b = as_double(a), as_double(b)
+    where dim is known. `a`/`b` should be plain column references (see
+    dot_fixed); element casts keep all arithmetic in fp64."""
     na, nb = norm_fixed(a, dim), norm_fixed(b, dim)
     return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
         dot_fixed(a, b, dim) / (na * nb)

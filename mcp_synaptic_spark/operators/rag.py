@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, distance_to_score
+from ..functions.vector import cosine_similarity, cosine_similarity_fixed, distance_to_score
 from ..schemas import DEFAULT_SIMILARITY_THRESHOLD, MAX_RAG_RESULTS
 
 ROUND_DP = 6  # emitted float precision
@@ -37,9 +37,18 @@ def query_vector_lit(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
-def score_against(embeddings: DataFrame, query: Column, vec_col: str = "embedding") -> DataFrame:
+def _sim(a: Column, b: Column, dim: int | None) -> Column:
+    """Cosine: unrolled codegen form when the dimension is known (hot paths),
+    interpreted HOF fold otherwise — identical fold order, identical values
+    (functions/vector.py:dot_fixed)."""
+    return cosine_similarity_fixed(a, b, dim) if dim else cosine_similarity(a, b)
+
+
+def score_against(
+    embeddings: DataFrame, query: Column, vec_col: str = "embedding", *, dim: int | None = None
+) -> DataFrame:
     """Append distance/score columns for one query vector (X17 + X18)."""
-    sim = cosine_similarity(F.col(vec_col), query)
+    sim = _sim(F.col(vec_col), query, dim)
     return embeddings.withColumn("distance", F.round(F.lit(1.0) - sim, ROUND_DP)).withColumn(
         "score", F.round(distance_to_score(F.lit(1.0) - sim), ROUND_DP)
     )
@@ -57,6 +66,7 @@ def rag_search(
     vec_col: str = "embedding",
     doc_id_col: str = "id",
     metadata_predicate: Column | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Q13 — the flagship pipeline (reference rag/database/search.py:21-101).
 
@@ -74,7 +84,7 @@ def rag_search(
         query = query_vector_lit(query)
     k = min(limit, max_results)
 
-    scored = score_against(embeddings, query, vec_col)
+    scored = score_against(embeddings, query, vec_col, dim=dim)
     if documents is not None:
         scored = scored.join(documents, scored[id_col] == documents[doc_id_col]).drop(documents[doc_id_col])
     if metadata_predicate is not None:
@@ -101,6 +111,7 @@ def find_similar(
     id_col: str = "id",
     vec_col: str = "embedding",
     doc_id_col: str = "id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Q16 — docs similar to a given doc, excluding itself
     (reference rag/retrieval.py:100-136: fetch k+1 then filter id ≠ target).
@@ -112,6 +123,7 @@ def find_similar(
         embeddings.crossJoin(F.broadcast(qrow)),
         F.col("qv"),
         vec_col,
+        dim=dim,
     ).drop("qv")
     scored = scored.where(F.col(id_col) != target_id)
     if documents is not None:
@@ -148,6 +160,7 @@ def batch_topk_join(
     vec_col: str = "embedding",
     carry_cols: Sequence[str] = (),
     broadcast_queries: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """N×M batch similarity join: top-k corpus neighbors per query row.
 
@@ -158,7 +171,7 @@ def batch_topk_join(
     sort).
     """
     q = F.broadcast(queries) if broadcast_queries else queries
-    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    sim = _sim(F.col(vec_col), F.col(query_vec_col), dim)
     scored = (
         corpus.crossJoin(q)
         .select(
@@ -184,6 +197,7 @@ def knn_classify(
     query_vec_col: str = "qvec",
     id_col: str = "id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Majority label among the k nearest corpus vectors, per query.
 
@@ -198,6 +212,7 @@ def knn_classify(
         id_col=id_col,
         vec_col=vec_col,
         carry_cols=(label_col,),
+        dim=dim,
     )
     counts = nn.groupBy(query_id_col, label_col).agg(F.count("*").alias("votes"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("votes").desc(), F.col(label_col).asc())
