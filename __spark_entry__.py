@@ -615,6 +615,95 @@ SELECT 'no-such-key',
 """
 
 
+def _q_memory_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 — update mem-2: replace data, MERGE tags (X20 right-biased
+    dict.update), extend TTL with expires_at recomputed per policy (X9);
+    mem-4 rides along untouched as the control."""
+    out = M.memory_update(
+        _memories(spark, sf_dir),
+        "mem-2",
+        now_col(),
+        data='{"patched": true}',
+        tags={"reviewed": "yes", "priority": "high"},
+        extend_ttl=7200,
+    )
+    return out.where(F.col("key").isin(["mem-2", "mem-4"])).select(
+        "key",
+        "data",
+        F.to_json(F.col("tags")).alias("tags_json"),
+        "updated_at",
+        "ttl_seconds",
+        "expires_at",
+    )
+
+
+_ORACLE_MEMORY_UPDATE = f"""
+WITH {MEMORIES_CTE_SQL.strip()}
+SELECT key,
+  CASE WHEN key = 'mem-2' THEN '{{"patched": true}}' ELSE data END AS data,
+  CASE WHEN key = 'mem-2'
+       THEN '{{"src":"events","reviewed":"yes","priority":"high"}}'
+       ELSE '{{"src":"events"}}' END AS tags_json,
+  CASE WHEN key = 'mem-2' THEN {NOW_SQL} ELSE updated_at END AS updated_at,
+  CASE WHEN key = 'mem-2' THEN 7200 ELSE ttl_seconds END AS ttl_seconds,
+  CASE WHEN key = 'mem-2' THEN
+    CASE WHEN expiration_policy = 'never' THEN NULL
+         WHEN expiration_policy = 'sliding'
+           THEN last_accessed_at + 7200 * INTERVAL '1 second'
+         ELSE created_at + 7200 * INTERVAL '1 second' END
+    ELSE expires_at END AS expires_at
+FROM memories_derived WHERE key IN ('mem-2', 'mem-4')
+"""
+
+
+_FMT_DUR_SQL = """
+CASE WHEN {s} IS NULL THEN NULL
+     WHEN {s} < 60 THEN ({s} % 60) || 's'
+     WHEN {s} < 3600 THEN
+       CASE WHEN {s} % 60 > 0 THEN ({s} // 60) || 'm ' || ({s} % 60) || 's'
+            ELSE ({s} // 60) || 'm' END
+     WHEN {s} < 86400 THEN
+       CASE WHEN ({s} % 3600) // 60 > 0
+            THEN ({s} // 3600) || 'h ' || (({s} % 3600) // 60) || 'm'
+            ELSE ({s} // 3600) || 'h' END
+     ELSE
+       CASE WHEN ({s} % 86400) // 3600 > 0
+            THEN ({s} // 86400) || 'd ' || (({s} % 86400) // 3600) || 'h'
+            ELSE ({s} // 86400) || 'd' END
+END
+"""
+
+
+def _q_memory_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 + X8 + X14 + X16 in one projection: human TTL, record age,
+    recency flag, payload byte size, key validity."""
+    from mcp_synaptic_spark.functions import ttl as TTLF
+    from mcp_synaptic_spark.functions import text as TXF
+
+    mem = _memories(spark, sf_dir)
+    return mem.select(
+        "key",
+        TTLF.format_duration(F.col("ttl_seconds")).alias("ttl_human"),
+        TTLF.age_in_seconds(F.col("created_at"), now_col()).alias("age_s"),
+        TTLF.is_recent(F.col("created_at"), now_col(), 86400).alias("recent_1d"),
+        TXF.size_bytes(F.col("data")).alias("data_bytes"),
+        TXF.is_valid_key(F.col("key")).alias("key_ok"),
+    )
+
+
+_ORACLE_MEMORY_REPORT = f"""
+WITH {MEMORIES_CTE_SQL.strip()}
+SELECT key,
+  {_FMT_DUR_SQL.format(s="ttl_seconds").strip()} AS ttl_human,
+  CAST(epoch({NOW_SQL}) - floor(epoch(created_at)) AS BIGINT) AS age_s,
+  (epoch({NOW_SQL}) - floor(epoch(created_at))) <= 86400 AS recent_1d,
+  CAST(strlen(data) AS INT) AS data_bytes,
+  (length(key) > 0 AND length(key) <= 255
+   AND regexp_full_match(key, '[a-zA-Z0-9_\\-\\.]+')) AS key_ok
+FROM memories_derived
+"""
+
+
 # ---------------------------------------------------------------------------
 # windowed / temporal queries (streaming twins) + pagination + JSON keys
 # ---------------------------------------------------------------------------
@@ -1336,6 +1425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_touch": _q_memory_touch,
         "memory_delete": _q_memory_delete,
         "memory_exists": _q_memory_exists,
+        "memory_update": _q_memory_update,
+        "memory_report": _q_memory_report,
         # document CRUD (Q9–Q12, S7–S9, P1, J2)
         "doc_add": _q_doc_add,
         "doc_get": _q_doc_get,
@@ -1401,6 +1492,8 @@ def oracle_sql() -> dict[str, str]:
         "memory_touch": _ORACLE_MEMORY_TOUCH,
         "memory_delete": _ORACLE_MEMORY_DELETE,
         "memory_exists": _ORACLE_MEMORY_EXISTS,
+        "memory_update": _ORACLE_MEMORY_UPDATE,
+        "memory_report": _ORACLE_MEMORY_REPORT,
         "doc_add": _ORACLE_DOC_ADD,
         "doc_get": _ORACLE_DOC_GET,
         "doc_update": _ORACLE_DOC_UPDATE,
