@@ -1213,11 +1213,15 @@ FROM kept GROUP BY id
 
 def _q_search_by_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return RT.search_by_metadata(docs, (F.col("lang") == "de") & (F.col("n_chars") > 200), limit=10)
+    # F5 metadata predicates ∧ F7 content substring filter (models/rag.py:58-61)
+    pred = (F.col("lang") == "de") & (F.col("n_chars") > 200) & F.col("text").contains("der")
+    return RT.search_by_metadata(docs, pred, limit=10)
 
 
 _ORACLE_SEARCH_BY_METADATA = """
-SELECT * FROM documents WHERE lang = 'de' AND n_chars > 200 ORDER BY doc_id ASC LIMIT 10
+SELECT * FROM documents
+WHERE lang = 'de' AND n_chars > 200 AND contains(text, 'der')
+ORDER BY doc_id ASC LIMIT 10
 """
 
 
