@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingles_from_tokens, whitespace_tokens
 from ..functions.vector import as_double, dot_fixed, norm_fixed, probe_dim
+from ..util import ensure_parallelism as _ensure_parallelism
 
 #: 60-bit portable hash of a string: int(md5(s)[:15], 16).
 #: Identical in DuckDB as ('0x' || substr(md5(s), 1, 15))::BIGINT.
@@ -36,18 +37,6 @@ from ..functions.vector import as_double, dot_fixed, norm_fixed, probe_dim
 def _h(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
-
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition up to core count when the input has fewer partitions.
-
-    CPU-bound stages (shingling, seeded hashing, pairwise arithmetic) must not
-    inherit single-file parallelism from a small parquet read. At production
-    scale input splits >> cores, so this is a no-op — no extra shuffle.
-    """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
 
 
 def _h_seeded(seed: int, s: Column) -> Column:

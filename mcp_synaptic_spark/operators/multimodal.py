@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..util import ensure_parallelism
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -87,7 +89,7 @@ def extract_features(media: DataFrame, *, use_fake: bool = True, batch_size_hint
                 }
             )
 
-    return media.mapInPandas(run, schema=_FEATURES_SCHEMA)
+    return ensure_parallelism(media).mapInPandas(run, schema=_FEATURES_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, *, every_n: int = 10) -> DataFrame:

@@ -142,6 +142,7 @@ def ivf_build(
     *,
     n_cells: int = 16,
     seed: int = 42,
+    max_iter: int = 8,
     id_col: str = "id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, list[list[float]]]:
@@ -155,7 +156,8 @@ def ivf_build(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     feats = corpus.select(F.col(id_col), F.col(vec_col), array_to_vector(as_double(F.col(vec_col))).alias("features"))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    # a coarse quantizer needs rough cells, not convergence — cap iterations
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features", predictionCol="cell")
     model = km.fit(feats)
     assigned = model.transform(feats).select(id_col, vec_col, "cell")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]

@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ..util import ensure_parallelism
+
 
 def _hash_vector(text: str, dim: int) -> list[float] | None:
     if not text or not text.strip():
@@ -63,7 +65,8 @@ def hash_embedder(
                 }
             )
 
-    return docs.mapInPandas(run, schema=_embed_schema(id_field))
+    # Python-side work scales with cores, not input splits
+    return ensure_parallelism(docs).mapInPandas(run, schema=_embed_schema(id_field))
 
 
 def api_embedder(
