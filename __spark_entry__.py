@@ -656,6 +656,47 @@ FROM memories_derived WHERE key IN ('mem-2', 'mem-4')
 """
 
 
+def _q_memory_access_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10/§2.10 — touch-as-a-stream: replay an access log (derived from
+    events: each event touches key 'mem-<event_id % 500>') against the
+    memories state in ONE agg + ONE keyed join; sliding rows recompute
+    expires_at from their latest access."""
+    mem = _memories(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    access = ev.select(
+        F.concat(F.lit("mem-"), (F.col("event_id") % 500).cast("string")).alias("key"),
+        F.col("ts"),
+    )
+    out = M.apply_access_log(mem, access)
+    return out.where(F.col("key").isin(["mem-7", "mem-42", "mem-9999"])).select(
+        "key", "access_count", "last_accessed_at", "expires_at"
+    )
+
+
+_ORACLE_MEMORY_ACCESS_REPLAY = f"""
+WITH {MEMORIES_CTE_SQL.strip()},
+access AS (
+  SELECT 'mem-' || (event_id % 500) AS key, ts FROM events
+),
+touches AS (
+  SELECT key, max(ts) AS last_ts, count(*) AS n_touch FROM access GROUP BY key
+),
+j AS (
+  SELECT m.*, t.last_ts, t.n_touch FROM memories_derived m LEFT JOIN touches t USING (key)
+)
+SELECT key,
+  CASE WHEN last_ts IS NOT NULL THEN access_count + CAST(n_touch AS INT) ELSE access_count END AS access_count,
+  CASE WHEN last_ts IS NOT NULL
+       THEN greatest(coalesce(last_accessed_at, last_ts), last_ts)
+       ELSE last_accessed_at END AS last_accessed_at,
+  CASE WHEN last_ts IS NOT NULL AND expiration_policy = 'sliding'
+            AND ttl_seconds IS NOT NULL AND ttl_seconds > 0
+       THEN greatest(coalesce(last_accessed_at, last_ts), last_ts) + ttl_seconds * INTERVAL '1 second'
+       ELSE expires_at END AS expires_at
+FROM j WHERE key IN ('mem-7', 'mem-42', 'mem-9999')
+"""
+
+
 _FMT_DUR_SQL = """
 CASE WHEN {s} IS NULL THEN NULL
      WHEN {s} < 60 THEN ({s} % 60) || 's'
@@ -1431,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_exists": _q_memory_exists,
         "memory_update": _q_memory_update,
         "memory_report": _q_memory_report,
+        "memory_access_replay": _q_memory_access_replay,
         # document CRUD (Q9–Q12, S7–S9, P1, J2)
         "doc_add": _q_doc_add,
         "doc_get": _q_doc_get,
@@ -1498,6 +1540,7 @@ def oracle_sql() -> dict[str, str]:
         "memory_exists": _ORACLE_MEMORY_EXISTS,
         "memory_update": _ORACLE_MEMORY_UPDATE,
         "memory_report": _ORACLE_MEMORY_REPORT,
+        "memory_access_replay": _ORACLE_MEMORY_ACCESS_REPLAY,
         "doc_add": _ORACLE_DOC_ADD,
         "doc_get": _ORACLE_DOC_GET,
         "doc_update": _ORACLE_DOC_UPDATE,

@@ -175,6 +175,53 @@ def memory_touch(memories: DataFrame, key: str, now: Column) -> DataFrame:
     )
 
 
+def apply_access_log(
+    memories: DataFrame,
+    access_log: DataFrame,
+    *,
+    key_col: str = "key",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """X10 at scale — touch-as-a-stream (SURVEY §2.10 sliding TTL on access).
+
+    The reference mutates a row on every read (models/memory.py:85-94), which
+    couples reads to writes. At scale, reads land in an append-only
+    access_log(key, ts) and the current state is recomputed in one pass:
+    one map-side-combinable agg over the log + one keyed join — instead of
+    per-read row rewrites. Sliding-policy rows recompute expires_at from the
+    latest access; other policies keep theirs (only last_accessed_at /
+    access_count advance).
+    """
+    touches = access_log.groupBy(F.col(key_col).alias("key")).agg(
+        F.max(ts_col).alias("_last_ts"), F.count("*").alias("_n_touch")
+    )
+    joined = memories.join(touches, "key", "left")
+    touched = F.col("_last_ts").isNotNull()
+    new_last = F.greatest(F.coalesce(F.col("last_accessed_at"), F.col("_last_ts")), F.col("_last_ts"))
+    sliding = (
+        touched
+        & (F.col("expiration_policy") == "sliding")
+        & F.col("ttl_seconds").isNotNull()
+        & (F.col("ttl_seconds") > 0)
+    )
+    return (
+        joined.withColumn(
+            "access_count",
+            F.when(touched, F.col("access_count") + F.col("_n_touch").cast("int")).otherwise(
+                F.col("access_count")
+            ),
+        )
+        .withColumn("last_accessed_at", F.when(touched, new_last).otherwise(F.col("last_accessed_at")))
+        .withColumn(
+            "expires_at",
+            F.when(
+                sliding, F.timestamp_add("SECOND", F.col("ttl_seconds").cast("long"), new_last)
+            ).otherwise(F.col("expires_at")),
+        )
+        .drop("_last_ts", "_n_touch")
+    )
+
+
 def memory_update(
     memories: DataFrame,
     key: str,

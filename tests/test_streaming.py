@@ -100,3 +100,82 @@ def test_expiry_sweep_once(spark, tmp_path):
 
     # idempotent second sweep: nothing left to expire, no new events
     assert expiry.sweep_once(spark, state_dir, events_dir, now=datetime.fromisoformat("2024-01-16 00:00:00")) == 0
+
+
+def test_access_log_stream_equals_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState touch aggregation ≡ the batch groupBy twin."""
+    from mcp_synaptic_spark.streaming.access_log import touch_updates_stream
+
+    batch_events = load_table(spark, sf_dir, "events")
+    access = batch_events.select(
+        F.concat(F.lit("mem-"), (F.col("event_id") % 50).cast("string")).alias("key"),
+        F.col("ts"),
+    )
+    src = str(tmp_path / "access_src")
+    access.write.parquet(src)
+
+    stream = spark.readStream.schema(access.schema).parquet(src)
+    q = (
+        touch_updates_stream(stream)
+        .writeStream.format("memory")
+        .queryName("touch_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # update mode can emit a row per key per micro-batch: keep the last per key
+    got_rows = spark.sql(
+        "SELECT key, last_accessed_at, n_touches FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY key ORDER BY n_touches DESC) AS rn"
+        "  FROM touch_test) WHERE rn = 1"
+    ).collect()
+    got = {r.key: (r.last_accessed_at, r.n_touches) for r in got_rows}
+    want = {
+        r.key: (r.last_ts, r.n)
+        for r in access.groupBy("key")
+        .agg(F.max("ts").alias("last_ts"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) == 50
+
+
+def test_apply_access_log_batch_semantics(spark):
+    from datetime import datetime
+
+    from mcp_synaptic_spark.operators.memory import apply_access_log
+
+    schema = (
+        "id string, key string, data string, memory_type string, expiration_policy string, "
+        "created_at timestamp, updated_at timestamp, last_accessed_at timestamp, "
+        "expires_at timestamp, ttl_seconds int, access_count int, "
+        "tags map<string,string>, metadata string"
+    )
+    t0 = datetime.fromisoformat("2024-01-01 00:00:00")
+    mem = spark.createDataFrame(
+        [
+            ("i1", "a", "{}", "ephemeral", "sliding", t0, t0, t0, datetime.fromisoformat("2024-01-01 00:05:00"), 300, 1, None, None),
+            ("i2", "b", "{}", "long_term", "absolute", t0, t0, t0, datetime.fromisoformat("2024-01-08 00:00:00"), 604800, 0, None, None),
+            ("i3", "c", "{}", "permanent", "never", t0, t0, None, None, 0, 0, None, None),
+        ],
+        schema,
+    )
+    log = spark.createDataFrame(
+        [
+            ("a", datetime.fromisoformat("2024-01-01 01:00:00")),
+            ("a", datetime.fromisoformat("2024-01-01 02:00:00")),
+            ("b", datetime.fromisoformat("2024-01-01 03:00:00")),
+        ],
+        "key string, ts timestamp",
+    )
+    out = {r.key: r for r in apply_access_log(mem, log).collect()}
+    # sliding: expires_at = latest access + ttl
+    assert out["a"].access_count == 3
+    assert out["a"].last_accessed_at == datetime.fromisoformat("2024-01-01 02:00:00")
+    assert out["a"].expires_at == datetime.fromisoformat("2024-01-01 02:05:00")
+    # absolute: only last_accessed/count advance, expires_at untouched
+    assert out["b"].access_count == 1
+    assert out["b"].expires_at == datetime.fromisoformat("2024-01-08 00:00:00")
+    # untouched key: unchanged
+    assert out["c"].access_count == 0 and out["c"].expires_at is None
