@@ -20,7 +20,7 @@ def content_length(content: Column) -> Column:
 
 def word_count(content: Column) -> Column:
     """X12 — len(content.split()) with Python semantics (empty → 0)."""
-    return F.when(F.trim(content) == "", F.lit(0)).otherwise(F.size(F.split(F.trim(content), r"\s+")))
+    return F.size(whitespace_tokens(content))
 
 
 def content_hash(content: Column) -> Column:
@@ -55,10 +55,16 @@ def is_valid_key(key: Column) -> Column:
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+# Python str.split() delimiter set = Unicode White_Space ∪ U+001C–001F
+# (hypothesis found the gap: Java \s is ASCII-only; the reference's
+# word_count is Python len(content.split()), models/rag.py:40-48).
+PY_WHITESPACE_PATTERN = r"(?U)[\s\x1c-\x1f]+"
+
+
 def whitespace_tokens(content: Column) -> Column:
-    return F.when(F.trim(content) == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(content), r"\s+")
-    )
+    """Python str.split() semantics exactly: split on Unicode-whitespace runs,
+    no empty tokens (covers empty strings and leading/trailing whitespace)."""
+    return F.filter(F.split(content, PY_WHITESPACE_PATTERN), lambda x: x != "")
 
 
 def bpe_ish_token_count(content: Column) -> Column:

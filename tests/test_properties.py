@@ -1,0 +1,157 @@
+"""Property-based tests (hypothesis) for the pure column functions.
+
+The reference ships no property/randomized testing (SURVEY §5 "Not present");
+these pin the scalar-function semantics against independent pure-Python
+models over generated inputs. Each property batches all generated cases into
+ONE DataFrame so Spark runs once per example set.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from mcp_synaptic_spark.functions import text as TX
+from mcp_synaptic_spark.functions import ttl as TTL
+from mcp_synaptic_spark.functions.vector import cosine_similarity, cosine_similarity_fixed
+
+PROP = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_UNIT = {"": 1, "s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+
+def _py_format_duration(s: int) -> str:
+    d, h, m, sec = s // 86400, (s % 86400) // 3600, (s % 3600) // 60, s % 60
+    if s < 60:
+        return f"{sec}s"
+    if s < 3600:
+        return f"{m}m {sec}s" if sec > 0 else f"{m}m"
+    if s < 86400:
+        return f"{h}h {m}m" if m > 0 else f"{h}h"
+    return f"{d}d {h}h" if h > 0 else f"{d}d"
+
+
+@PROP
+@given(st.lists(st.tuples(st.integers(0, 10**6), st.sampled_from(list(_UNIT))), min_size=1, max_size=50))
+def test_parse_ttl_matches_model(spark, cases):
+    rows = [(f"{n}{u}",) for n, u in cases]
+    out = [
+        r.v
+        for r in spark.createDataFrame(rows, "s string")
+        .select(TTL.parse_ttl(F.col("s")).alias("v"))
+        .collect()
+    ]
+    assert out == [n * _UNIT[u] for n, u in cases]
+
+
+@PROP
+@given(st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=30))
+def test_parse_ttl_malformed_is_null(spark, texts):
+    # anything that isn't <digits><unit?> must yield NULL, never raise
+    bad = [t for t in texts if not any(c.isdigit() for c in t)]
+    if not bad:
+        return
+    out = [
+        r.v
+        for r in spark.createDataFrame([(t,) for t in bad], "s string")
+        .select(TTL.parse_ttl(F.col("s")).alias("v"))
+        .collect()
+    ]
+    assert out == [None] * len(bad)
+
+
+@PROP
+@given(st.lists(st.integers(0, 10**7), min_size=1, max_size=50))
+def test_format_duration_matches_model(spark, secs):
+    out = [
+        r.v
+        for r in spark.createDataFrame([(s,) for s in secs], "s long")
+        .select(TTL.format_duration(F.col("s")).alias("v"))
+        .collect()
+    ]
+    assert out == [_py_format_duration(s) for s in secs]
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["never", "sliding", "absolute"]),
+            st.one_of(st.none(), st.integers(-100, 10**6)),
+            st.integers(0, 10**9),  # created offset seconds
+            st.integers(0, 10**9),  # accessed offset seconds
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_expiry_for_policy_matches_model(spark, cases):
+    epoch = datetime(2024, 1, 1)
+    rows = [
+        (pol, ttl, epoch + timedelta(seconds=c), epoch + timedelta(seconds=a))
+        for pol, ttl, c, a in cases
+    ]
+    out = [
+        r.v
+        for r in spark.createDataFrame(
+            rows, "policy string, ttl int, created timestamp, accessed timestamp"
+        )
+        .select(
+            TTL.expiry_for_policy(
+                F.col("policy"), F.col("ttl"), F.col("created"), F.col("accessed")
+            ).alias("v")
+        )
+        .collect()
+    ]
+
+    def model(pol, ttl, created, accessed):
+        if pol == "never" or ttl is None or ttl <= 0:
+            return None
+        base = accessed if pol == "sliding" else created
+        return base + timedelta(seconds=ttl)
+
+    assert out == [model(pol, ttl, c, a) for (pol, ttl, _, _), (c, a) in
+                   zip(cases, [(r[2], r[3]) for r in rows])]
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.floats(-1e3, 1e3, allow_nan=False, width=32), min_size=8, max_size=8),
+            st.lists(st.floats(-1e3, 1e3, allow_nan=False, width=32), min_size=8, max_size=8),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dot_fixed_bit_identical_to_hof(spark, pairs):
+    """The unrolled fixed-dim cosine must equal the HOF fold BIT-FOR-BIT —
+    the oracle hashes depend on it."""
+    df = spark.createDataFrame(pairs, "a array<float>, b array<float>")
+    out = df.select(
+        cosine_similarity(F.col("a"), F.col("b")).alias("hof"),
+        cosine_similarity_fixed(F.col("a"), F.col("b"), 8).alias("fixed"),
+    ).collect()
+    for r in out:
+        assert r.hof == r.fixed  # exact equality, not approx
+
+
+@PROP
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=40))
+def test_word_count_matches_python_split(spark, texts):
+    out = [
+        r.v
+        for r in spark.createDataFrame([(t,) for t in texts], "t string")
+        .select(TX.word_count(F.col("t")).alias("v"))
+        .collect()
+    ]
+    assert out == [len(t.split()) for t in texts]
