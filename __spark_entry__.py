@@ -1334,6 +1334,37 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup applied: survivors only (min doc_id per content hash)."""
+    out = D.exact_dedup(_t(spark, sf_dir, "documents"))
+    return out.agg(
+        F.count("*").alias("n_survivors"),
+        F.count_distinct(F.md5(F.col("text"))).alias("n_distinct_contents"),
+    )
+
+
+_ORACLE_DEDUP_KEEP_FIRST = """
+WITH kept AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+  FROM documents
+)
+SELECT count(*) AS n_survivors, count(DISTINCT md5(text)) AS n_distinct_contents
+FROM kept WHERE rn = 1
+"""
+
+
+def _q_ann_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH tier (Euclidean LSH over unit
+    vectors ≡ cosine) — approximate, rows-only; recall asserted in tests."""
+    from mcp_synaptic_spark.operators.similarity import mllib_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return mllib_lsh_topk(queries, emb, k=5, id_col="vec_id")
+
+
 _ORACLE_DEDUP_EXACT = """
 SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text) HAVING count(*) > 1
@@ -1512,6 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_context": _q_assemble_context,
         # dedup suite
         "dedup_exact": _q_dedup_exact,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "ann_mllib_lsh": _q_ann_mllib_lsh,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
@@ -1569,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
         "search_by_metadata": _ORACLE_SEARCH_BY_METADATA,
         "assemble_context": _ORACLE_ASSEMBLE_CONTEXT,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
+        "dedup_keep_first": _ORACLE_DEDUP_KEEP_FIRST,
         "dedup_minhash": _ORACLE_DEDUP_MINHASH,
         "dedup_ngram_jaccard": _ORACLE_DEDUP_NGRAM,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
