@@ -164,6 +164,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard via an inverted-index join.
 
@@ -173,8 +174,12 @@ def ngram_jaccard_pairs(
     positive threshold this is exactly equivalent to the exhaustive pass
     (zero-overlap pairs have Jaccard 0), but work scales with the posting-list
     join output, not N². At 100 TB the one skew risk is a stop-shingle whose
-    posting list is huge — mitigate by capping document frequency (drop
-    shingles in > max_df docs; they only connect near-identical boilerplate).
+    posting list is huge — `max_df` drops shingles appearing in more than
+    max_df documents BEFORE the self-join, bounding any posting list's join
+    fan-out at max_df². Lossy on purpose: a pair connected ONLY by boilerplate
+    shingles may be missed, and intersection counts shrink by the dropped
+    shingles — the standard recall/cost dial for web-scale corpora. With
+    max_df=None the result is exactly the exhaustive pairwise pass.
     """
     if threshold <= 0.0:
         raise ValueError("inverted-index Jaccard requires threshold > 0")
@@ -184,6 +189,11 @@ def ngram_jaccard_pairs(
     sized = sh.select(
         "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
     ).cache()
+    if max_df is not None:
+        rare = (
+            sized.groupBy("sh").agg(F.count("*").alias("_df")).where(F.col("_df") <= max_df).select("sh")
+        )
+        sized = sized.join(rare, "sh")
     a = sized.select(F.col("sh"), F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     b = sized.select(F.col("sh"), F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     inter = (

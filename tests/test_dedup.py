@@ -64,3 +64,29 @@ def test_embedding_near_dup(spark):
     )
     out = [(r.id_a, r.id_b) for r in D.embedding_near_dup_pairs(emb, threshold=0.95).collect()]
     assert out == [(1, 2)]
+
+
+def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
+    from mcp_synaptic_spark.operators.dedup import ngram_jaccard_pairs
+
+    # docs 1/2 share a distinctive shingle-set; every doc shares boilerplate
+    boiler = "lorem ipsum dolor sit amet"
+    rows = [
+        (1, f"alpha beta gamma delta {boiler}"),
+        (2, f"alpha beta gamma delta epsilon {boiler}"),
+        (3, f"totally different content here {boiler}"),
+        (4, f"yet another unrelated doc text {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.05).collect()}
+    # boilerplate links every pair at low threshold
+    assert (3, 4) in full and (1, 2) in full
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.05, max_df=2).collect()
+    }
+    # hot shingles (df=4) pruned: boilerplate-only pairs disappear,
+    # genuinely-similar pair survives via its rare shared shingles
+    assert (1, 2) in capped and (3, 4) not in capped
