@@ -887,6 +887,66 @@ WHERE l_shipdate >= TIMESTAMP '2024-01-01 00:00:00'
 """
 
 
+def _q_orders_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (not in the reference; free from Spark — SURVEY §2.3):
+    orders having ≥1 deeply-discounted lineitem, counted per priority.
+    Physical: the filter pushes into the lineitem scan; the semi join carries
+    only l_orderkey — no lineitem payload ever shuffles."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_discount") >= 0.06)
+    hit = orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_semi")
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+_ORACLE_ORDERS_SEMI = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.06)
+GROUP BY o_orderpriority
+"""
+
+
+def _q_customers_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no high-value order, per segment.
+    The price filter pushes into the orders scan; the anti join carries only
+    o_custkey."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    none = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+    return none.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"), F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal")
+    )
+
+
+_ORACLE_CUSTOMERS_ANTI = """
+SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+GROUP BY c_mktsegment
+"""
+
+
+def _q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year, status) — hierarchical totals in one pass (no rollup
+    exists in the reference, SURVEY §2.4; Expand + single hash-agg here)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+_ORACLE_ORDERS_ROLLUP = """
+SELECT year(o_orderdate) AS order_year, o_orderstatus,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+"""
+
+
 def _q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1-style ranking generalized: top-3 orders by value per customer."""
     orders = _t(spark, sf_dir, "orders")
@@ -1523,6 +1583,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
         "top_orders_per_customer": _q_top_orders_per_customer,
+        "orders_semi_join": _q_orders_semi_join,
+        "customers_anti_join": _q_customers_anti_join,
+        "orders_rollup": _q_orders_rollup,
         "orders_page": _q_orders_page,
         "props_keys": _q_props_keys,
         "events_hourly": _q_events_hourly,
@@ -1586,6 +1649,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": _ORACLE_TPCH_Q5,
         "tpch_q6": _ORACLE_TPCH_Q6,
         "top_orders_per_customer": _ORACLE_TOP_ORDERS,
+        "orders_semi_join": _ORACLE_ORDERS_SEMI,
+        "customers_anti_join": _ORACLE_CUSTOMERS_ANTI,
+        "orders_rollup": _ORACLE_ORDERS_ROLLUP,
         "orders_page": _ORACLE_ORDERS_PAGE,
         "props_keys": _ORACLE_PROPS_KEYS,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
