@@ -74,3 +74,26 @@ def test_ivf_recall_and_probe_scaling(spark, sf_dir):
     # fewer probes trade recall for scan cost, but never below the cell that
     # contains the query itself
     assert _recall(few, exact) >= 0.3
+
+
+def test_ivf_cells_partition_prune(spark, sf_dir, tmp_path):
+    """The IVF scale path: cells written as parquet partitions ⇒ an nprobe
+    query scans only the probed cells (PartitionFilters, not a corpus scan)."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.similarity import ivf_build
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    indexed, centroids = ivf_build(emb, n_cells=4, id_col="vec_id")
+    out = str(tmp_path / "ivf")
+    indexed.write.partitionBy("cell").parquet(out)
+
+    back = spark.read.parquet(out)
+    probed = back.where(F.col("cell").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # partition filter present, and only the probed cells' files are read
+    assert "PartitionFilters" in plan and "cell" in plan
+    n_cells_read = {r.cell for r in probed.select("cell").distinct().collect()}
+    assert n_cells_read <= {0, 1}
+    # and the pruned read is consistent with the unpruned table
+    assert probed.count() == back.where(F.col("cell").isin([0, 1])).count() > 0
