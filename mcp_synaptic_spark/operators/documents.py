@@ -97,6 +97,37 @@ def document_update(
     )
 
 
+def document_update_with_reembed(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    doc_id,
+    new_content: Column,
+    *,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    content_col: str = "text",
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Q11 full semantics — content change triggers RE-EMBEDDING (the
+    reference deletes + re-adds doc AND vector, rag/database/documents.py:
+    113-168; behavior pinned by its integration test
+    tests/integration/test_rag_integration.py:75-143).
+
+    The updated row's new vector comes from the deterministic hash embedder
+    (swap for the API provider in production); untouched rows keep their
+    stored vectors — only the single re-embedded row passes through Python.
+    """
+    from ..sources.embedders import hash_embedder
+
+    new_docs = document_update(docs, doc_id, new_content, id_col=id_col, content_col=content_col)
+    changed = new_docs.where(F.col(id_col) == doc_id)
+    new_vec = hash_embedder(changed, id_col=id_col, content_col=content_col, dim=dim).select(
+        F.col(id_col).alias(emb_id_col), "embedding"
+    )
+    kept = embeddings.where(F.col(emb_id_col) != doc_id).select(emb_id_col, "embedding")
+    return new_docs, kept.unionByName(new_vec)
+
+
 def document_delete(
     docs: DataFrame,
     embeddings: DataFrame | None = None,

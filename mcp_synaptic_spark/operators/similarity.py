@@ -175,15 +175,12 @@ def ivf_topk(
     query_vec_col: str = "qvec",
     id_col: str = "id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """IVF query: probe the nprobe nearest cells, exact cosine re-rank inside.
 
     The (qid, cell) probe list is tiny and broadcast; with the corpus
     partitioned by cell the join is a partition-pruned scan.
     """
-    if dim is None:
-        dim = len(centroids[0])
     cent = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
     qcells = (
         queries.select(query_id_col, query_vec_col)

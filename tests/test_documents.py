@@ -70,3 +70,30 @@ def test_document_delete_removes_both_sides(spark):
 def test_document_delete_idempotent(spark):
     docs_after, _ = DOC.document_delete(_docs(spark), None, 42)
     assert docs_after.count() == 3
+
+
+def test_document_update_with_reembed(spark):
+    from mcp_synaptic_spark.sources.embedders import hash_embedder
+
+    docs = _docs(spark)
+    emb = hash_embedder(docs, dim=8).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    new_docs, new_emb = DOC.document_update_with_reembed(
+        docs, emb, 2, F.lit("completely new text"), dim=8
+    )
+    # doc content replaced
+    assert new_docs.where(F.col("doc_id") == 2).collect()[0].text == "completely new text"
+    # re-embedded vector equals embedding of the NEW content, not the old
+    got = new_emb.where(F.col("vec_id") == 2).collect()[0].embedding
+    want = (
+        hash_embedder(new_docs.where(F.col("doc_id") == 2), dim=8)
+        .collect()[0]
+        .embedding
+    )
+    old = emb.where(F.col("vec_id") == 2).collect()[0].embedding
+    assert got == want and got != old
+    # untouched rows keep their stored vectors
+    keep = {r.vec_id: r.embedding for r in new_emb.where(F.col("vec_id") != 2).collect()}
+    orig = {r.vec_id: r.embedding for r in emb.where(F.col("vec_id") != 2).collect()}
+    assert keep == orig
