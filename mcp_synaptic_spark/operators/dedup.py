@@ -15,8 +15,10 @@ Scale design notes
   HASH_EXPR for xxhash64 (same pipeline, faster digests; no oracle).
 - SimHash: 32-bit signatures from token hashes; near-dups = pairs within
   Hamming distance via XOR+bit_count on a candidate subset.
-- Embedding near-dup: exact pairwise cosine over a blocked self-join;
-  at scale, pre-bucket with LSH (similarity.py) before the pairwise pass.
+- Embedding near-dup: exact pairwise cosine over a blocked self-join as the
+  baseline; embedding_near_dup_pairs_lsh is the sub-quadratic scale path
+  (L hyperplane tables → candidate buckets → exact verify). LSH pays off
+  when N² dwarfs N·L·k — at bench-size corpora the exact pass is faster.
 
 No Python UDFs anywhere — everything stays in whole-stage codegen.
 """
@@ -302,6 +304,70 @@ def embedding_near_dup_pairs(
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int | None = None,
+    n_planes: int = 6,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: L independent hyperplane-LSH tables
+    replace the N² pass (same banding shape as minhash_lsh_pairs).
+
+    A pair is a candidate if it shares a bucket in ANY table; only candidates
+    get the exact fp64 cosine verification, so the self-join key is
+    (table, bucket_id) and vectors are re-joined only for the candidate
+    subset. Recall for a pair at cosine θ is 1 − (1 − p^k)^L with
+    p = 1 − acos(θ)/π — tune (k=n_planes, L=n_tables) to the target
+    threshold. Deterministic given the seed; output ⊆ the exact
+    embedding_near_dup_pairs at the same threshold (verification is exact).
+    """
+    from .similarity import _hyperplanes, hyperplane_bucket
+
+    if dim is None:
+        dim = probe_dim(embeddings, vec_col)
+    base = _ensure_parallelism(
+        embeddings.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("nrm", norm_fixed(F.col("v"), dim))
+    ).cache()
+
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_bucket(F.col("v"), _hyperplanes(dim, n_planes, seed + t)).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    buckets = base.select("id", F.explode(tables).alias("tb")).select(
+        "id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    left = buckets.select("tbl", "bucket", F.col("id").alias("id_a"))
+    right = buckets.select("tbl", "bucket", F.col("id").alias("id_b"))
+    candidates = (
+        left.join(right, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    cos = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(0.0)).otherwise(
+        dot_fixed(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    )
+    return (
+        candidates.join(
+            base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "id_a"
+        )
+        .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")), "id_b")
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

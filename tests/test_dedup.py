@@ -90,3 +90,25 @@ def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
     # hot shingles (df=4) pruned: boilerplate-only pairs disappear,
     # genuinely-similar pair survives via its rare shared shingles
     assert (1, 2) in capped and (3, 4) not in capped
+
+
+def test_embedding_lsh_recall_and_exactness(spark, sf_dir):
+    """The LSH-bucketed near-dup path: every emitted pair is exact-verified
+    (subset of the exhaustive result) and recall matches the banding theory
+    1−(1−p^k)^L for the chosen (k, L)."""
+    from mcp_synaptic_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()}
+    approx = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_lsh(
+            emb, threshold=0.4, n_planes=3, n_tables=9
+        ).collect()
+    }
+    assert approx <= exact  # verification is exact — no false positives
+    assert len(exact) > 0
+    assert len(approx & exact) / len(exact) >= 0.6  # theory ≈0.86 at θ≈0.45
