@@ -124,7 +124,7 @@ _ORACLE_RAG_SEARCH = f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id,
-         round(1.0 - ({_cos('e.embedding::DOUBLE[]', 'q.qv')}), 6) AS distance,
+         round(1.0 - least(1.0, greatest(-1.0, {_cos('e.embedding::DOUBLE[]', 'q.qv')})), 6) AS distance,
          round(greatest(0.0, least(1.0, {_cos('e.embedding::DOUBLE[]', 'q.qv')})), 6) AS score
   FROM embeddings e, q
 ),
@@ -295,12 +295,12 @@ _ORACLE_MEMORY_STATS = f"""
 WITH {MEMORIES_CTE_SQL.strip()}
 SELECT
   count(*) AS total_memories,
-  sum(CASE WHEN expires_at IS NOT NULL AND {NOW_SQL} >= expires_at THEN 1 ELSE 0 END) AS expired_memories,
+  CAST(sum(CASE WHEN expires_at IS NOT NULL AND {NOW_SQL} >= expires_at THEN 1 ELSE 0 END) AS BIGINT) AS expired_memories,
   round(avg(ttl_seconds), 6) AS avg_ttl_seconds,
   min(created_at) AS oldest_memory,
   max(created_at) AS newest_memory,
   max(access_count) AS max_access_count,
-  sum(strlen(data)) AS total_size_bytes
+  CAST(sum(strlen(data)) AS BIGINT) AS total_size_bytes
 FROM memories_derived
 """
 
@@ -311,7 +311,7 @@ SELECT memory_type, count(*) AS cnt FROM memories_derived GROUP BY memory_type
 
 _ORACLE_CLEANUP_EXPIRED = f"""
 WITH {MEMORIES_CTE_SQL.strip()}
-SELECT sum(CASE WHEN expires_at IS NOT NULL AND expires_at <= {NOW_SQL} THEN 1 ELSE 0 END) AS expired_count
+SELECT CAST(sum(CASE WHEN expires_at IS NOT NULL AND expires_at <= {NOW_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS expired_count
 FROM memories_derived
 """
 
@@ -366,8 +366,8 @@ def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_DOC_STATS = """
 SELECT
   count(*) AS total_documents,
-  sum(length(text)) AS total_content_length,
-  sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_words,
+  CAST(sum(length(text)) AS BIGINT) AS total_content_length,
+  CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_words,
   round(avg(length(text)), 6) AS avg_content_length,
   count(DISTINCT lang) AS distinct_langs,
   count(DISTINCT source) AS distinct_sources
@@ -587,7 +587,7 @@ def _q_memory_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_MEMORY_DELETE = f"""
 WITH {MEMORIES_CTE_SQL.strip()}
 SELECT count(*) AS n_after,
-       sum(CASE WHEN key = 'mem-3' THEN 1 ELSE 0 END) AS deleted_still_present
+       CAST(sum(CASE WHEN key = 'mem-3' THEN 1 ELSE 0 END) AS BIGINT) AS deleted_still_present
 FROM memories_derived WHERE key != 'mem-3'
 """
 

@@ -236,8 +236,11 @@ def memory_update(
     memory/manager/operations.py:129-132), updated_at=now, optional TTL extend
     recomputing expires_at per policy (X9).
 
-    Requires spark.sql.mapKeyDedupPolicy=LAST_WIN (set in session.py) so
-    map_concat right-biases duplicate keys.
+    The merge is right-biased WITHOUT relying on
+    spark.sql.mapKeyDedupPolicy=LAST_WIN: keys present in ``tags`` are dropped
+    from the stored map before map_concat, so the concat never sees duplicate
+    keys and works under the default EXCEPTION policy (i.e. under any
+    caller-provided session).
     """
     hit = F.col("key") == key
     df = memories.withColumn("updated_at", F.when(hit, now).otherwise(F.col("updated_at")))
@@ -245,9 +248,14 @@ def memory_update(
         df = df.withColumn("data", F.when(hit, F.lit(data)).otherwise(F.col("data")))
     if tags:
         new_tags = F.create_map(*[x for k, v in tags.items() for x in (F.lit(k), F.lit(v))])
+        new_keys = F.array(*[F.lit(k) for k in tags])
+        old_minus_new = F.map_filter(
+            F.coalesce(F.col("tags"), F.create_map().cast("map<string,string>")),
+            lambda k, _v: ~F.array_contains(new_keys, k),
+        )
         df = df.withColumn(
             "tags",
-            F.when(hit, F.map_concat(F.coalesce(F.col("tags"), F.create_map()), new_tags)).otherwise(F.col("tags")),
+            F.when(hit, F.map_concat(old_minus_new, new_tags)).otherwise(F.col("tags")),
         )
     if extend_ttl is not None:
         df = df.withColumn("ttl_seconds", F.when(hit, F.lit(extend_ttl)).otherwise(F.col("ttl_seconds")))

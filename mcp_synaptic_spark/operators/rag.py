@@ -47,8 +47,14 @@ def _sim(a: Column, b: Column, dim: int | None) -> Column:
 def score_against(
     embeddings: DataFrame, query: Column, vec_col: str = "embedding", *, dim: int | None = None
 ) -> DataFrame:
-    """Append distance/score columns for one query vector (X17 + X18)."""
-    sim = _sim(F.col(vec_col), query, dim)
+    """Append distance/score columns for one query vector (X17 + X18).
+
+    The cosine is clamped into [-1, 1] before 1 - cos: fp error on a
+    self-match can give cos = 1 + 2e-16, whose distance rounds to -0.0 —
+    bit-different from 0.0 under value-hash comparison. The oracle SQL
+    applies the identical clamp.
+    """
+    sim = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), _sim(F.col(vec_col), query, dim)))
     return embeddings.withColumn("distance", F.round(F.lit(1.0) - sim, ROUND_DP)).withColumn(
         "score", F.round(distance_to_score(F.lit(1.0) - sim), ROUND_DP)
     )

@@ -18,9 +18,6 @@ def get_spark(app_name: str = "mcp-synaptic-spark", shuffle_partitions: int | No
 
     - AQE on: runtime coalescing of shuffle partitions + skew-join splitting —
       at 100 TB the static partition count is always wrong for someone.
-    - mapKeyDedupPolicy=LAST_WIN: required for the reference's right-biased
-      tag/metadata merge semantics (dict.update, reference
-      memory/manager/operations.py:129-132) via map_concat.
     - Arrow enabled for pandas-UDF paths (embedding providers, multimodal).
     - session timezone pinned to UTC: the reference stores tz-aware UTC
       timestamps (models/base.py:33-40); pinning makes oracle comparison and
@@ -35,7 +32,6 @@ def get_spark(app_name: str = "mcp-synaptic-spark", shuffle_partitions: int | No
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # the driver's events.parquet stores TIMESTAMP(NANOS); Spark reads it

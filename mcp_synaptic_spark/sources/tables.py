@@ -29,8 +29,33 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime session conf this engine's reads/plans depend on. Set idempotently on
+# every load so the engine works under ANY caller-provided SparkSession (the
+# driver's correctness gate builds a vanilla one), not only session.py's
+# factory. Both keys are runtime-settable.
+_REQUIRED_CONF = (
+    # events.parquet stores TIMESTAMP(NANOS); without this flag a vanilla
+    # session dies with PARQUET_TYPE_ILLEGAL. With it, ts arrives as a LONG of
+    # nanos and we convert below.
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    # reference stores tz-aware UTC timestamps (models/base.py:33-40); pinning
+    # makes epoch math host-timezone-independent.
+    ("spark.sql.session.timeZone", "UTC"),
+)
+
+
+def ensure_session_conf(spark: SparkSession) -> None:
+    for key, want in _REQUIRED_CONF:
+        try:
+            current = spark.conf.get(key, None)
+        except Exception:
+            current = None
+        if current != want:
+            spark.conf.set(key, want)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the parquet; with nanosAsLong (session.py)

@@ -1,57 +1,89 @@
 """Local mirror of the driver's correctness gate.
 
 Runs every queries()[name] on Spark and its oracle_sql()[name] on DuckDB over
-the same sf dir, normalizes (columns sorted by name, rows sorted, floats
-rounded) and compares row counts + values. Usage:
+the same sf dir and compares row counts + schema + values.
+
+Two deliberate strictness choices (round-1 postmortem, VERDICT.md):
+
+- The Spark session is a VANILLA one (master + shuffle partitions only), NOT
+  session.py's tuned factory — the driver builds its own bare session, so any
+  engine code that silently depends on factory conf (nanosAsLong, timezone,
+  mapKeyDedupPolicy) must fail here too.
+- Values are compared as typed canonical strings with NO re-rounding: int vs
+  float is a mismatch, -0.0 vs 0.0 is a mismatch — exactly the distinctions
+  the driver's value-hash sees after pandas materialization.
+
+Usage:
 
     python tools/parity.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import decimal
 import math
+import os
 import sys
-from datetime import datetime
+from datetime import date, datetime
 
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+from pyspark.sql import SparkSession
 
 import __spark_entry__ as entrymod
-from mcp_synaptic_spark.session import get_spark
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
 
 
-def norm_cell(v):
+def vanilla_spark() -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.appName("parity-vanilla")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def norm_cell(v) -> str:
+    """Typed canonical form. Distinct types never compare equal, and float
+    bit-level oddities (-0.0, NaN) are preserved in the string."""
     if v is None:
-        return None
+        return "null"
     if isinstance(v, bool):
-        return int(v)
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
+            return "f:nan"
+        return f"f:{v!r}"  # repr keeps -0.0 distinct from 0.0
+    if isinstance(v, decimal.Decimal):
+        # pandas materializes DECIMAL/HUGEINT as float64 — mirror that
+        return f"f:{float(v)!r}"
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return f"ts:{v.replace(tzinfo=None).isoformat()}"
+    if isinstance(v, date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, bytes):
+        return f"x:{v.hex()}"
+    if isinstance(v, dict):
+        items = sorted((str(k), norm_cell(x)) for k, x in v.items())
+        return "{" + ",".join(f"{k}={x}" for k, x in items) + "}"
     if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 6)
-    except ImportError:
-        pass
-    return v
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return f"s:{v}"
 
 
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+    return sorted(cols), sorted(out)
 
 
 def main():
@@ -59,7 +91,7 @@ def main():
     sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.01"
     only = set(a for a in args if not a.startswith("/"))
 
-    spark = get_spark("parity")
+    spark = vanilla_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -81,6 +113,20 @@ def main():
             print(f"OK?  {name}: rows={len(srows)} (no oracle — rows-only check)")
             continue
         try:
+            # HUGEINT guard: fetchall() hands HUGEINT over as a plain Python
+            # int, but the driver materializes through pandas where int128
+            # becomes float64 and the value-hash diverges from Spark's int.
+            # Any un-CAST integer sum in an oracle is therefore a latent
+            # driver failure — surface it here as a hard parity failure.
+            huge = [
+                (r[0], r[1])
+                for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+                if "HUGEINT" in str(r[1]).upper()
+            ]
+            if huge:
+                failures.append(name)
+                print(f"FAIL {name}: oracle emits HUGEINT columns {huge} — CAST(... AS BIGINT)")
+                continue
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
