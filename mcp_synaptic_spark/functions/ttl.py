@@ -97,6 +97,27 @@ def expiry_for_policy(
     )
 
 
+#: X7 format-fallback list (reference utils/date_utils.py:128-156: ISO-8601
+#: first, then common date/datetime layouts). Order matters — first match wins.
+TS_FORMATS = (
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd",
+    "dd/MM/yyyy HH:mm:ss",
+    "dd/MM/yyyy",
+)
+
+
+def parse_timestamp_multi(ts_str: Column) -> Column:
+    """X7 — multi-format timestamp parse: try each format in TS_FORMATS order,
+    NULL if none matches (the reference raises; relational analogue is NULL).
+
+    try_to_timestamp is a pure expression, so the whole fallback chain stays
+    inside whole-stage codegen — no UDF.
+    """
+    return F.coalesce(*[F.try_to_timestamp(ts_str, F.lit(fmt)) for fmt in TS_FORMATS])
+
+
 def age_in_seconds(created_at: Column, now: Column) -> Column:
     """X8 — now − created_at in seconds (reference date_utils.py:159-167)."""
     return F.unix_timestamp(now) - F.unix_timestamp(created_at)

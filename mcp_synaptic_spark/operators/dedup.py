@@ -248,24 +248,51 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance (XOR + bit_count).
+    """Near-dup pairs by SimHash Hamming distance (XOR + bit_count),
+    candidate-generated by pigeonhole prefix blocking — NOT an N² pass.
 
-    Pairwise over the signature table (signatures are 8 bytes/doc, so the
-    self-join input is tiny relative to the corpus); at extreme scale, block
-    on signature prefixes first (pigeonhole: d ≤ 3 ⇒ one of 4 prefixes equal).
+    Pigeonhole: split the signature into max_hamming+1 disjoint bit blocks;
+    a pair within Hamming distance d ≤ max_hamming differs in at most
+    max_hamming blocks, so at least one block is bit-identical. Candidates
+    are therefore pairs sharing any (block_index, block_value) key — an
+    equi-join that shuffles only (block, value, id) tuples — and each
+    candidate is then verified with the exact XOR+bit_count. Identical
+    output to the exhaustive pairwise pass, sub-quadratic work: the classic
+    Manku/Jain/Sarma (WWW'07) layout. Skewed blocks (e.g. the all-zeros
+    block shared by short docs) are handled by AQE skew-join splitting.
     """
+    n_blocks = max_hamming + 1
     sig = simhash_signatures(docs, content_col=content_col, id_col=id_col, bits=bits)
-    # CPU-bound pairwise pass: force core-level parallelism on the stream side
-    # (AQE coalesces the tiny signature shuffle down to one partition).
-    sig = sig.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
-    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    # candidate generation + verify are CPU-light but the signature frame is
+    # tiny — spread it so the verify join parallelizes.
+    sig = sig.repartition(docs.sparkSession.sparkContext.defaultParallelism).cache()
+
+    widths = [bits // n_blocks] * n_blocks
+    widths[-1] += bits % n_blocks
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    keyed = sig.select("id", "simhash", F.explode(block_structs).alias("bk")).select(
+        "id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val")
+    )
+    a = keyed.select("blk", "val", F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = keyed.select("blk", "val", F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        a.crossJoin(b)
+        a.join(b, ["blk", "val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -164,6 +164,56 @@ def ivf_build(
     return assigned, centroids
 
 
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    overwrite: bool = False,
+) -> list[list[float]]:
+    """Persist the IVF index partitioned by `cell` — the build-once half of
+    the build/probe split. Index construction NEVER belongs in the query path
+    (it's ETL); queries read the partitioned layout and prune to nprobe cells.
+
+    Idempotent: if the index already exists at `path` (and overwrite=False)
+    the build is skipped and the stored centroids are returned. Centroids ride
+    along as an underscore-prefixed JSON sidecar (ignored by parquet readers,
+    like _SUCCESS). Local-FS sidecar I/O here; on a cluster the same pattern
+    targets the object store through its client.
+    """
+    import json
+    import os
+
+    sidecar = os.path.join(path, "_centroids.json")
+    if not overwrite and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            return json.load(f)
+    assigned, centroids = ivf_build(
+        corpus, n_cells=n_cells, seed=seed, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(sidecar, "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def ivf_index_load(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Open a persisted IVF index: (partition-pruned-capable corpus frame,
+    centroids). The `cell` partition column comes back as part of the schema;
+    joining on it against a broadcast probe list triggers dynamic partition
+    pruning, so a probe touches nprobe directories, not the corpus."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    return spark.read.parquet(path), centroids
+
+
 def ivf_topk(
     queries: DataFrame,
     indexed_corpus: DataFrame,

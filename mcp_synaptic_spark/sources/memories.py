@@ -83,7 +83,12 @@ def memories_from_events(events: DataFrame) -> DataFrame:
             F.col("expiration_policy"), F.col("ttl_seconds"), F.col("created_at"), F.col("last_accessed_at")
         ),
     )
-    return typed.drop("event_id").withColumn("tags", F.create_map(F.lit("src"), F.lit("events"))).withColumn(
+    # two-entry tag map with a varying 'bucket' value so tag-equality filters
+    # (F4) are selective, not all-pass
+    tags = F.create_map(
+        F.lit("src"), F.lit("events"), F.lit("bucket"), (F.col("event_id") % 3).cast("string")
+    )
+    return typed.withColumn("tags", tags).drop("event_id").withColumn(
         "metadata", F.lit(None).cast("string")
     )
 
@@ -125,6 +130,7 @@ memories_derived AS (
   )
   SELECT key, data, memory_type, expiration_policy, created_at, updated_at,
          last_accessed_at, ttl_seconds, access_count,
+         CAST(event_id % 3 AS VARCHAR) AS tag_bucket,
     CASE WHEN expiration_policy = 'never' THEN NULL
          WHEN ttl_seconds IS NULL OR ttl_seconds <= 0 THEN NULL
          WHEN expiration_policy = 'sliding'
