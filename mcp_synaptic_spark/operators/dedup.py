@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from ..functions.text import shingles_from_tokens, whitespace_tokens
 from ..functions.vector import as_double, dot_fixed, norm_fixed, probe_dim
 from ..util import ensure_parallelism as _ensure_parallelism
+from ..util import release_scoped_caches as _release_stale
+from ..util import scoped_cache as _scoped_cache
 
 #: 60-bit portable hash of a string: int(md5(s)[:15], 16).
 #: Identical in DuckDB as ('0x' || substr(md5(s), 1, 15))::BIGINT.
@@ -121,10 +123,11 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard), id_a < id_b.
     """
     rows = num_hashes // bands
-    sh = shingle_sets(_ensure_parallelism(docs), content_col, id_col, shingle_n).cache()
+    _release_stale()  # free any previous operator call's cached blocks
+    sh = _scoped_cache(shingle_sets(_ensure_parallelism(docs), content_col, id_col, shingle_n))
     # cache signatures: the bucket self-join reads them twice, and without a
     # barrier each read re-runs the explode+16-hash+groupBy pipeline
-    sig = minhash_signatures(sh, num_hashes).cache()
+    sig = _scoped_cache(minhash_signatures(sh, num_hashes))
     # band keys in ONE pass: array of (band, key) structs + explode — not one
     # select per band unioned (that re-reads sig `bands` times)
     band_structs = F.array(
@@ -185,12 +188,13 @@ def ngram_jaccard_pairs(
     """
     if threshold <= 0.0:
         raise ValueError("inverted-index Jaccard requires threshold > 0")
+    _release_stale()
     sh = shingle_sets(_ensure_parallelism(docs), content_col, id_col, shingle_n)
     # cache the postings: both sides of the self-join read them, and without a
     # materialization barrier each side re-runs tokenize+shingle+explode
-    sized = sh.select(
-        "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
-    ).cache()
+    sized = _scoped_cache(
+        sh.select("id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
+    )
     if max_df is not None:
         rare = (
             sized.groupBy("sh").agg(F.count("*").alias("_df")).where(F.col("_df") <= max_df).select("sh")
@@ -262,10 +266,11 @@ def simhash_pairs(
     block shared by short docs) are handled by AQE skew-join splitting.
     """
     n_blocks = max_hamming + 1
+    _release_stale()
     sig = simhash_signatures(docs, content_col=content_col, id_col=id_col, bits=bits)
     # candidate generation + verify are CPU-light but the signature frame is
     # tiny — spread it so the verify join parallelizes.
-    sig = sig.repartition(docs.sparkSession.sparkContext.defaultParallelism).cache()
+    sig = _scoped_cache(sig.repartition(docs.sparkSession.sparkContext.defaultParallelism))
 
     widths = [bits // n_blocks] * n_blocks
     widths[-1] += bits % n_blocks
@@ -362,10 +367,13 @@ def embedding_near_dup_pairs_lsh(
 
     if dim is None:
         dim = probe_dim(embeddings, vec_col)
-    base = _ensure_parallelism(
-        embeddings.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-        .withColumn("nrm", norm_fixed(F.col("v"), dim))
-    ).cache()
+    _release_stale()
+    base = _scoped_cache(
+        _ensure_parallelism(
+            embeddings.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+            .withColumn("nrm", norm_fixed(F.col("v"), dim))
+        )
+    )
 
     tables = F.array(
         *[

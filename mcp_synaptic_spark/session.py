@@ -46,7 +46,14 @@ def get_spark(app_name: str = "mcp-synaptic-spark", shuffle_partitions: int | No
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode driver hosts ALL executor state: shuffle buffers for N
+        # concurrent tasks, broadcast + cached blocks, Arrow allocations. An
+        # undersized heap turns long sessions into GC storms that surface as
+        # multi-second stalls on allocation-heavy (Arrow/Python) stages — an
+        # 8g heap with 32 task threads reproduced 5-25 s first-mapInPandas
+        # pauses in aged sessions. On a real cluster this maps to ordinary
+        # per-executor memory sizing.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "40g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -44,7 +44,25 @@ _REQUIRED_CONF = (
 )
 
 
+# Sessions already configured (by python wrapper id) — makes the per-load
+# conf check free instead of two JVM round-trips per table read.
+_CONF_APPLIED: set[int] = set()
+
+
 def ensure_session_conf(spark: SparkSession) -> None:
+    """Pin the runtime conf the engine's reads depend on.
+
+    SIDE EFFECT (public API contract — applies to load_table/load_tables/
+    register_views too): this mutates the *caller's* session globally —
+    ``spark.sql.session.timeZone`` becomes UTC and nano-precision parquet
+    timestamps arrive as longs for every read on the session, not just ours.
+    Required so the engine behaves identically under any caller-provided
+    session (the driver's correctness gate builds a vanilla one); callers
+    sharing a session with other timestamp-sensitive work should isolate with
+    ``spark.newSession()``.
+    """
+    if id(spark) in _CONF_APPLIED:
+        return
     for key, want in _REQUIRED_CONF:
         try:
             current = spark.conf.get(key, None)
@@ -52,9 +70,12 @@ def ensure_session_conf(spark: SparkSession) -> None:
             current = None
         if current != want:
             spark.conf.set(key, want)
+    _CONF_APPLIED.add(id(spark))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (see ensure_session_conf for the session-conf
+    side effect this triggers on first use of a session)."""
     ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":

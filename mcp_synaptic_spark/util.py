@@ -2,18 +2,90 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+#: Inputs smaller than this are "cheap to reshuffle": repartitioning them to
+#: core count costs a trivial shuffle and buys full-CPU parallelism for
+#: CPU-bound stages. Inputs at or above it already split into enough scan
+#: partitions (spark.sql.files.maxPartitionBytes), so we leave them alone —
+#: at cluster scale this helper is a no-op and never adds a shuffle.
+_SMALL_INPUT_BYTES = 256 << 20
+
+# Memoized decision per (appId, input file set) so repeated operator calls
+# over the same table do zero filesystem work.
+_PAR_DECISION: dict[tuple, bool] = {}
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition up to core count when the input has fewer partitions.
+    """Repartition to core count when the input is small.
 
     CPU-bound stages (shingling, seeded hashing, pairwise arithmetic,
     Arrow-batched Python transforms) must not inherit single-file parallelism
-    from a small parquet read. At production scale input splits >> cores, so
-    this is a no-op — no extra shuffle.
+    from a small parquet read. The decision is size-based, computed from the
+    scan's input files (analysis-only — no job, no physical planning, unlike a
+    ``df.rdd.getNumPartitions()`` probe, which plans the query just to throw
+    the plan away):
+
+    - local input files totalling < 256 MB → ``repartition(cores)``; the
+      shuffle is trivially cheap at that size and the Python/CPU stage gets
+      every core.
+    - anything bigger, non-local (object store), or file-less → returned
+      untouched; at production scale input splits >> cores already.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        files = ()
+    if not files:
+        # No scan underneath (literal/derived data) — tiny by construction.
         return df.repartition(par)
+    key = (spark.sparkContext.applicationId, files)
+    small = _PAR_DECISION.get(key)
+    if small is None:
+        total = 0
+        small = True
+        for f in files:
+            if not f.startswith("file:"):
+                small = False  # non-local storage ⇒ assume cluster-scale input
+                break
+            try:
+                total += os.path.getsize(f[len("file:") :])
+            except OSError:
+                small = False
+                break
+            if total >= _SMALL_INPUT_BYTES:
+                small = False
+                break
+        _PAR_DECISION[key] = small
+    return df.repartition(par) if small else df
+
+
+# ---------------------------------------------------------------------------
+# scoped caches: operators that .cache() intermediates register them here so
+# the NEXT operator invocation releases them — bounding executor storage to
+# one operator's working set in a long-lived session (a leaked cache per call
+# would accumulate forever on a resident cluster).
+# ---------------------------------------------------------------------------
+
+_SCOPED: list[DataFrame] = []
+
+
+def release_scoped_caches() -> None:
+    """Unpersist every cache registered by a previous operator call."""
+    while _SCOPED:
+        df = _SCOPED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+def scoped_cache(df: DataFrame) -> DataFrame:
+    """cache() a frame and register it for release by the next operator."""
+    df = df.cache()
+    _SCOPED.append(df)
     return df
