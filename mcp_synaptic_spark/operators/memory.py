@@ -159,12 +159,19 @@ def memory_touch(memories: DataFrame, key: str, now: Column) -> DataFrame:
     """Q2/X10 — touch on read: last_accessed=now, access_count+1, sliding
     policy recomputes expires_at (reference models/memory.py:85-94).
 
-    Narrow transform — no shuffle: a predicated column rewrite.
+    A read that lands on an ALREADY-EXPIRED row never revives it: the
+    reference's get deletes the row and raises MemoryExpiredError
+    (reference memory/manager/operations.py:74-79), so here the expired hit
+    is removed from the returned state instead of being touched.
+
+    Narrow transform — no shuffle: a predicated column rewrite + filter.
     """
     hit = F.col("key") == key
+    expired_now = F.col("expires_at").isNotNull() & (F.col("expires_at") <= now)
     sliding = hit & (F.col("expiration_policy") == "sliding") & F.col("ttl_seconds").isNotNull() & (F.col("ttl_seconds") > 0)
     return (
-        memories.withColumn("access_count", F.when(hit, F.col("access_count") + 1).otherwise(F.col("access_count")))
+        memories.where(~(hit & expired_now))
+        .withColumn("access_count", F.when(hit, F.col("access_count") + 1).otherwise(F.col("access_count")))
         .withColumn("last_accessed_at", F.when(hit, now).otherwise(F.col("last_accessed_at")))
         .withColumn(
             "expires_at",
@@ -186,28 +193,61 @@ def apply_access_log(
 
     The reference mutates a row on every read (models/memory.py:85-94), which
     couples reads to writes. At scale, reads land in an append-only
-    access_log(key, ts) and the current state is recomputed in one pass:
-    one map-side-combinable agg over the log + one keyed join — instead of
-    per-read row rewrites. Sliding-policy rows recompute expires_at from the
-    latest access; other policies keep theirs (only last_accessed_at /
-    access_count advance).
+    access_log(key, ts) and the current state is recomputed in one pass over
+    the log — instead of per-read row rewrites.
+
+    Replay semantics match the reference's get() exactly
+    (reference memory/manager/operations.py:66-86), in access-ts order:
+
+    - an access before the row's created_at is a miss (row not yet stored) —
+      no effect;
+    - an access that finds the row live touches it: access_count+1,
+      last_accessed=ts, and sliding policy slides expires_at to ts+ttl;
+    - an access that finds the row EXPIRED deletes it (delete-and-raise);
+      the row never revives, and every later access is a miss.
+
+    All JVM-side: the per-key ordered fold reduces to lag() + a running
+    min() window over the joined log — liveness of access i depends only on
+    the previous access ts and the policy, so no iterative/UDF state is
+    needed. One shuffle on key for the window + one keyed join.
     """
-    touches = access_log.groupBy(F.col(key_col).alias("key")).agg(
-        F.max(ts_col).alias("_last_ts"), F.count("*").alias("_n_touch")
+    acc = access_log.select(F.col(key_col).alias("key"), F.col(ts_col).alias("_ats"))
+    meta = memories.select(
+        "key",
+        F.col("created_at").alias("_c0"),
+        F.col("expires_at").alias("_e0"),
+        F.col("expiration_policy").alias("_pol"),
+        F.col("ttl_seconds").alias("_ttl"),
     )
-    joined = memories.join(touches, "key", "left")
-    touched = F.col("_last_ts").isNotNull()
-    new_last = F.greatest(F.coalesce(F.col("last_accessed_at"), F.col("_last_ts")), F.col("_last_ts"))
-    sliding = (
-        touched
-        & (F.col("expiration_policy") == "sliding")
-        & F.col("ttl_seconds").isNotNull()
-        & (F.col("ttl_seconds") > 0)
+    j = acc.join(meta, "key").where(F.col("_ats") >= F.col("_c0"))
+    w = Window.partitionBy("key").orderBy("_ats")
+    sliding_row = (F.col("_pol") == "sliding") & F.col("_ttl").isNotNull() & (F.col("_ttl") > 0)
+    prev_ts = F.lag("_ats").over(w)
+    # expiry boundary the i-th access is checked against: sliding rows use
+    # the previous access (+ttl) once one exists, else the snapshot expiry
+    boundary = F.when(
+        sliding_row & prev_ts.isNotNull(),
+        F.timestamp_add("SECOND", F.col("_ttl").cast("long"), prev_ts),
+    ).otherwise(F.col("_e0"))
+    flagged = j.withColumn("_ok", (boundary.isNull() | (F.col("_ats") < boundary)).cast("int"))
+    # running min: 1 while the row is still alive at this access, 0 after death
+    flagged = flagged.withColumn(
+        "_cum", F.min("_ok").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+    per_key = flagged.groupBy("key").agg(
+        F.sum("_cum").alias("_n_alive"),
+        F.max(F.when(F.col("_cum") == 1, F.col("_ats"))).alias("_last_alive"),
+        F.min("_ok").alias("_all_ok"),  # 0 ⇒ some access hit an expired row ⇒ deleted
+    )
+    joined = memories.join(per_key, "key", "left")
+    touched = F.col("_n_alive").isNotNull() & (F.col("_n_alive") > 0)
+    new_last = F.greatest(F.coalesce(F.col("last_accessed_at"), F.col("_last_alive")), F.col("_last_alive"))
+    slide = touched & (F.col("expiration_policy") == "sliding") & F.col("ttl_seconds").isNotNull() & (F.col("ttl_seconds") > 0)
     return (
-        joined.withColumn(
+        joined.where(F.col("_all_ok").isNull() | (F.col("_all_ok") == 1))
+        .withColumn(
             "access_count",
-            F.when(touched, F.col("access_count") + F.col("_n_touch").cast("int")).otherwise(
+            F.when(touched, F.col("access_count") + F.col("_n_alive").cast("int")).otherwise(
                 F.col("access_count")
             ),
         )
@@ -215,10 +255,10 @@ def apply_access_log(
         .withColumn(
             "expires_at",
             F.when(
-                sliding, F.timestamp_add("SECOND", F.col("ttl_seconds").cast("long"), new_last)
+                slide, F.timestamp_add("SECOND", F.col("ttl_seconds").cast("long"), new_last)
             ).otherwise(F.col("expires_at")),
         )
-        .drop("_last_ts", "_n_touch")
+        .drop("_n_alive", "_last_alive", "_all_ok")
     )
 
 

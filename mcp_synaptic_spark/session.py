@@ -13,6 +13,34 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """70% of available RAM, capped at 40g, floored at 2g.
+
+    Reads the cgroup-v2 limit when present (container RAM < host RAM),
+    falling back to /proc/meminfo; any read failure falls back to 8g.
+    """
+    limit_bytes = None
+    try:
+        raw = open("/sys/fs/cgroup/memory.max").read().strip()
+        if raw != "max":
+            limit_bytes = int(raw)
+    except OSError:
+        pass
+    if limit_bytes is None:
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemTotal:"):
+                        limit_bytes = int(line.split()[1]) * 1024
+                        break
+        except OSError:
+            return "8g"
+    if limit_bytes is None:
+        return "8g"
+    gib = int(limit_bytes * 0.7 / (1 << 30))
+    return f"{min(40, max(2, gib))}g"
+
+
 def get_spark(app_name: str = "mcp-synaptic-spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) the session.
 
@@ -51,9 +79,10 @@ def get_spark(app_name: str = "mcp-synaptic-spark", shuffle_partitions: int | No
         # undersized heap turns long sessions into GC storms that surface as
         # multi-second stalls on allocation-heavy (Arrow/Python) stages — an
         # 8g heap with 32 task threads reproduced 5-25 s first-mapInPandas
-        # pauses in aged sessions. On a real cluster this maps to ordinary
-        # per-executor memory sizing.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "40g"))
+        # pauses in aged sessions. Sized from the host (70% of RAM, capped at
+        # 40g, floored at 2g) so a smaller container fails soft instead of
+        # growing into the cgroup OOM killer; SPARK_DRIVER_MEMORY overrides.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

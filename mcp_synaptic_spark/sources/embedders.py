@@ -80,12 +80,17 @@ def api_embedder(
     api_key_env: str = "EMBEDDING_API_KEY",
     max_retries: int = 3,
     backoff_seconds: float = 1.0,
+    transport=None,
 ) -> DataFrame:
     """HTTP embedding provider: one POST per Arrow batch, retry w/ backoff.
 
     Each partition opens its own session; batching rides on Arrow batch size
     (spark.sql.execution.arrow.maxRecordsPerBatch), the same knob that bounds
     request payloads. Requires network + urllib only (stdlib).
+
+    ``transport`` is an urlopen-compatible callable (pickled to executors),
+    defaulting to urllib.request.urlopen — the injection seam that lets tests
+    exercise batch/retry/empty-guard behavior offline.
     """
     id_field = next(f for f in docs.schema.fields if f.name == id_col)
 
@@ -96,6 +101,7 @@ def api_embedder(
         import urllib.request
 
         key = os.environ.get(api_key_env, "")
+        opener = transport if transport is not None else urllib.request.urlopen
 
         def post(texts: list[str]) -> list[list[float]]:
             body = json.dumps({"model": model, "input": texts}).encode()
@@ -107,7 +113,7 @@ def api_embedder(
             last_err: Exception | None = None
             for attempt in range(max_retries):
                 try:
-                    with urllib.request.urlopen(req, timeout=60) as resp:
+                    with opener(req, timeout=60) as resp:
                         payload = json.loads(resp.read())
                     return [d["embedding"] for d in payload["data"]]
                 except Exception as e:  # noqa: BLE001 — retry any transport error

@@ -44,11 +44,6 @@ _REQUIRED_CONF = (
 )
 
 
-# Sessions already configured (by python wrapper id) — makes the per-load
-# conf check free instead of two JVM round-trips per table read.
-_CONF_APPLIED: set[int] = set()
-
-
 def ensure_session_conf(spark: SparkSession) -> None:
     """Pin the runtime conf the engine's reads depend on.
 
@@ -60,9 +55,12 @@ def ensure_session_conf(spark: SparkSession) -> None:
     session (the driver's correctness gate builds a vanilla one); callers
     sharing a session with other timestamp-sensitive work should isolate with
     ``spark.newSession()``.
+
+    Re-checked on every load (two cheap conf.get round-trips, ~µs next to a
+    parquet read): a memoized skip keyed on the session object is unsafe —
+    id() reuse after GC, and a caller mutating conf between loads would never
+    be re-pinned.
     """
-    if id(spark) in _CONF_APPLIED:
-        return
     for key, want in _REQUIRED_CONF:
         try:
             current = spark.conf.get(key, None)
@@ -70,7 +68,6 @@ def ensure_session_conf(spark: SparkSession) -> None:
             current = None
         if current != want:
             spark.conf.set(key, want)
-    _CONF_APPLIED.add(id(spark))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

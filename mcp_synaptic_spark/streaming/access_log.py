@@ -69,3 +69,103 @@ def touch_updates_stream(access_stream: DataFrame, *, key_col: str = "key", ts_c
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# full replay: the stateful twin of operators/memory.apply_access_log with the
+# reference's get() contract (reference memory/manager/operations.py:66-86) —
+# live access touches (sliding slides expiry), access on an expired row
+# deletes it, later accesses are misses.
+# ---------------------------------------------------------------------------
+
+REPLAY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("alive", T.BooleanType(), False),
+        T.StructField("n_alive", T.LongType(), False),
+        T.StructField("last_alive_at", T.TimestampType(), True),
+    ]
+)
+
+REPLAY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("alive", T.LongType(), True),
+        T.StructField("expiry_us", T.LongType(), True),  # None = no expiry
+        T.StructField("n", T.LongType(), True),
+        T.StructField("last_us", T.LongType(), True),
+    ]
+)
+
+
+def replay_access_stream(
+    access_with_meta: DataFrame,
+    *,
+    key_col: str = "key",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful replay of an access stream against memory-row metadata.
+
+    Input: the access stream ALREADY stream-static-joined to the memories
+    snapshot, carrying per-row columns (key, ts, expires_at, expiration_policy,
+    ttl_seconds) with pre-creation accesses filtered out (``ts >= created_at``)
+    — exactly the prologue operators/memory.apply_access_log uses.
+
+    Per-key state: (alive, current expiry µs, live-touch count, last live
+    access µs) — three scalars + a flag, keyed by the groupBy shuffle; RocksDB
+    state store scales the key count. Assumes per-key in-ts-order delivery
+    (each micro-batch is sorted here; cross-batch reordering needs a
+    watermark-delayed sort upstream, standard for event-time replays).
+    """
+
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            alive, expiry_us, n, last_us = state.get
+        else:
+            alive, expiry_us, n, last_us = 1, None, 0, None
+            seeded = False
+        seeded = state.exists
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            if not seeded and len(pdf):
+                row0 = pdf.iloc[0]
+                e0 = row0["expires_at"]
+                expiry_us = None if pd.isna(e0) else int(pd.Timestamp(e0).value // 1000)
+                seeded = True
+            for row in pdf.itertuples(index=False):
+                if not alive:
+                    break
+                ts_us = int(pd.Timestamp(getattr(row, ts_col)).value // 1000)
+                if expiry_us is None or ts_us < expiry_us:
+                    n += 1
+                    last_us = ts_us
+                    ttl = getattr(row, "ttl_seconds")
+                    if (
+                        getattr(row, "expiration_policy") == "sliding"
+                        and ttl is not None
+                        and not pd.isna(ttl)
+                        and ttl > 0
+                    ):
+                        expiry_us = ts_us + int(ttl) * 1_000_000
+                else:
+                    alive = 0  # reference: delete-and-raise; never revives
+        state.update((alive, expiry_us, n, last_us))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "alive": [bool(alive)],
+                "n_alive": [n],
+                "last_alive_at": [pd.Timestamp(last_us * 1000) if last_us is not None else None],
+            }
+        )
+
+    return (
+        access_with_meta.select(key_col, ts_col, "expires_at", "expiration_policy", "ttl_seconds")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=REPLAY_OUTPUT_SCHEMA,
+            stateStructType=REPLAY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -74,3 +74,35 @@ def sweep_once(spark: SparkSession, state_dir: str, events_dir: str, now: dateti
         survivors.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
     return n
+
+
+def emit_document_added(
+    prev_docs: DataFrame,
+    curr_docs: DataFrame,
+    events_dir: str,
+    *,
+    id_col: str = "doc_id",
+    now: datetime | None = None,
+) -> int:
+    """Append ``document_added`` change events for docs present in curr but
+    not prev — the doc-side half of the reference's SSE feed
+    (reference README.md:196-205: memory_expired AND document_added).
+
+    An anti-join snapshot diff: at scale both sides are parquet/Delta scans
+    and the anti join broadcasts or shuffles on the id only (ids projected
+    before the join, payloads never move). Returns the event count.
+    """
+    now = now or datetime.now(timezone.utc)
+    now_col = F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S")))
+    added = curr_docs.select(F.col(id_col)).join(
+        prev_docs.select(F.col(id_col)), id_col, "left_anti"
+    )
+    events = added.select(
+        F.lit("document_added").alias("event_type"),
+        F.col(id_col).cast("string").alias("key"),
+        now_col.alias("ts"),
+    )
+    n = events.count()
+    if n:
+        events.write.mode("append").parquet(events_dir)
+    return n

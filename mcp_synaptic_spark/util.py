@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import os
+import threading
+import urllib.parse
 
 from pyspark.sql import DataFrame
 
@@ -52,8 +54,11 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
             if not f.startswith("file:"):
                 small = False  # non-local storage ⇒ assume cluster-scale input
                 break
+            # inputFiles() returns percent-encoded URIs (spaces → %20);
+            # unquote before stat or such paths would read as "large" forever
+            path = urllib.parse.unquote(f[len("file:") :])
             try:
-                total += os.path.getsize(f[len("file:") :])
+                total += os.path.getsize(path)
             except OSError:
                 small = False
                 break
@@ -72,12 +77,21 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SCOPED: list[DataFrame] = []
+_SCOPED_LOCK = threading.Lock()
 
 
 def release_scoped_caches() -> None:
-    """Unpersist every cache registered by a previous operator call."""
-    while _SCOPED:
-        df = _SCOPED.pop()
+    """Unpersist every cache registered by a previous operator call.
+
+    Lock-guarded: concurrent operator calls must not pop each other's list
+    mid-mutation. Unpersisting a frame another thread still computes on is
+    safe for correctness (Spark recomputes lineage) but defeats the cache —
+    callers running operators concurrently should serialize them or accept
+    the recompute.
+    """
+    with _SCOPED_LOCK:
+        drained, _SCOPED[:] = _SCOPED[:], []
+    for df in drained:
         try:
             df.unpersist()
         except Exception:
@@ -87,5 +101,6 @@ def release_scoped_caches() -> None:
 def scoped_cache(df: DataFrame) -> DataFrame:
     """cache() a frame and register it for release by the next operator."""
     df = df.cache()
-    _SCOPED.append(df)
+    with _SCOPED_LOCK:
+        _SCOPED.append(df)
     return df

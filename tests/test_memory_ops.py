@@ -120,3 +120,77 @@ def test_memory_exists_respects_expiry(spark):
     state = _mk(spark, [_row("dead", expires="2024-01-14 00:00:00"), _row("live", expires="2024-01-16 00:00:00")])
     assert M.memory_exists(state, "live", _now()).count() == 1
     assert M.memory_exists(state, "dead", _now()).count() == 0  # expired ⇒ treated as absent
+
+
+def test_touch_on_expired_deletes_not_revives(spark):
+    """Reference get-on-expired contract (operations.py:74-79): a touch on an
+    expired row deletes it; sliding TTL must NOT resurrect it."""
+    state = _mk(
+        spark,
+        [
+            _row("dead-s", policy="sliding", ttl=600, expires="2024-01-14 00:10:00", access=3),
+            _row("dead-a", policy="absolute", ttl=600, expires="2024-01-14 00:10:00", access=3),
+            _row("live", policy="sliding", ttl=600, expires="2024-01-16 00:00:00", access=3),
+        ],
+    )
+    # touching the expired keys removes them
+    out = M.memory_touch(state, "dead-s", _now())
+    assert sorted(r.key for r in out.collect()) == ["dead-a", "live"]
+    out2 = M.memory_touch(out, "dead-a", _now())
+    assert sorted(r.key for r in out2.collect()) == ["live"]
+    # and the live row still touches normally afterwards
+    out3 = M.memory_touch(out2, "live", _now())
+    r = out3.first()
+    assert r.access_count == 4 and r.expires_at == datetime.fromisoformat("2024-01-15 00:10:00")
+
+
+def test_apply_access_log_replay_semantics(spark):
+    """Ordered replay per reference get() (operations.py:66-86):
+    pre-creation accesses are misses; live accesses touch and slide; an
+    access on an expired row deletes it; later accesses are misses."""
+    state = _mk(
+        spark,
+        [
+            # sliding, ttl 10 min, initial expiry 01:00
+            _row("chain", policy="sliding", ttl=600, created="2024-01-14 00:00:00",
+                 expires="2024-01-14 01:00:00", access=10),
+            # sliding with a gap > ttl: second access finds it expired -> deleted
+            _row("gapped", policy="sliding", ttl=600, created="2024-01-14 00:00:00",
+                 expires="2024-01-14 01:00:00", access=10),
+            # absolute: touches before expiry count, the one after kills it
+            _row("fixed", policy="absolute", ttl=600, created="2024-01-14 00:00:00",
+                 expires="2024-01-14 01:00:00", access=10),
+            # untouched control
+            _row("quiet", policy="absolute", created="2024-01-14 00:00:00",
+                 expires="2024-01-16 00:00:00", access=10),
+        ],
+    )
+    def t(s):
+        return datetime.fromisoformat(s)
+    log = spark.createDataFrame(
+        [
+            # before creation: ignored
+            ("chain", t("2024-01-13 23:00:00")),
+            # chain: each access within ttl of the previous -> all live
+            ("chain", t("2024-01-14 00:50:00")),
+            ("chain", t("2024-01-14 00:55:00")),
+            ("chain", t("2024-01-14 01:04:00")),  # within 00:55+10m -> live (slid)
+            # gapped: first access live, second 30 min later -> expired -> delete
+            ("gapped", t("2024-01-14 00:30:00")),
+            ("gapped", t("2024-01-14 01:10:00")),
+            ("gapped", t("2024-01-14 01:11:00")),  # miss on deleted row
+            # fixed: two live touches then one past 01:00 -> delete
+            ("fixed", t("2024-01-14 00:10:00")),
+            ("fixed", t("2024-01-14 00:20:00")),
+            ("fixed", t("2024-01-14 02:00:00")),
+        ],
+        "key string, ts timestamp",
+    )
+    out = {r.key: r for r in M.apply_access_log(state, log).collect()}
+    assert sorted(out) == ["chain", "quiet"]  # gapped + fixed deleted
+    chain = out["chain"]
+    assert chain.access_count == 13  # 10 + 3 live touches (pre-creation ignored)
+    assert chain.last_accessed_at == t("2024-01-14 01:04:00")
+    assert chain.expires_at == t("2024-01-14 01:14:00")  # last live + ttl
+    quiet = out["quiet"]
+    assert quiet.access_count == 10 and quiet.expires_at == t("2024-01-16 00:00:00")

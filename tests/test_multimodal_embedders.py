@@ -71,3 +71,78 @@ def test_hash_embedder_feeds_search(spark):
     out = R.rag_search(emb, qv, threshold=0.0, limit=3).collect()
     assert [r.id for r in out[:2]] == [1, 2]  # identical text ties at score 1.0
     assert out[0].score == 1.0 and out[1].score == 1.0
+
+
+def _fake_transport(fail_times=0):
+    """urlopen-compatible canned OpenAI-style responder; fails the first
+    `fail_times` calls with a transport error to exercise retry/backoff.
+    A closure (not a module-level class) so cloudpickle ships it by VALUE to
+    executor workers, which cannot import the tests package. Per-process
+    state — tests pin the data to one partition."""
+    state = {"calls": 0}
+
+    def opener(req, timeout=None):
+        import json
+
+        state["calls"] += 1
+        if state["calls"] <= fail_times:
+            raise OSError("transient connection error")
+        texts = json.loads(req.data)["input"]
+        payload = json.dumps(
+            {"data": [{"embedding": [float(len(t)), 1.0]} for t in texts]}
+        ).encode()
+
+        class _Resp:
+            def read(self):
+                return payload
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        return _Resp()
+
+    return opener
+
+
+def test_api_embedder_offline_batch_and_empty_guard(spark):
+    """S10 seam exercised offline: one POST per batch, empty texts skip the
+    API (F8 -> NULL vector), response order maps back onto the batch."""
+    from mcp_synaptic_spark.sources.embedders import api_embedder
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "worldly"), (4, "   ")],
+        "doc_id long, text string",
+    ).repartition(1)
+    out = {
+        r.doc_id: r.embedding
+        for r in api_embedder(docs, transport=_fake_transport(), backoff_seconds=0.0).collect()
+    }
+    assert out[1] == [5.0, 1.0]
+    assert out[2] is None and out[4] is None  # empty-text guard: no API call
+    assert out[3] == [7.0, 1.0]
+
+
+def test_api_embedder_retries_then_succeeds(spark):
+    from mcp_synaptic_spark.sources.embedders import api_embedder
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string").repartition(1)
+    out = api_embedder(
+        docs, transport=_fake_transport(fail_times=2), max_retries=3, backoff_seconds=0.0
+    ).collect()
+    assert out[0].embedding == [3.0, 1.0]
+
+
+def test_api_embedder_exhausted_retries_fail(spark):
+    import pytest as _pytest
+
+    from mcp_synaptic_spark.sources.embedders import api_embedder
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string").repartition(1)
+    bad = api_embedder(
+        docs, transport=_fake_transport(fail_times=99), max_retries=2, backoff_seconds=0.0
+    )
+    with _pytest.raises(Exception, match="failed after 2 retries"):
+        bad.collect()

@@ -163,19 +163,95 @@ def test_apply_access_log_batch_semantics(spark):
     )
     log = spark.createDataFrame(
         [
-            ("a", datetime.fromisoformat("2024-01-01 01:00:00")),
-            ("a", datetime.fromisoformat("2024-01-01 02:00:00")),
+            # each access lands before the (slid) expiry -> a live chain
+            ("a", datetime.fromisoformat("2024-01-01 00:02:00")),
+            ("a", datetime.fromisoformat("2024-01-01 00:06:00")),
+            ("a", datetime.fromisoformat("2024-01-01 00:10:00")),
             ("b", datetime.fromisoformat("2024-01-01 03:00:00")),
         ],
         "key string, ts timestamp",
     )
     out = {r.key: r for r in apply_access_log(mem, log).collect()}
-    # sliding: expires_at = latest access + ttl
-    assert out["a"].access_count == 3
-    assert out["a"].last_accessed_at == datetime.fromisoformat("2024-01-01 02:00:00")
-    assert out["a"].expires_at == datetime.fromisoformat("2024-01-01 02:05:00")
+    # sliding: expires_at = latest live access + ttl
+    assert out["a"].access_count == 4
+    assert out["a"].last_accessed_at == datetime.fromisoformat("2024-01-01 00:10:00")
+    assert out["a"].expires_at == datetime.fromisoformat("2024-01-01 00:15:00")
     # absolute: only last_accessed/count advance, expires_at untouched
     assert out["b"].access_count == 1
     assert out["b"].expires_at == datetime.fromisoformat("2024-01-08 00:00:00")
     # untouched key: unchanged
     assert out["c"].access_count == 0 and out["c"].expires_at is None
+
+
+def test_document_added_feed(spark, tmp_path):
+    """S12 doc-side change feed (reference README.md:196-205): snapshot diff
+    emits one document_added event per new doc id."""
+    from mcp_synaptic_spark.streaming.expiry import emit_document_added
+
+    events_dir = str(tmp_path / "doc_events")
+    prev = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    curr = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id long, text string")
+    n = emit_document_added(prev, curr, events_dir, now=datetime.fromisoformat("2024-01-15 00:00:00"))
+    assert n == 2
+    ev = spark.read.parquet(events_dir).collect()
+    assert sorted((r.event_type, r.key) for r in ev) == [
+        ("document_added", "3"),
+        ("document_added", "4"),
+    ]
+    # idempotent when nothing changed
+    assert emit_document_added(curr, curr, events_dir) == 0
+
+
+def test_replay_access_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Stateful replay twin ≡ batch apply_access_log on the per-key
+    (alive, n_alive, last_alive) projection."""
+    from mcp_synaptic_spark.operators import memory as M
+    from mcp_synaptic_spark.sources.memories import memories_from_events
+    from mcp_synaptic_spark.streaming.access_log import replay_access_stream
+
+    batch_events = load_table(spark, sf_dir, "events")
+    mem = memories_from_events(batch_events)
+    access = batch_events.select(
+        F.concat(F.lit("mem-"), (F.col("event_id") % 50).cast("string")).alias("key"),
+        F.col("ts"),
+    )
+    meta = mem.select(
+        "key", "created_at", "expires_at", "expiration_policy", "ttl_seconds"
+    )
+    joined = access.join(meta, "key").where(F.col("ts") >= F.col("created_at"))
+    src = str(tmp_path / "replay_src")
+    joined.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(joined.schema).parquet(src)
+    q = (
+        replay_access_stream(stream)
+        .writeStream.format("memory")
+        .queryName("replay_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got_rows = spark.sql(
+        "SELECT key, alive, n_alive, last_alive_at FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY key ORDER BY n_alive DESC) AS rn"
+        "  FROM replay_test) WHERE rn = 1"
+    ).collect()
+    got = {r.key: (r.alive, r.n_alive, r.last_alive_at) for r in got_rows}
+
+    # batch twin: survivors of apply_access_log carry the same counts
+    out = M.apply_access_log(mem, access)
+    batch_rows = {r.key: r for r in out.where(F.col("key").isin(list(got))).collect()}
+    base = {r.key: r.access_count for r in mem.where(F.col("key").isin(list(got))).collect()}
+    checked = 0
+    for key, (alive, n_alive, _last) in got.items():
+        if key not in base:
+            continue  # access key with no memory row
+        if alive:
+            assert key in batch_rows, key
+            assert batch_rows[key].access_count == base[key] + n_alive, key
+        else:
+            assert key not in batch_rows, key  # deleted by replay in both
+        checked += 1
+    assert checked > 0
