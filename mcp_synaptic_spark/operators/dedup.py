@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles_from_tokens, whitespace_tokens
-from ..functions.vector import as_double, dot_fixed, norm_fixed, probe_dim
+from ..functions.vector import as_double, dot_fixed, norm, probe_dim
 from ..util import ensure_parallelism as _ensure_parallelism
 from ..util import release_scoped_caches as _release_stale
 from ..util import scoped_cache as _scoped_cache
@@ -267,10 +267,13 @@ def simhash_pairs(
     """
     n_blocks = max_hamming + 1
     _release_stale()
-    sig = simhash_signatures(docs, content_col=content_col, id_col=id_col, bits=bits)
-    # candidate generation + verify are CPU-light but the signature frame is
-    # tiny — spread it so the verify join parallelizes.
-    sig = _scoped_cache(sig.repartition(docs.sparkSession.sparkContext.defaultParallelism))
+    # repartition the raw docs BEFORE computing signatures: the tokenize+hash
+    # projection is the expensive part, and with the repartition on top of it
+    # a one-file table would compute every signature on a single task.
+    sig = simhash_signatures(
+        _ensure_parallelism(docs), content_col=content_col, id_col=id_col, bits=bits
+    )
+    sig = _scoped_cache(sig)
 
     widths = [bits // n_blocks] * n_blocks
     widths[-1] += bits % n_blocks
@@ -321,13 +324,21 @@ def embedding_near_dup_pairs(
     """
     if dim is None:
         dim = probe_dim(embeddings, vec_col)
-    base = embeddings.select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("nrm", norm_fixed(F.col("v"), dim))
+    # v stays the RAW storage array: dot_fixed casts each element itself, and
+    # wrapping in as_double() here would let projection collapse inline the
+    # transform into every getItem (the dot_fixed docstring pitfall — measured
+    # 3.4s vs 0.4s on the nrm projection alone). The row norm is the HOF fold:
+    # same sequential fp64 order (bit-identical), no unrolled-expression
+    # compile cost on the N-row side.
     # The pairwise stage is CPU-bound, so parallelism must come from cores,
     # not input splits — a small corpus read as one parquet file would
-    # otherwise run the whole N² pass on a single task.
-    base = _ensure_parallelism(base)
+    # otherwise run the whole N² pass on a single task. Repartition the raw
+    # input BEFORE projecting so the per-row norm also runs post-exchange.
+    base = _ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(as_double(F.col(vec_col))).alias("nrm"),
+    )
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(0.0)).otherwise(
@@ -368,25 +379,31 @@ def embedding_near_dup_pairs_lsh(
     if dim is None:
         dim = probe_dim(embeddings, vec_col)
     _release_stale()
-    base = _scoped_cache(
-        _ensure_parallelism(
-            embeddings.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-            .withColumn("nrm", norm_fixed(F.col("v"), dim))
-        )
-    )
-
-    tables = F.array(
+    # Raw float array + HOF norm for the same reasons as the exact path
+    # (see embedding_near_dup_pairs): dot_fixed casts per element, and the
+    # cached rows are half the size of a pre-cast double array. The L bucket
+    # ids are folded INTO the cached row: the bucket self-join reads them on
+    # both sides, and without the materialization barrier each side would
+    # re-run all L·k interpreted plane-dot folds per row.
+    bucket_arr = F.array(
         *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_bucket(F.col("v"), _hyperplanes(dim, n_planes, seed + t)).alias("bucket"),
-            )
+            hyperplane_bucket(F.col(vec_col), _hyperplanes(dim, n_planes, seed + t))
             for t in range(n_tables)
         ]
     )
-    buckets = base.select("id", F.explode(tables).alias("tb")).select(
-        "id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    # repartition the RAW input, then project: Repartition(Project(...))
+    # would evaluate the norm + L·k plane dots on the (often single) input
+    # split before the exchange — single-threaded for a one-file table.
+    base = _scoped_cache(
+        _ensure_parallelism(embeddings).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(as_double(F.col(vec_col))).alias("nrm"),
+            bucket_arr.alias("bks"),
+        )
     )
+
+    buckets = base.select("id", F.posexplode("bks").alias("tbl", "bucket"))
     left = buckets.select("tbl", "bucket", F.col("id").alias("id_a"))
     right = buckets.select("tbl", "bucket", F.col("id").alias("id_b"))
     candidates = (
