@@ -1237,6 +1237,26 @@ SELECT (SELECT count(*) FROM documents WHERE doc_id != 3) AS n_docs_after,
 """
 
 
+def _q_doc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 — document_added change feed (reference README.md:196-205): diff
+    an older snapshot (docs with doc_id % 7 != 0) against the current table
+    via streaming/expiry.document_added_events — an id-projected anti join;
+    one event row per newly-added doc."""
+    from mcp_synaptic_spark.streaming.expiry import document_added_events
+
+    docs = _t(spark, sf_dir, "documents")
+    prev = docs.where(F.col("doc_id") % 7 != 0)
+    return document_added_events(prev, docs, now_col=now_col())
+
+
+_ORACLE_DOC_CHANGE_FEED = f"""
+SELECT 'document_added' AS event_type,
+       CAST(doc_id AS VARCHAR) AS key,
+       {NOW_SQL} AS ts
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # ANN tiers + embedding provider + multimodal plumbing — rows-only checks
 # (approximate / non-SQL-expressible; exact twins live in batch_topk etc.)
@@ -1922,14 +1942,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_exists": _q_memory_exists,
         "memory_update": _q_memory_update,
         "memory_access_replay": _q_memory_access_replay,
-        # F4 filters + X4 time utility
-        "filter_tags_created": _q_filter_tags_created,
+        # X4 time utility
         "time_until_expiry": _q_time_until_expiry,
         # document CRUD (Q9–Q12, S7–S9, P1, J2) + provider (Q20) + stats (Q14)
         "doc_add": _q_doc_add,
         "doc_get": _q_doc_get,
         "doc_update": _q_doc_update,
         "doc_delete": _q_doc_delete,
+        "doc_change_feed": _q_doc_change_feed,
         "embed_texts": _q_embed_texts,
         "doc_stats": _q_doc_stats,
         # relational suite (joins, semi/anti, multi-agg, top-k, windows, JSON)
@@ -1960,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail: every entry below has green rows in BOTH CORRECTNESS_r02 and
         # r03 (except the two rows-only-by-design approximate checks)
         "pairwise_similarity": _q_pairwise_similarity,
+        "filter_tags_created": _q_filter_tags_created,
         "memory_report": _q_memory_report,
         "ts_parse_multi": _q_ts_parse_multi,
         "frame_sample": _q_frame_sample,
@@ -2006,6 +2027,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_get": _ORACLE_DOC_GET,
         "doc_update": _ORACLE_DOC_UPDATE,
         "doc_delete": _ORACLE_DOC_DELETE,
+        "doc_change_feed": _ORACLE_DOC_CHANGE_FEED,
         "embed_texts": _ORACLE_EMBED_TEXTS,
         "frame_sample": _ORACLE_FRAME_SAMPLE,
         "doc_stats": _ORACLE_DOC_STATS,

@@ -76,6 +76,33 @@ def sweep_once(spark: SparkSession, state_dir: str, events_dir: str, now: dateti
     return n
 
 
+def document_added_events(
+    prev_docs: DataFrame,
+    curr_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    now_col=None,
+) -> DataFrame:
+    """``document_added`` change events for docs present in curr but not prev
+    — the doc-side half of the reference's SSE feed
+    (reference README.md:196-205: memory_expired AND document_added).
+
+    An anti-join snapshot diff: at scale both sides are parquet/Delta scans
+    and the anti join broadcasts or shuffles on the id only (ids projected
+    before the join, payloads never move).
+    """
+    added = curr_docs.select(F.col(id_col)).join(
+        prev_docs.select(F.col(id_col)), id_col, "left_anti"
+    )
+    cols = [
+        F.lit("document_added").alias("event_type"),
+        F.col(id_col).cast("string").alias("key"),
+    ]
+    if now_col is not None:
+        cols.append(now_col.alias("ts"))
+    return added.select(*cols)
+
+
 def emit_document_added(
     prev_docs: DataFrame,
     curr_docs: DataFrame,
@@ -84,24 +111,11 @@ def emit_document_added(
     id_col: str = "doc_id",
     now: datetime | None = None,
 ) -> int:
-    """Append ``document_added`` change events for docs present in curr but
-    not prev — the doc-side half of the reference's SSE feed
-    (reference README.md:196-205: memory_expired AND document_added).
-
-    An anti-join snapshot diff: at scale both sides are parquet/Delta scans
-    and the anti join broadcasts or shuffles on the id only (ids projected
-    before the join, payloads never move). Returns the event count.
-    """
+    """Append ``document_added`` events to the change-feed sink; returns the
+    event count. The diff itself is document_added_events (pure)."""
     now = now or datetime.now(timezone.utc)
     now_col = F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S")))
-    added = curr_docs.select(F.col(id_col)).join(
-        prev_docs.select(F.col(id_col)), id_col, "left_anti"
-    )
-    events = added.select(
-        F.lit("document_added").alias("event_type"),
-        F.col(id_col).cast("string").alias("key"),
-        now_col.alias("ts"),
-    )
+    events = document_added_events(prev_docs, curr_docs, id_col=id_col, now_col=now_col)
     n = events.count()
     if n:
         events.write.mode("append").parquet(events_dir)
