@@ -11,6 +11,11 @@ Providers:
   retry/backoff (the reference batches + retries too: rag/embeddings/
   api.py:89-118, utils/async_utils.py:38-56). Network calls are gated — the
   transform builds lazily and never fires in tests.
+- local_embedder: sentence-transformers model per executor
+  (reference rag/embeddings/local.py:86-97). The library is imported lazily
+  INSIDE the partition function — the container lacks it, so the plan builds
+  everywhere, execution needs the optional dependency (loader injectable for
+  offline tests).
 
 Empty-text guard (F8, reference rag/embeddings/base.py:50-56): blank texts
 are refused — here they yield NULL vectors, filterable upstream with
@@ -129,3 +134,61 @@ def api_embedder(
             yield pd.DataFrame({id_col: pdf[id_col], "embedding": out})
 
     return docs.mapInPandas(run, schema=_embed_schema(id_field))
+
+
+def local_embedder(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    model_name: str = "all-MiniLM-L6-v2",
+    batch_size: int = 32,
+    loader=None,
+) -> DataFrame:
+    """Local sentence-transformers provider (reference rag/embeddings/
+    local.py:86-97: SentenceTransformer(model).encode(texts) off-thread).
+
+    Spark shape: one model instance PER EXECUTOR PYTHON WORKER, loaded
+    lazily inside mapInPandas on first batch and reused for every later
+    batch of that worker (the reference's single resident model, times the
+    cluster's workers). Arrow batches are re-chunked to ``batch_size`` for
+    the encode call, matching the reference's LOCAL_EMBEDDING_BATCH_SIZE.
+
+    ``loader`` is an injectable ``model_name -> model`` factory (pickled to
+    executors); the default imports sentence_transformers lazily so the plan
+    builds without the optional dependency — execution raises ImportError
+    with install guidance only when a partition actually runs.
+    """
+    id_field = next(f for f in docs.schema.fields if f.name == id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = None
+
+        def get_model():
+            nonlocal model
+            if model is None:
+                if loader is not None:
+                    model = loader(model_name)
+                else:
+                    try:
+                        from sentence_transformers import SentenceTransformer
+                    except ImportError as e:  # optional dependency
+                        raise ImportError(
+                            "local_embedder needs the optional sentence-transformers "
+                            "package on executors (pip install sentence-transformers)"
+                        ) from e
+                    model = SentenceTransformer(model_name)
+            return model
+
+        for pdf in batches:
+            texts = list(pdf[content_col])
+            nonempty = [t for t in texts if t and t.strip()]
+            vecs: list[list[float]] = []
+            for i in range(0, len(nonempty), batch_size):
+                encoded = get_model().encode(nonempty[i : i + batch_size])
+                vecs.extend([list(map(float, v)) for v in encoded])
+            it = iter(vecs)
+            out = [next(it) if (t and t.strip()) else None for t in texts]
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": out})
+
+    return ensure_parallelism(docs).mapInPandas(run, schema=_embed_schema(id_field))

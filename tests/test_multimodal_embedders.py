@@ -146,3 +146,58 @@ def test_api_embedder_exhausted_retries_fail(spark):
     )
     with _pytest.raises(Exception, match="failed after 2 retries"):
         bad.collect()
+
+
+def _fake_sentence_loader():
+    """Factory for a SentenceTransformer stand-in (len+first-byte features).
+    Returns a nested closure so cloudpickle ships it by VALUE — a module-level
+    function would be pickled by reference to this test module, which does
+    not exist on executor Python workers."""
+
+    def load(name):
+        class _FakeModel:
+            def encode(self, texts):
+                return [[float(len(t)), float(t.encode()[0] if t else 0)] for t in texts]
+
+        return _FakeModel()
+
+    return load
+
+
+def test_local_embedder_injected_loader_batches_and_empty_guard(spark):
+    """S11 seam offline: model loaded once per worker via the injectable
+    loader, encode called per batch_size chunk, empty texts -> NULL."""
+    from mcp_synaptic_spark.sources.embedders import local_embedder
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "hi"), (4, "worldly"), (5, "xyz")],
+        "doc_id long, text string",
+    ).repartition(1)
+    out = {
+        r.doc_id: r.embedding
+        for r in local_embedder(docs, batch_size=2, loader=_fake_sentence_loader()).collect()
+    }
+    assert out[1] == [5.0, float(ord("h"))]
+    assert out[2] is None  # F8 empty-text guard: never reaches the model
+    assert out[3] == [2.0, float(ord("h"))]
+    assert out[4] == [7.0, float(ord("w"))]
+    assert out[5] == [3.0, float(ord("x"))]
+
+
+def test_local_embedder_without_library_raises_importerror(spark):
+    """Default loader imports sentence_transformers lazily: absent in this
+    container, the plan still BUILDS; only execution raises ImportError."""
+    import pytest as _pytest
+
+    from mcp_synaptic_spark.sources.embedders import local_embedder
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string").repartition(1)
+    plan = local_embedder(docs)  # must not raise at plan time
+    try:
+        import sentence_transformers  # noqa: F401
+
+        _pytest.skip("sentence-transformers is installed here; seam untestable")
+    except ImportError:
+        pass
+    with _pytest.raises(Exception, match="sentence-transformers"):
+        plan.collect()
