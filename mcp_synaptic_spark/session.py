@@ -16,16 +16,21 @@ from pyspark.sql import SparkSession
 def _default_driver_memory() -> str:
     """70% of available RAM, capped at 40g, floored at 2g.
 
-    Reads the cgroup-v2 limit when present (container RAM < host RAM),
-    falling back to /proc/meminfo; any read failure falls back to 8g.
+    Reads the cgroup limit when present (container RAM < host RAM) — v2
+    memory.max first, then the v1 memory.limit_in_bytes — falling back to
+    /proc/meminfo. Any read OR parse failure falls back to the next source,
+    then to 8g: a malformed limit file must not crash session construction.
     """
     limit_bytes = None
-    try:
-        raw = open("/sys/fs/cgroup/memory.max").read().strip()
-        if raw != "max":
-            limit_bytes = int(raw)
-    except OSError:
-        pass
+    for path in ("/sys/fs/cgroup/memory.max", "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            raw = open(path).read().strip()
+            val = int(raw)
+        except (OSError, ValueError):
+            continue  # missing file (other cgroup version) or "max" (unlimited)
+        if val < (1 << 60):  # v1 reports ~2^63 when unlimited
+            limit_bytes = val
+            break
     if limit_bytes is None:
         try:
             with open("/proc/meminfo") as f:
@@ -33,7 +38,7 @@ def _default_driver_memory() -> str:
                     if line.startswith("MemTotal:"):
                         limit_bytes = int(line.split()[1]) * 1024
                         break
-        except OSError:
+        except (OSError, ValueError, IndexError):
             return "8g"
     if limit_bytes is None:
         return "8g"

@@ -76,11 +76,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the parquet; with nanosAsLong (session.py)
-        # it arrives as a LONG of nanos. Integer-div to micros (matching
-        # DuckDB's ns→µs truncation) — integer `div`, not `/`, because a
-        # double can't hold 1.7e18 exactly.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # ts precision depends on the testdata generation: TIMESTAMP(NANOS)
+        # arrives as a LONG of nanos under nanosAsLong (integer `div` to µs,
+        # matching DuckDB's ns→µs truncation — a double can't hold 1.7e18
+        # exactly); TIMESTAMP(MICROS) without tz arrives as TIMESTAMP_NTZ and
+        # is cast to the session-UTC instant type the engine uses throughout.
+        dt = dict(df.dtypes)["ts"]
+        if dt == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

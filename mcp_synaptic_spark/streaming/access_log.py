@@ -122,7 +122,6 @@ def replay_access_stream(
             alive, expiry_us, n, last_us = state.get
         else:
             alive, expiry_us, n, last_us = 1, None, 0, None
-            seeded = False
         seeded = state.exists
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)

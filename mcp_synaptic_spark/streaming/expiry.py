@@ -17,6 +17,7 @@ tick is one sweep.
 from __future__ import annotations
 
 import os
+import shutil
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,12 +53,50 @@ def run_expiry_sweep(
     )
 
 
+def _recover_state_dir(state_dir: str) -> None:
+    """Heal an interrupted publish (see _publish_state_dir) and clear litter.
+
+    Invariant at every crash point: at least one of state_dir / state_dir_next
+    holds a complete state snapshot. If state_dir is missing (crash between the
+    two renames), promote the fully-written _next; otherwise _next/_old are
+    stale leftovers and are removed.
+    """
+    nxt = state_dir.rstrip("/") + "_next"
+    old = state_dir.rstrip("/") + "_old"
+    if not os.path.isdir(state_dir) and os.path.isdir(nxt):
+        os.rename(nxt, state_dir)
+    shutil.rmtree(nxt, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _publish_state_dir(state_dir: str, next_dir: str) -> None:
+    """Atomically swap next_dir into place as state_dir (write-audit-publish).
+
+    Two POSIX renames: state→_old, _next→state. Each rename is atomic; a crash
+    between them leaves state_dir absent but _next complete, which
+    _recover_state_dir promotes on the next sweep. On a cluster the Delta
+    substitution (DELETE WHERE, transactional) replaces this whole dance —
+    documented in the module docstring; this is the plain-parquet local path.
+    """
+    old = state_dir.rstrip("/") + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(state_dir, old)
+    os.rename(next_dir, state_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def sweep_once(spark: SparkSession, state_dir: str, events_dir: str, now: datetime | None = None) -> int:
     """One expiry sweep: drop expired rows from the state table, append
     memory_expired events. Returns the number of rows expired (the
-    reference's cleanup return value, memory/manager/queries.py:32-44)."""
+    reference's cleanup return value, memory/manager/queries.py:32-44).
+
+    The expired set is computed ONCE (cached before count) so the count and
+    the event write don't re-run the expiry filter; the state rewrite is
+    write-audit-publish so a crash mid-sweep leaves a readable state dir.
+    """
     now = now or datetime.now(timezone.utc)
     now_col = F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S")))
+    _recover_state_dir(state_dir)
     state = spark.read.parquet(state_dir)
     survivors, expired = cleanup_expired(state, now_col)
 
@@ -65,14 +104,18 @@ def sweep_once(spark: SparkSession, state_dir: str, events_dir: str, now: dateti
         F.lit("memory_expired").alias("event_type"),
         F.col("key"),
         now_col.alias("ts"),
-    )
-    n = events.count()
-    if n:
-        events.write.mode("append").parquet(events_dir)
-        # rewrite state without the expired rows (Delta: DELETE WHERE instead)
-        tmp = state_dir.rstrip("/") + "_next"
-        survivors.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
+    ).persist()
+    try:
+        n = events.count()  # materializes the cache; the write below reuses it
+        if n:
+            events.write.mode("append").parquet(events_dir)
+            # rewrite state without the expired rows (Delta: DELETE WHERE instead)
+            nxt = state_dir.rstrip("/") + "_next"
+            survivors.write.mode("overwrite").parquet(nxt)
+            spark.read.parquet(nxt).count()  # audit: the snapshot is readable
+            _publish_state_dir(state_dir, nxt)
+    finally:
+        events.unpersist()
     return n
 
 
@@ -115,8 +158,11 @@ def emit_document_added(
     event count. The diff itself is document_added_events (pure)."""
     now = now or datetime.now(timezone.utc)
     now_col = F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S")))
-    events = document_added_events(prev_docs, curr_docs, id_col=id_col, now_col=now_col)
-    n = events.count()
-    if n:
-        events.write.mode("append").parquet(events_dir)
+    events = document_added_events(prev_docs, curr_docs, id_col=id_col, now_col=now_col).persist()
+    try:
+        n = events.count()  # materializes the cache; the write reuses it
+        if n:
+            events.write.mode("append").parquet(events_dir)
+    finally:
+        events.unpersist()
     return n

@@ -100,6 +100,47 @@ def test_expiry_sweep_once(spark, tmp_path):
 
     # idempotent second sweep: nothing left to expire, no new events
     assert expiry.sweep_once(spark, state_dir, events_dir, now=datetime.fromisoformat("2024-01-16 00:00:00")) == 0
+    # publish leaves no litter
+    assert not os.path.exists(state_dir + "_next") and not os.path.exists(state_dir + "_old")
+
+
+def test_expiry_sweep_crash_recovery(spark, tmp_path):
+    """A sweep killed between the two publish renames (state gone, _next
+    complete) must heal on the next sweep: _next is promoted, no rows lost."""
+    import shutil
+
+    state_dir = str(tmp_path / "memories")
+    events_dir = str(tmp_path / "expiry_events")
+    t0 = datetime.fromisoformat("2024-01-14 00:00:00")
+    rows = [
+        ("id-a", "a", "{}", "short_term", "absolute", t0, t0, None,
+         datetime.fromisoformat("2024-01-14 01:00:00"), 3600, 0, None, None),
+        ("id-b", "b", "{}", "permanent", "never", t0, t0, None, None, 0, 0, None, None),
+    ]
+    schema = (
+        "id string, key string, data string, memory_type string, expiration_policy string, "
+        "created_at timestamp, updated_at timestamp, last_accessed_at timestamp, "
+        "expires_at timestamp, ttl_seconds int, access_count int, "
+        "tags map<string,string>, metadata string"
+    )
+    spark.createDataFrame(rows, schema).write.parquet(state_dir)
+
+    # simulate the crash window: survivors fully written to _next, state
+    # renamed away to _old, process dies before the second rename
+    spark.read.parquet(state_dir).where("key = 'b'").write.parquet(state_dir + "_next")
+    os.rename(state_dir, state_dir + "_old")
+
+    n = expiry.sweep_once(spark, state_dir, events_dir, now=datetime.fromisoformat("2024-01-16 00:00:00"))
+    assert n == 0  # the promoted snapshot has no expired rows left
+    assert [r.key for r in spark.read.parquet(state_dir).collect()] == ["b"]
+    assert not os.path.exists(state_dir + "_next") and not os.path.exists(state_dir + "_old")
+
+    # stale litter (crash BEFORE the first rename: state intact, _next stale)
+    spark.read.parquet(state_dir).write.parquet(state_dir + "_next")
+    shutil.rmtree(events_dir, ignore_errors=True)
+    assert expiry.sweep_once(spark, state_dir, events_dir, now=datetime.fromisoformat("2024-01-17 00:00:00")) == 0
+    assert [r.key for r in spark.read.parquet(state_dir).collect()] == ["b"]
+    assert not os.path.exists(state_dir + "_next")
 
 
 def test_access_log_stream_equals_batch(spark, sf_dir, tmp_path):
