@@ -1329,12 +1329,55 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     (similarity.py:ivf_index_write). Idempotent across processes: a prior
     run's index on disk is reused, so the KMeans fit happens once per
     dataset, never per query — index construction is ETL, not a read-path
-    cost (VERDICT r1 #6)."""
+    cost (VERDICT r1 #6).
+
+    The cache key is the sf_dir path, but the ORACLE's centroid literals are
+    keyed by events-table row count (_SF_EVENT_COUNTS) — so a dataset mounted
+    at a non-committed path would rebuild a fresh index while the oracle still
+    compares against the committed fixture. _check_centroids_committed closes
+    that gap: when the dataset's events count matches a committed fixture, the
+    loaded centroids must BE that fixture (raise loudly, never silently
+    diverge); datasets with no committed fixture (ad-hoc slices) pass through
+    unchecked — their oracle branch fails loudly on its own (see
+    _mk_oracle_ann_ivf's empty-cent guard)."""
     from mcp_synaptic_spark.operators.similarity import ivf_index_load, ivf_index_write
 
     path = os.path.join(_IVF_CACHE_ROOT, sf_dir.strip("/").replace("/", "_"))
     ivf_index_write(_t(spark, sf_dir, "embeddings"), path, n_cells=16, id_col="vec_id")
-    return ivf_index_load(spark, path)
+    indexed, centroids = ivf_index_load(spark, path)
+    _check_centroids_committed(sf_dir, centroids)
+    return indexed, centroids
+
+
+def _check_centroids_committed(sf_dir: str, centroids) -> None:
+    """Raise if this dataset has a committed IVF fixture but the loaded
+    centroids differ from it (index rebuilt at a different mount path, or a
+    Spark/KMeans change altered the fit). JSON round-trips float64 exactly,
+    so the comparison is exact equality."""
+    import json as _json
+
+    try:
+        import pyarrow.parquet as _pq
+
+        n_events = _pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    except Exception:
+        return  # no events table (ad-hoc embedding slice): nothing to check
+    sf = next((s for s, n in _SF_EVENT_COUNTS.items() if n == n_events), None)
+    if sf is None:
+        return  # no committed fixture for this dataset
+    sidecar = os.path.join(_IVF_CACHE_ROOT, f"root_testdata_{sf}", "_centroids.json")
+    if not os.path.exists(sidecar):
+        return
+    with open(sidecar) as f:
+        committed = _json.load(f)
+    loaded = [[float(x) for x in c] for c in centroids]
+    if loaded != [[float(x) for x in c] for c in committed]:
+        raise RuntimeError(
+            f"IVF index loaded for {sf_dir} does not match the committed {sf} "
+            f"fixture its oracle will compare against ({sidecar}). The index "
+            "was likely rebuilt at a non-committed mount path; delete the "
+            "stale cache dir or re-commit the fixtures."
+        )
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1367,7 +1410,20 @@ def _mk_oracle_ann_ivf() -> str | None:
     events-count; recomputes the KMeans cell assignment (argmin Euclidean,
     lowest cell on ties — MLlib's contract), the nprobe=4 nearest-centroid
     probe (by 1−cosine, cell asc ties), and the exact re-rank. Returns None
-    (→ rows-only fallback) if no committed index is found."""
+    (→ rows-only fallback) if no committed index is found. If the dataset's
+    events count matches NO committed fixture, the empty-cent guard raises
+    inside DuckDB instead of silently returning 0 rows (a 0-row oracle would
+    read as a false FAIL against the Spark side).
+
+    KNOWN FRAGILITY (accepted, documented): the oracle re-derives each row's
+    cell as exact argmin list_distance over the centroid literals, while the
+    committed index's cell column came from MLlib KMeans transform, which
+    uses the norm-trick fastSquaredDistance (different fp rounding). A vector
+    near-equidistant to two centroids could be assigned differently on the
+    two sides. The committed fixtures have no such near-ties (parity is green
+    at every SF); regenerated fixtures or new data must re-verify via
+    tools/parity.py, and _check_centroids_committed already refuses to run
+    the query against centroids the oracle won't be using."""
     import json as _json
 
     branches = []
@@ -1391,8 +1447,17 @@ def _mk_oracle_ann_ivf() -> str | None:
     cos_probe = _cos("q.qvec", "c.c")
     cos_score = _cos("a.v", "p.qvec")
     return f"""
-WITH cent AS (
+WITH cent_raw AS (
   {cent_cte}
+),
+cent AS (
+  SELECT * FROM cent_raw
+  UNION ALL
+  -- fail-loud guard: a dataset whose events count matches no committed
+  -- fixture must raise here, not silently produce a 0-row oracle result
+  SELECT CASE WHEN error('IVF oracle: events count matches no committed centroid fixture') IS NULL THEN 0 END,
+         NULL
+  WHERE NOT EXISTS (SELECT 1 FROM cent_raw)
 ),
 base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 assigned AS (
