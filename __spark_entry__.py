@@ -1356,12 +1356,20 @@ def _check_centroids_committed(sf_dir: str, centroids) -> None:
     so the comparison is exact equality."""
     import json as _json
 
-    try:
-        import pyarrow.parquet as _pq
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
 
-        n_events = _pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
-    except Exception:
+    events_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(events_path):
+        return  # directory-layout events table: the committed fixtures are all single files
+    try:
+        n_events = _pq.ParquetFile(events_path).metadata.num_rows
+    except FileNotFoundError:
         return  # no events table (ad-hoc embedding slice): nothing to check
+    except _pa.ArrowInvalid:
+        return  # not parquet → not a committed-fixture dataset
+    # any OTHER failure (permissions, pyarrow breakage) propagates — a
+    # silently-skipped guard is the divergence gap this function exists to close
     sf = next((s for s, n in _SF_EVENT_COUNTS.items() if n == n_events), None)
     if sf is None:
         return  # no committed fixture for this dataset

@@ -84,8 +84,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         dt = dict(df.dtypes)["ts"]
         if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif dt != "timestamp":
+        elif dt == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif dt != "timestamp":
+            # an unexpected dtype means a malformed testdata generation; a
+            # blind cast would turn unparseable values into silent NULLs
+            raise TypeError(
+                f"events.ts has unsupported dtype {dt!r} (expected bigint "
+                "nanos, timestamp_ntz, or timestamp) — regenerated testdata?"
+            )
     return df
 
 

@@ -53,6 +53,12 @@ def run_expiry_sweep(
     )
 
 
+#: staging subdir for the sweep's memory_expired events. Underscore-prefixed
+#: so Spark's parquet reader treats it as hidden metadata — a state snapshot
+#: containing it is still readable as a plain parquet directory.
+_PENDING_EVENTS = "_pending_events"
+
+
 def _recover_state_dir(state_dir: str) -> None:
     """Heal an interrupted publish (see _publish_state_dir) and clear litter.
 
@@ -67,6 +73,24 @@ def _recover_state_dir(state_dir: str) -> None:
         os.rename(nxt, state_dir)
     shutil.rmtree(nxt, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _drain_pending_events(state_dir: str, events_dir: str) -> None:
+    """Move staged event part-files out of the published state snapshot into
+    the events sink. Idempotent and crash-safe: each part-file move is one
+    atomic rename (Spark part names embed a UUID, so no collisions), so a
+    crash mid-drain leaves every event in exactly one of the two places —
+    never both, never neither. Completes the previous sweep's publish when
+    called at the top of the next sweep.
+    """
+    pending = os.path.join(state_dir, _PENDING_EVENTS)
+    if not os.path.isdir(pending):
+        return
+    os.makedirs(events_dir, exist_ok=True)
+    for name in os.listdir(pending):
+        if name.endswith(".parquet") and not name.startswith((".", "_")):
+            os.rename(os.path.join(pending, name), os.path.join(events_dir, name))
+    shutil.rmtree(pending, ignore_errors=True)
 
 
 def _publish_state_dir(state_dir: str, next_dir: str) -> None:
@@ -93,10 +117,19 @@ def sweep_once(spark: SparkSession, state_dir: str, events_dir: str, now: dateti
     The expired set is computed ONCE (cached before count) so the count and
     the event write don't re-run the expiry filter; the state rewrite is
     write-audit-publish so a crash mid-sweep leaves a readable state dir.
+
+    Events are exactly-once with respect to the state publish: the event
+    part-files are STAGED inside the _next snapshot (hidden `_pending_events`
+    subdir) and ride the atomic publish rename, then drain into events_dir —
+    a crash before the publish re-runs an identical sweep (no events emitted,
+    no state change); a crash after it leaves the already-expired rows out of
+    the state AND the staged events inside it, which the next sweep's drain
+    delivers (each part-file move is one atomic rename, so no duplicates).
     """
     now = now or datetime.now(timezone.utc)
     now_col = F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S")))
     _recover_state_dir(state_dir)
+    _drain_pending_events(state_dir, events_dir)  # complete an interrupted publish
     state = spark.read.parquet(state_dir)
     survivors, expired = cleanup_expired(state, now_col)
 
@@ -108,12 +141,14 @@ def sweep_once(spark: SparkSession, state_dir: str, events_dir: str, now: dateti
     try:
         n = events.count()  # materializes the cache; the write below reuses it
         if n:
-            events.write.mode("append").parquet(events_dir)
-            # rewrite state without the expired rows (Delta: DELETE WHERE instead)
+            # rewrite state without the expired rows (Delta: DELETE WHERE +
+            # an events-table INSERT in one transaction instead)
             nxt = state_dir.rstrip("/") + "_next"
             survivors.write.mode("overwrite").parquet(nxt)
+            events.write.mode("overwrite").parquet(os.path.join(nxt, _PENDING_EVENTS))
             spark.read.parquet(nxt).count()  # audit: the snapshot is readable
             _publish_state_dir(state_dir, nxt)
+            _drain_pending_events(state_dir, events_dir)
     finally:
         events.unpersist()
     return n

@@ -143,6 +143,46 @@ def test_expiry_sweep_crash_recovery(spark, tmp_path):
     assert not os.path.exists(state_dir + "_next")
 
 
+def test_expiry_sweep_events_exactly_once_across_crash(spark, tmp_path):
+    """Events are staged inside the published snapshot and drained after the
+    publish; a crash in between (state updated, events not yet delivered)
+    must deliver each staged event exactly once on the next sweep — never
+    re-expire (the state no longer holds the row) and never duplicate (each
+    part-file drain is one atomic rename)."""
+    state_dir = str(tmp_path / "memories")
+    events_dir = str(tmp_path / "expiry_events")
+    t0 = datetime.fromisoformat("2024-01-14 00:00:00")
+    rows = [
+        ("id-a", "a", "{}", "short_term", "absolute", t0, t0, None,
+         datetime.fromisoformat("2024-01-14 01:00:00"), 3600, 0, None, None),
+        ("id-b", "b", "{}", "permanent", "never", t0, t0, None, None, 0, 0, None, None),
+    ]
+    schema = (
+        "id string, key string, data string, memory_type string, expiration_policy string, "
+        "created_at timestamp, updated_at timestamp, last_accessed_at timestamp, "
+        "expires_at timestamp, ttl_seconds int, access_count int, "
+        "tags map<string,string>, metadata string"
+    )
+    spark.createDataFrame(rows, schema).write.parquet(state_dir)
+
+    # run a real sweep, then simulate "crash after publish, before drain" by
+    # moving the delivered events BACK into the snapshot's staging dir
+    n = expiry.sweep_once(spark, state_dir, events_dir, now=datetime.fromisoformat("2024-01-15 00:00:00"))
+    assert n == 1
+    pending = os.path.join(state_dir, "_pending_events")
+    os.makedirs(pending)
+    for name in os.listdir(events_dir):
+        if name.endswith(".parquet"):
+            os.rename(os.path.join(events_dir, name), os.path.join(pending, name))
+    # next sweep: drains the staged events exactly once, expires nothing new
+    assert expiry.sweep_once(spark, state_dir, events_dir, now=datetime.fromisoformat("2024-01-16 00:00:00")) == 0
+    ev = spark.read.parquet(events_dir).collect()
+    assert len(ev) == 1 and ev[0].event_type == "memory_expired" and ev[0].key == "a"
+    assert not os.path.exists(pending)
+    # the staged dir is invisible to state reads (underscore-prefixed)
+    assert [r.key for r in spark.read.parquet(state_dir).collect()] == ["b"]
+
+
 def test_access_log_stream_equals_batch(spark, sf_dir, tmp_path):
     """applyInPandasWithState touch aggregation ≡ the batch groupBy twin."""
     from mcp_synaptic_spark.streaming.access_log import touch_updates_stream

@@ -24,9 +24,19 @@ def main() -> None:
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
     tables = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
+    import pyspark
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.linalg import Vectors
     from pyspark.sql import SparkSession
+
+    # the randUnitVectors() extraction below reaches through the private py4j
+    # handle model._java_obj — verified against the pinned version only; on
+    # any other pyspark, re-verify the accessor before trusting the fixture.
+    if not pyspark.__version__.startswith("4.1."):
+        raise RuntimeError(
+            f"private randUnitVectors() accessor verified on pyspark 4.1.x "
+            f"only; running {pyspark.__version__} — re-verify before use"
+        )
 
     spark = (
         SparkSession.builder.master("local[2]").appName("dump-brp-planes").getOrCreate()
