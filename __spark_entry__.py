@@ -94,11 +94,16 @@ def _q_pairwise_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dim=64 (static for the testdata embeddings) switches the cosine to the
+    # unrolled codegen form — bit-identical fold order (vector.py:dot_fixed),
+    # but straight-line JVM code instead of an interpreted HOF per pair. The
+    # HOF form's per-element closure garbage made this query's wall clock
+    # GC-noise-bound (r5 bench: 2.7–14.4 s for the SAME plan, PLANS.md).
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return R.batch_topk_join(queries, emb, k=3, id_col="vec_id")
+    return R.batch_topk_join(queries, emb, k=3, id_col="vec_id", dim=64)
 
 
 def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,7 +111,7 @@ def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return R.knn_classify(queries, emb, k=5, id_col="vec_id")
+    return R.knn_classify(queries, emb, k=5, id_col="vec_id", dim=64)
 
 
 _COS_SQL = (

@@ -61,28 +61,54 @@ def cosine_distance(a: Column, b: Column) -> Column:
 # results are bit-identical to the HOF version (and the DuckDB oracle).
 
 
-def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+def _dot_fixed_sql(a: str, b: str, dim: int) -> str:
+    """SQL text of the unrolled dot over backtick-quoted column NAMES.
+
+    `x + y + z` parses left-associative — the identical sequential fold as
+    the Column-object loop below, so values are bit-for-bit the same."""
+    return " + ".join(f"CAST(`{a}`[{i}] AS DOUBLE) * CAST(`{b}`[{i}] AS DOUBLE)" for i in range(dim))
+
+
+def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     """Σ aᵢ·bᵢ unrolled over a known dimension (sequential order ⇒ matches
     the `dot` fold bit-for-bit).
 
-    Elements are cast to double individually — NEVER wrap the inputs in
-    as_double() here: getItem on a transform() expression re-evaluates the
-    whole array transform once per element (64 casts × 64 elements), which is
-    slower than the HOF fold it replaces. Pass plain column references."""
+    Pass column NAMES (strings) on hot paths: the whole unrolled sum is then
+    built as ONE parsed SQL expression instead of ~6·dim py4j round-trips —
+    plan construction drops from seconds to milliseconds at dim=64 while the
+    resolved expression tree (and therefore the result) is identical.
+
+    With Column inputs, elements are cast to double individually — NEVER wrap
+    the inputs in as_double() here: getItem on a transform() expression
+    re-evaluates the whole array transform once per element (64 casts × 64
+    elements), which is slower than the HOF fold it replaces. Pass plain
+    column references."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_fixed_sql(a, b, dim))
     acc = a.getItem(0).cast("double") * b.getItem(0).cast("double")
     for i in range(1, dim):
         acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
     return acc
 
 
-def norm_fixed(a: Column, dim: int) -> Column:
+def norm_fixed(a: Column | str, dim: int) -> Column:
+    if isinstance(a, str):
+        return F.expr(f"SQRT({_dot_fixed_sql(a, a, dim)})")
     return F.sqrt(dot_fixed(a, a, dim))
 
 
-def cosine_similarity_fixed(a: Column, b: Column, dim: int) -> Column:
+def cosine_similarity_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     """cosine_similarity with an unrolled dot — use on pairwise hot paths
-    where dim is known. `a`/`b` should be plain column references (see
-    dot_fixed); element casts keep all arithmetic in fp64."""
+    where dim is known. Pass column NAMES where possible (see dot_fixed:
+    single parsed SQL expression vs thousands of py4j calls); Column inputs
+    are the fallback for computed/literal vectors. Element casts keep all
+    arithmetic in fp64 either way."""
+    if isinstance(a, str) and isinstance(b, str):
+        na, nb = f"SQRT({_dot_fixed_sql(a, a, dim)})", f"SQRT({_dot_fixed_sql(b, b, dim)})"
+        return F.expr(
+            f"CASE WHEN {na} = 0.0D OR {nb} = 0.0D THEN 0.0D "
+            f"ELSE ({_dot_fixed_sql(a, b, dim)}) / ({na} * {nb}) END"
+        )
     na, nb = norm_fixed(a, dim), norm_fixed(b, dim)
     return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
         dot_fixed(a, b, dim) / (na * nb)

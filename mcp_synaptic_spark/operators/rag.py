@@ -37,11 +37,17 @@ def query_vector_lit(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
-def _sim(a: Column, b: Column, dim: int | None) -> Column:
+def _sim(a: Column | str, b: Column | str, dim: int | None) -> Column:
     """Cosine: unrolled codegen form when the dimension is known (hot paths),
     interpreted HOF fold otherwise — identical fold order, identical values
-    (functions/vector.py:dot_fixed)."""
-    return cosine_similarity_fixed(a, b, dim) if dim else cosine_similarity(a, b)
+    (functions/vector.py:dot_fixed). Accepts column names (preferred on hot
+    paths: one parsed SQL expression instead of ~6·dim py4j calls) or Column
+    objects (computed/literal vectors)."""
+    if dim:
+        return cosine_similarity_fixed(a, b, dim)
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return cosine_similarity(a, b)
 
 
 def score_against(
@@ -177,7 +183,7 @@ def batch_topk_join(
     sort).
     """
     q = F.broadcast(queries) if broadcast_queries else queries
-    sim = _sim(F.col(vec_col), F.col(query_vec_col), dim)
+    sim = _sim(vec_col, query_vec_col, dim)
     scored = (
         corpus.crossJoin(q)
         .select(
