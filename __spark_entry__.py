@@ -1539,6 +1539,20 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "media_type", "n_bytes", F.size("features").alias("feat_dim"))
 
 
+# SQL twin of _q_multimodal_features: the PLUMBING around the Python seam is
+# deterministic SQL — media_type from doc_id % 3, n_bytes = UTF-8 byte length
+# of the payload, feat_dim = the fake extractor's constant FEATURE_DIM. The
+# mapInPandas boundary (Arrow batch shape, schema) is what the query
+# exercises; the oracle pins its observable output.
+_ORACLE_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(16 AS INT) AS feat_dim
+FROM documents
+"""
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: deterministic frame-index explode."""
     from mcp_synaptic_spark.operators.multimodal import frame_sample_plan
@@ -1804,7 +1818,13 @@ FROM kept WHERE rn = 1
 
 def _q_ann_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH tier (Euclidean LSH over unit
-    vectors ≡ cosine) — approximate, rows-only; recall asserted in tests."""
+    vectors ≡ cosine). Approximate vs exact kNN but DETERMINISTIC given the
+    seed: the model's projection vectors depend only on (seed, dim,
+    numHashTables) — proven data-independent by tools/dump_brp_planes.py and
+    committed as .brp_cache/brp_seed42_d64_t3.json — so the oracle replays
+    MLlib's floor(dot/bucketLength) bucket ids, the any-table candidate
+    union, and the exact re-rank from those literals (FIXTURES.md §7).
+    Recall vs exact batch_topk additionally asserted in tests."""
     from mcp_synaptic_spark.operators.similarity import mllib_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1812,6 +1832,82 @@ def _q_ann_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return mllib_lsh_topk(queries, emb, k=5, id_col="vec_id")
+
+
+_BRP_FIXTURE = "/root/repo/.brp_cache/brp_seed42_d64_t3.json"
+
+
+def _mk_oracle_ann_mllib_lsh() -> str | None:
+    """SQL twin of mllib_lsh_topk from the committed BRP plane fixture.
+
+    Replays, with the fixture's unit vectors as literals, exactly what the
+    Spark side executes (operators/similarity.py:101-137):
+    1. L2-normalize (zero vector passes through — functions/vector.py:105);
+    2. per-table bucket id h_i = floor(dot(vn, u_i) / bucketLength=1.0)
+       (MLlib BucketedRandomProjectionLSHModel.hashFunction);
+    3. candidates = DISTINCT pairs sharing ANY table's bucket (MLlib
+       approxSimilarityJoin explodes hash entries and equi-joins per entry);
+    4. exact re-rank: l2 = sqrt(Σ(qnᵢ−vnᵢ)²), keep l2 < threshold=2.0,
+       score = round(1 − l2²/2, 6) (cos ≡ 1 − l2²/2 for unit vectors),
+       rank over (round(score,9) DESC, vec_id ASC), top 5.
+
+    Returns None (rows-only fallback) if the fixture is absent. Same
+    documented fp fragility as the IVF oracle: a bucket id flips only if
+    some dot/bucketLength sits within ~1e-15 of an integer boundary."""
+    import json as _json
+
+    try:
+        with open(_BRP_FIXTURE) as f:
+            planes = _json.load(f)
+    except FileNotFoundError:
+        return None
+    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+    hashes = ", ".join(
+        f"floor(list_dot_product(vn, {lit}) / 1.0) AS h{i}" for i, lit in enumerate(lits)
+    )
+    qh = ", ".join(f"h{i}" for i in range(len(lits)))
+    match = " OR ".join(f"q.h{i} = c.h{i}" for i in range(len(lits)))
+    return f"""
+WITH raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+base AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+              ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vn
+  FROM raw
+),
+hashed AS (
+  SELECT vec_id, vn, {hashes} FROM base
+),
+q AS (SELECT vec_id AS qid, vn AS qn, {qh} FROM hashed WHERE vec_id % 500 = 0),
+cand AS (
+  SELECT DISTINCT q.qid, c.vec_id
+  FROM q JOIN hashed c ON ({match})
+),
+scored AS (
+  SELECT cand.qid, cand.vec_id,
+         sqrt(list_sum(list_transform(generate_series(1, {_ANN_DIM}),
+              i -> (q.qn[i] - c.vn[i]) * (q.qn[i] - c.vn[i])))) AS l2
+  FROM cand
+  JOIN q ON q.qid = cand.qid
+  JOIN hashed c ON c.vec_id = cand.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id,
+         round(1.0 - l2 * l2 / 2.0, 6) AS score,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(round(1.0 - l2 * l2 / 2.0, 6), 9) DESC, vec_id ASC
+         ) AS INT) AS rank
+  FROM scored
+  WHERE l2 < 2.0
+)
+SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+_ORACLE_ANN_MLLIB_LSH = _mk_oracle_ann_mllib_lsh()
 
 
 _ORACLE_DEDUP_EXACT = """
@@ -2142,4 +2238,6 @@ def oracle_sql() -> dict[str, str]:
         "filter_tags_created": _ORACLE_FILTER_TAGS_CREATED,
         "time_until_expiry": _ORACLE_TIME_UNTIL_EXPIRY,
         "ts_parse_multi": _ORACLE_TS_PARSE_MULTI,
+        **({"ann_mllib_lsh": _ORACLE_ANN_MLLIB_LSH} if _ORACLE_ANN_MLLIB_LSH else {}),
+        "multimodal_features": _ORACLE_MULTIMODAL_FEATURES,
     }

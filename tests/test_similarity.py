@@ -63,6 +63,32 @@ def test_mllib_lsh_recall(spark, sf_dir):
     assert _recall(approx, exact) >= 0.5
 
 
+def test_brp_plane_fixture_matches_live_model(spark):
+    """The committed .brp_cache fixture must equal the projection vectors a
+    freshly-fit BucketedRandomProjectionLSH(seed=42, dim=64, tables=3)
+    produces — the ann_mllib_lsh oracle embeds the fixture as literals, so
+    drift here (a Spark upgrade changing the seeded RNG stream) would
+    silently break the oracle's bucket replay. JSON round-trips float64
+    exactly ⇒ exact equality."""
+    import json
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.linalg import Vectors
+
+    with open("/root/repo/.brp_cache/brp_seed42_d64_t3.json") as f:
+        fixture = json.load(f)
+
+    df = spark.createDataFrame(
+        [(Vectors.dense([float(i == j) for i in range(64)]),) for j in range(4)],
+        ["features"],
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=1.0, numHashTables=3, seed=42
+    ).fit(df)
+    live = [[float(x) for x in v.toArray()] for v in model._java_obj.randUnitVectors()]
+    assert live == fixture
+
+
 def test_ivf_recall_and_probe_scaling(spark, sf_dir):
     emb, queries = _corpus_and_queries(spark, sf_dir)
     exact = _exact_topk(emb, queries)
