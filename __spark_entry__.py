@@ -587,8 +587,9 @@ def _q_memory_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch landing on an expired row DELETES it (no resurrection). mem-1 is
     expired at sf0.01/sf0.1 (vanishes) but live at sf0.001 (touched);
     mem-5 is 'never'-policy at every sf (always touched); mem-2 is the
-    untouched control."""
-    out = M.memory_touch(M.memory_touch(_memories(spark, sf_dir), "mem-1", now_col()), "mem-5", now_col())
+    untouched control. One predicated rewrite for the whole key batch —
+    NOT a chained per-key pass (VERDICT r5 #7)."""
+    out = M.memory_touch(_memories(spark, sf_dir), ["mem-1", "mem-5"], now_col())
     return out.where(F.col("key").isin(["mem-1", "mem-2", "mem-5"])).select(
         "key", "access_count", "last_accessed_at", "expires_at"
     )

@@ -155,7 +155,7 @@ def upsert_by_key(state: DataFrame, updates: DataFrame) -> DataFrame:
     )
 
 
-def memory_touch(memories: DataFrame, key: str, now: Column) -> DataFrame:
+def memory_touch(memories: DataFrame, key: str | Sequence[str], now: Column) -> DataFrame:
     """Q2/X10 — touch on read: last_accessed=now, access_count+1, sliding
     policy recomputes expires_at (reference models/memory.py:85-94).
 
@@ -164,9 +164,14 @@ def memory_touch(memories: DataFrame, key: str, now: Column) -> DataFrame:
     (reference memory/manager/operations.py:74-79), so here the expired hit
     is removed from the returned state instead of being touched.
 
+    `key` may be one key or a batch: a multi-key touch is ONE predicated
+    rewrite (each row's outcome depends only on its own key), not a chain of
+    per-key passes over the table.
+
     Narrow transform — no shuffle: a predicated column rewrite + filter.
     """
-    hit = F.col("key") == key
+    keys = [key] if isinstance(key, str) else list(key)
+    hit = F.col("key").isin(keys)
     expired_now = F.col("expires_at").isNotNull() & (F.col("expires_at") <= now)
     sliding = hit & (F.col("expiration_policy") == "sliding") & F.col("ttl_seconds").isNotNull() & (F.col("ttl_seconds") > 0)
     return (
