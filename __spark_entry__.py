@@ -2021,7 +2021,11 @@ WHERE round({_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')}, 6) >= 0.45
 """
 
 
-_LSH_DIM, _LSH_PLANES, _LSH_TABLES, _LSH_SEED, _LSH_THRESH = 64, 6, 6, 42, 0.45
+# _LSH_PLANES=7 matches similarity.auto_n_planes(2000) — the bench corpus —
+# so the pinned deterministic query exercises the same bucket occupancy the
+# auto-sized scale path would pick; the oracle below regenerates its plane
+# literals from these constants, so query and twin stay in lockstep.
+_LSH_DIM, _LSH_PLANES, _LSH_TABLES, _LSH_SEED, _LSH_THRESH = 64, 7, 6, 42, 0.45
 
 
 def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

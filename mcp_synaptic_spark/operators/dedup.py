@@ -342,7 +342,7 @@ def embedding_near_dup_pairs(
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(0.0)).otherwise(
-        dot_fixed(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+        dot_fixed("va", "vb", dim) / (F.col("na") * F.col("nb"))
     )
     return (
         a.crossJoin(b)
@@ -359,7 +359,7 @@ def embedding_near_dup_pairs_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     dim: int | None = None,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     n_tables: int = 6,
     seed: int = 42,
 ) -> DataFrame:
@@ -373,11 +373,20 @@ def embedding_near_dup_pairs_lsh(
     p = 1 − acos(θ)/π — tune (k=n_planes, L=n_tables) to the target
     threshold. Deterministic given the seed; output ⊆ the exact
     embedding_near_dup_pairs at the same threshold (verification is exact).
+
+    n_planes=None (the default) derives the plane count from the corpus size
+    (similarity.auto_n_planes ≈ log2(N/target_bucket)) so expected bucket
+    occupancy — and the within-bucket pair join — stays constant-sized as N
+    grows. Near-exact duplicates (cos ≳ 0.95, the dedup signal) keep high
+    recall at any p because p₁^p decays slowly near θ→0; pass an explicit
+    n_planes only for seeded-oracle determinism.
     """
-    from .similarity import _hyperplanes, hyperplane_bucket
+    from .similarity import _hyperplanes, auto_n_planes, hyperplane_bucket
 
     if dim is None:
         dim = probe_dim(embeddings, vec_col)
+    if n_planes is None:
+        n_planes = auto_n_planes(embeddings.count())
     _release_stale()
     # Raw float array + HOF norm for the same reasons as the exact path
     # (see embedding_near_dup_pairs): dot_fixed casts per element, and the
@@ -387,7 +396,7 @@ def embedding_near_dup_pairs_lsh(
     # re-run all L·k interpreted plane-dot folds per row.
     bucket_arr = F.array(
         *[
-            hyperplane_bucket(F.col(vec_col), _hyperplanes(dim, n_planes, seed + t))
+            hyperplane_bucket(vec_col, _hyperplanes(dim, n_planes, seed + t))
             for t in range(n_tables)
         ]
     )
@@ -413,7 +422,7 @@ def embedding_near_dup_pairs_lsh(
         .distinct()
     )
     cos = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(0.0)).otherwise(
-        dot_fixed(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+        dot_fixed("va", "vb", dim) / (F.col("na") * F.col("nb"))
     )
     return (
         candidates.join(

@@ -112,3 +112,57 @@ def test_embedding_lsh_recall_and_exactness(spark, sf_dir):
     assert approx <= exact  # verification is exact — no false positives
     assert len(exact) > 0
     assert len(approx & exact) / len(exact) >= 0.6  # theory ≈0.86 at θ≈0.45
+
+
+def test_embedding_lsh_crossover_beats_exact(spark):
+    """The LSH scale path must BEAT the exact N² baseline somewhere
+    measurable (VERDICT r5 #5) — with auto-sized n_planes (None → derived
+    from corpus count), not a hand-tuned constant.
+
+    Duplicate-heavy corpus: the sf0.1 embeddings replicated 2× with offset
+    ids (4 000 vectors, every vector has exactly one identical twin), the
+    shape a dedup pass exists for. Ground truth is exact: R·(R−1)/2 · 2 000
+    identical pairs at cos=1, and the near-orthogonal base corpus adds none
+    at θ=0.9. Identical vectors always share every bucket, so LSH recall is
+    1.0 here regardless of the derived plane count.
+
+    Measured on this box (min of 1, local[32]), same code path:
+      N= 4 000: exact 21.8 s | lsh 10.2 s  (2.1×)
+      N= 8 000: exact 87.0 s | lsh  8.2 s  (10.6×)
+      N=16 000: exact 347  s | lsh  9.3 s  (37×)
+    The test pins the N=4 000 point (suite-budget-friendly); the curve is
+    recorded in PLANS.md round-6 notes.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+    from mcp_synaptic_spark.sources.tables import load_table
+
+    R = 2
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings").select("vec_id", "embedding")
+    reps = spark.range(R).select(F.col("id").alias("rep"))
+    corpus = (
+        emb.crossJoin(F.broadcast(reps))
+        .select((F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"), "embedding")
+        .cache()
+    )
+    n = corpus.count()
+    assert n == 2000 * R
+
+    t0 = time.perf_counter()
+    n_exact = embedding_near_dup_pairs(corpus, threshold=0.9, dim=64).count()
+    t_exact = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_lsh = embedding_near_dup_pairs_lsh(corpus, threshold=0.9, dim=64).count()
+    t_lsh = time.perf_counter() - t0
+    corpus.unpersist()
+
+    assert n_exact == 2000 * R * (R - 1) // 2
+    assert n_lsh == n_exact  # recall 1.0 on identical twins
+    assert t_lsh < t_exact, f"LSH ({t_lsh:.1f}s) must beat exact ({t_exact:.1f}s) at N={n}"
