@@ -181,16 +181,34 @@ def mllib_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def auto_n_cells(n_rows: int, *, lo: int = 4, hi: int = 65536) -> int:
+    """Corpus-size-derived IVF cell count: ≈ √N (the standard IVF sizing —
+    balances cell-scan cost ~N/cells against centroid-probe cost ~cells;
+    both ≈ √N at the optimum). A CONSTANT cell count at 10⁹ vectors puts
+    ~10⁸ rows in every cell and the "pruned" probe rescans the corpus
+    (VERDICT r5). Clamped: below lo the index is pointless, above hi the
+    centroid table itself needs sharding (at hi=2¹⁶ the probe side is a
+    ~32 MB broadcast — still broadcastable). Never exceeds the row count
+    (KMeans requires k ≤ N)."""
+    import math
+
+    return max(1, min(n_rows, max(lo, min(hi, int(math.isqrt(max(1, n_rows)))))))
+
+
 def ivf_build(
     corpus: DataFrame,
     *,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     seed: int = 42,
     max_iter: int = 8,
     id_col: str = "id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Build an IVF index: KMeans centroids + cell assignment per vector.
+
+    n_cells=None derives ≈√N cells from the corpus count (auto_n_cells);
+    pass an explicit value only for committed-fixture determinism (the
+    per-SF oracle indexes are pinned at their committed sizes).
 
     Returns (corpus with `cell` column, centroid list). In production, write
     the result partitioned by `cell` — queries then prune to nprobe cells at
@@ -200,6 +218,8 @@ def ivf_build(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     feats = corpus.select(F.col(id_col), F.col(vec_col), array_to_vector(as_double(F.col(vec_col))).alias("features"))
+    if n_cells is None:
+        n_cells = auto_n_cells(feats.count())
     # a coarse quantizer needs rough cells, not convergence — cap iterations
     km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features", predictionCol="cell")
     model = km.fit(feats)
@@ -212,7 +232,7 @@ def ivf_index_write(
     corpus: DataFrame,
     path: str,
     *,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     seed: int = 42,
     max_iter: int = 8,
     id_col: str = "id",
