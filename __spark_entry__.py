@@ -2087,77 +2087,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     after 50), so the graded window rotates per round until every oracled
     query has a green CORRECTNESS row in some round.
 
-    Round-4 window (this file): the 10 queries with NO r1-r3 verified row
-    (knn_classify, tpch_q5, orders_semi_join, customers_anti_join,
-    events_json, events_sliding, memory_list_expired, memory_stats_by_type,
-    fingerprint, dedup_keep_first — VERDICT r2 item #1) plus the 3 queries
-    whose oracles are NEW this round (memory_list_by_keys, ann_lsh_topk,
-    ann_ivf_topk) are all in the first 50. The tail holds only entries with
-    green rows in BOTH r2 and r3 (their operators keep that historical
-    evidence) and the two rows-only-by-design checks (ann_mllib_lsh,
-    multimodal_features)."""
+    Round-6 window (this file): the entire round-5 tail moves into the
+    first 50 — this retires the last stale evidence (dedup_ngram_jaccard,
+    filter_tags_created — VERDICT r3/r4/r5 item #1) and grades the two
+    newly-oracled queries (ann_mllib_lsh, multimodal_features) for the
+    first time. The rest of the window is every query whose OPERATOR FILE
+    changed this round (rag.py, similarity.py, dedup.py, memory.py,
+    expiry.py, vector.py, tables.py's events-ts branch) so their evidence
+    postdates the code. The tail holds only queries green in r5 whose
+    operator files are untouched since (documents.py, retrieval.py, ttl.py,
+    text_analysis.py, and entry-file-only relational suites)."""
     return {
-        # RAG / vector / ANN (Q13, Q16, J1–J3, batch kNN, ANN tiers 1+3)
-        "rag_search": _q_rag_search,
-        "rag_search_filtered": _q_rag_search_filtered,
-        "find_similar": _q_find_similar,
-        "batch_topk": _q_batch_topk,
-        "knn_classify": _q_knn_classify,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        # memory engine (Q5–Q7, F1–F3, X1, X9–X11, A1–A3, A9)
-        "memory_list": _q_memory_list,
-        "memory_list_expired": _q_memory_list_expired,
-        "memory_list_by_keys": _q_memory_list_by_keys,
-        "memory_stats": _q_memory_stats,
-        "memory_stats_by_type": _q_memory_stats_by_type,
-        "cleanup_expired_count": _q_cleanup_expired_count,
-        "memories_live_count": _q_memories_live_count,
-        "parse_ttl": _q_parse_ttl,
-        # memory state transitions (Q1–Q4, Q8, X10, S2) — post-state checked
-        "memory_upsert": _q_memory_upsert,
-        "memory_touch": _q_memory_touch,
-        "memory_delete": _q_memory_delete,
-        "memory_exists": _q_memory_exists,
-        "memory_update": _q_memory_update,
-        "memory_access_replay": _q_memory_access_replay,
-        # X4 time utility
-        "time_until_expiry": _q_time_until_expiry,
-        # document CRUD (Q9–Q12, S7–S9, P1, J2) + provider (Q20) + stats (Q14)
-        "doc_add": _q_doc_add,
-        "doc_get": _q_doc_get,
-        "doc_update": _q_doc_update,
-        "doc_delete": _q_doc_delete,
-        "doc_change_feed": _q_doc_change_feed,
-        "embed_texts": _q_embed_texts,
-        "doc_stats": _q_doc_stats,
-        # relational suite (joins, semi/anti, multi-agg, top-k, windows, JSON)
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q6": _q_tpch_q6,
-        "top_orders_per_customer": _q_top_orders_per_customer,
-        "orders_semi_join": _q_orders_semi_join,
-        "customers_anti_join": _q_customers_anti_join,
-        "orders_rollup": _q_orders_rollup,
-        "props_keys": _q_props_keys,
-        "events_hourly": _q_events_hourly,
-        "events_json": _q_events_json,
-        "events_sliding": _q_events_sliding,
-        "events_sessions": _q_events_sessions,
-        # text analysis + retrieval utilities (Q15, Q18)
-        "fingerprint": _q_fingerprint,
-        "search_by_metadata": _q_search_by_metadata,
-        "assemble_context": _q_assemble_context,
-        # dedup suite (headline LLM-pipeline deliverable)
-        "dedup_exact": _q_dedup_exact,
-        "dedup_keep_first": _q_dedup_keep_first,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        # ---- entry 50 ends here ------------------------------------------
-        # tail: every entry below has green rows in BOTH CORRECTNESS_r02 and
-        # r03 (except the two rows-only-by-design approximate checks)
+        # --- round-5 tail, graded first (stale/new-oracle evidence) -------
         "pairwise_similarity": _q_pairwise_similarity,
         "filter_tags_created": _q_filter_tags_created,
         "memory_report": _q_memory_report,
@@ -2174,6 +2115,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "ann_mllib_lsh": _q_ann_mllib_lsh,
         "multimodal_features": _q_multimodal_features,
+        # --- rag.py changed (expr-string cosine) --------------------------
+        "rag_search": _q_rag_search,
+        "rag_search_filtered": _q_rag_search_filtered,
+        "find_similar": _q_find_similar,
+        "batch_topk": _q_batch_topk,
+        "knn_classify": _q_knn_classify,
+        # --- similarity.py changed (SQL-text buckets, auto-sizing) --------
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        # --- dedup.py changed (auto planes, name-based dots) --------------
+        "dedup_exact": _q_dedup_exact,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        # --- memory.py changed (multi-key touch) --------------------------
+        "memory_list": _q_memory_list,
+        "memory_list_expired": _q_memory_list_expired,
+        "memory_list_by_keys": _q_memory_list_by_keys,
+        "memory_stats": _q_memory_stats,
+        "memory_stats_by_type": _q_memory_stats_by_type,
+        "cleanup_expired_count": _q_cleanup_expired_count,
+        "memories_live_count": _q_memories_live_count,
+        "memory_upsert": _q_memory_upsert,
+        "memory_touch": _q_memory_touch,
+        "memory_delete": _q_memory_delete,
+        "memory_exists": _q_memory_exists,
+        "memory_update": _q_memory_update,
+        "memory_access_replay": _q_memory_access_replay,
+        # --- expiry.py changed (exactly-once event staging) ---------------
+        "doc_change_feed": _q_doc_change_feed,
+        # --- tables.py events-ts branch changed ---------------------------
+        "events_hourly": _q_events_hourly,
+        "events_json": _q_events_json,
+        "events_sliding": _q_events_sliding,
+        "events_sessions": _q_events_sessions,
+        "props_keys": _q_props_keys,
+        # --- regression watch (r5 bench) + core write transform -----------
+        "embed_texts": _q_embed_texts,
+        "doc_add": _q_doc_add,
+        # ---- entry 50 ends here ------------------------------------------
+        # tail: every entry below is green in CORRECTNESS_r05 and its
+        # operator files are unchanged this round
+        "doc_get": _q_doc_get,
+        "doc_update": _q_doc_update,
+        "doc_delete": _q_doc_delete,
+        "doc_stats": _q_doc_stats,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "orders_semi_join": _q_orders_semi_join,
+        "customers_anti_join": _q_customers_anti_join,
+        "orders_rollup": _q_orders_rollup,
+        "parse_ttl": _q_parse_ttl,
+        "time_until_expiry": _q_time_until_expiry,
+        "fingerprint": _q_fingerprint,
+        "search_by_metadata": _q_search_by_metadata,
+        "assemble_context": _q_assemble_context,
     }
 
 
