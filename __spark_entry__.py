@@ -66,6 +66,18 @@ def _q_rag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", "distance", "score", "rank")
 
 
+def _q_max_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — standalone max-score / min-distance aggregate (previously only
+    implicit as the ordering head of every rank pipeline; VERDICT r5
+    coverage table). One corpus scan, partial max per partition merged into
+    a single row — no sort, no shuffle of scores."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = R.score_against(_with_query_vec(emb, 0), F.col("qv"), "embedding")
+    return scored.agg(
+        F.max("score").alias("max_score"), F.min("distance").alias("min_distance")
+    )
+
+
 def _q_rag_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     docs = _t(spark, sf_dir, "documents")
@@ -124,6 +136,13 @@ _COS_SQL = (
 def _cos(a: str, b: str) -> str:
     return _COS_SQL.format(a=a, b=b)
 
+
+_ORACLE_MAX_SCORE = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT max(round(greatest(0.0, least(1.0, {_cos('e.embedding::DOUBLE[]', 'q.qv')})), 6)) AS max_score,
+       min(round(1.0 - least(1.0, greatest(-1.0, {_cos('e.embedding::DOUBLE[]', 'q.qv')})), 6)) AS min_distance
+FROM embeddings e, q
+"""
 
 _ORACLE_RAG_SEARCH = f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
@@ -2153,12 +2172,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "props_keys": _q_props_keys,
-        # --- regression watch (r5 bench) + core write transform -----------
+        # --- regression watch (r5 bench) + NEW A10 standalone -------------
         "embed_texts": _q_embed_texts,
-        "doc_add": _q_doc_add,
+        "max_score": _q_max_score,
         # ---- entry 50 ends here ------------------------------------------
         # tail: every entry below is green in CORRECTNESS_r05 and its
         # operator files are unchanged this round
+        "doc_add": _q_doc_add,
         "doc_get": _q_doc_get,
         "doc_update": _q_doc_update,
         "doc_delete": _q_doc_delete,
@@ -2246,4 +2266,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_parse_multi": _ORACLE_TS_PARSE_MULTI,
         **({"ann_mllib_lsh": _ORACLE_ANN_MLLIB_LSH} if _ORACLE_ANN_MLLIB_LSH else {}),
         "multimodal_features": _ORACLE_MULTIMODAL_FEATURES,
+        "max_score": _ORACLE_MAX_SCORE,
     }
