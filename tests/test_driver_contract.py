@@ -1,0 +1,45 @@
+"""Guards on the driver contract surface (__spark_entry__.py): the grading
+window, oracle completeness, and column-name agreement are invariants the
+correctness gate depends on — a refactor that silently drops an oracle or
+rotates a stale query out of the window should fail HERE, not in the next
+round's verdict."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry
+
+
+def test_every_query_has_an_oracle():
+    """Zero rows-only queries: the driver hash-compares whatever oracle_sql
+    provides; a queries() entry with no oracle degrades to a rows-only check
+    without failing anywhere."""
+    qs, osql = entry.queries(), entry.oracle_sql()
+    assert set(osql) == set(qs), (
+        f"missing oracles: {set(qs) - set(osql)}; orphans: {set(osql) - set(qs)}"
+    )
+
+
+def test_graded_window_holds_the_round_targets():
+    """The driver grades the FIRST 50 dict entries only. Queries whose
+    operator files changed this round (or whose oracles are new) must sit in
+    the window so their green rows postdate the code."""
+    names = list(entry.queries())
+    assert len(names) >= 67
+    window = set(names[:50])
+    for must_grade in (
+        "dedup_ngram_jaccard",  # stale since r4 rewrite until r6
+        "filter_tags_created",  # stale since r4 rewrite until r6
+        "ann_mllib_lsh",        # oracle new in r6
+        "multimodal_features",  # oracle new in r6
+        "max_score",            # query new in r6
+    ):
+        assert must_grade in window, f"{must_grade} rotated out of the graded window"
+
+
+def test_oracles_are_nonempty_sql():
+    for name, sql in entry.oracle_sql().items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
