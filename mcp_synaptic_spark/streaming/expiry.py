@@ -39,6 +39,11 @@ def run_expiry_sweep(
 
     now_fn() -> datetime lets tests pin the clock (defaults to wall clock,
     matching the reference's behavior).
+
+    The default checkpoint is a SIBLING of state_dir, never inside it: the
+    sweep's write-audit-publish renames state_dir away and deletes the old
+    snapshot, which would destroy an in-dir checkpoint on the first
+    successful publish and kill the streaming query.
     """
     ticks = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
 
@@ -47,7 +52,7 @@ def run_expiry_sweep(
 
     return (
         ticks.writeStream.trigger(processingTime=f"{interval_seconds} seconds")
-        .option("checkpointLocation", checkpoint_dir or os.path.join(state_dir, "_checkpoint"))
+        .option("checkpointLocation", checkpoint_dir or state_dir.rstrip("/") + "_checkpoint")
         .foreachBatch(sweep)
         .start()
     )

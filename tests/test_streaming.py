@@ -143,6 +143,55 @@ def test_expiry_sweep_crash_recovery(spark, tmp_path):
     assert not os.path.exists(state_dir + "_next")
 
 
+def test_run_expiry_sweep_streaming_query(spark, tmp_path):
+    """End-to-end streaming sweep (rate tick → foreachBatch → sweep_once):
+    the query must survive its own first PUBLISH — the publish renames
+    state_dir away, so a checkpoint defaulted INSIDE state_dir would be
+    destroyed mid-flight (the bug this test pins) — and later ticks must be
+    idempotent (no duplicate events)."""
+    import time
+
+    state_dir = str(tmp_path / "memories")
+    events_dir = str(tmp_path / "expiry_events")
+    t0 = datetime.fromisoformat("2024-01-14 00:00:00")
+    rows = [
+        ("id-a", "a", "{}", "short_term", "absolute", t0, t0, None,
+         datetime.fromisoformat("2024-01-14 01:00:00"), 3600, 0, None, None),
+        ("id-b", "b", "{}", "permanent", "never", t0, t0, None, None, 0, 0, None, None),
+    ]
+    schema = (
+        "id string, key string, data string, memory_type string, expiration_policy string, "
+        "created_at timestamp, updated_at timestamp, last_accessed_at timestamp, "
+        "expires_at timestamp, ttl_seconds int, access_count int, "
+        "tags map<string,string>, metadata string"
+    )
+    spark.createDataFrame(rows, schema).write.parquet(state_dir)
+
+    q = expiry.run_expiry_sweep(
+        spark, state_dir, events_dir, interval_seconds=1,
+        now_fn=lambda: datetime.fromisoformat("2024-01-15 00:00:00"),
+    )
+    try:
+        deadline = time.time() + 90
+        ticks_after_publish = 0
+        while time.time() < deadline and ticks_after_publish < 3:
+            if q.exception() is not None:
+                raise AssertionError(f"streaming sweep died: {q.exception()}")
+            if os.path.isdir(events_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(events_dir)
+            ):
+                ticks_after_publish += 1  # ~1 extra second per loop pass
+            time.sleep(1.0)
+        assert ticks_after_publish >= 3, "sweep never published within 90s"
+        assert q.isActive  # survived the publish + subsequent idempotent ticks
+    finally:
+        q.stop()
+
+    assert [r.key for r in spark.read.parquet(state_dir).collect()] == ["b"]
+    ev = spark.read.parquet(events_dir).collect()
+    assert len(ev) == 1 and ev[0].event_type == "memory_expired" and ev[0].key == "a"
+
+
 def test_expiry_sweep_events_exactly_once_across_crash(spark, tmp_path):
     """Events are staged inside the published snapshot and drained after the
     publish; a crash in between (state updated, events not yet delivered)
