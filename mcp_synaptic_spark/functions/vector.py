@@ -85,6 +85,10 @@ def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     column references."""
     if isinstance(a, str) and isinstance(b, str):
         return F.expr(_dot_fixed_sql(a, b, dim))
+    # Mixed str/Column: lift the lone string to a Column so the loop below
+    # never calls .getItem on a str (latent AttributeError trap).
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     acc = a.getItem(0).cast("double") * b.getItem(0).cast("double")
     for i in range(1, dim):
         acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
@@ -109,6 +113,8 @@ def cosine_similarity_fixed(a: Column | str, b: Column | str, dim: int) -> Colum
             f"CASE WHEN {na} = 0.0D OR {nb} = 0.0D THEN 0.0D "
             f"ELSE ({_dot_fixed_sql(a, b, dim)}) / ({na} * {nb}) END"
         )
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     na, nb = norm_fixed(a, dim), norm_fixed(b, dim)
     return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
         dot_fixed(a, b, dim) / (na * nb)

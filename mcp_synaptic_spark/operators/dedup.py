@@ -385,34 +385,37 @@ def embedding_near_dup_pairs_lsh(
 
     if dim is None:
         dim = probe_dim(embeddings, vec_col)
-    if n_planes is None:
-        n_planes = auto_n_planes(embeddings.count())
     _release_stale()
     # Raw float array + HOF norm for the same reasons as the exact path
     # (see embedding_near_dup_pairs): dot_fixed casts per element, and the
-    # cached rows are half the size of a pre-cast double array. The L bucket
-    # ids are folded INTO the cached row: the bucket self-join reads them on
-    # both sides, and without the materialization barrier each side would
-    # re-run all L·k interpreted plane-dot folds per row.
-    bucket_arr = F.array(
-        *[
-            hyperplane_bucket(vec_col, _hyperplanes(dim, n_planes, seed + t))
-            for t in range(n_tables)
-        ]
-    )
+    # cached rows are half the size of a pre-cast double array.
     # repartition the RAW input, then project: Repartition(Project(...))
-    # would evaluate the norm + L·k plane dots on the (often single) input
-    # split before the exchange — single-threaded for a one-file table.
+    # would evaluate the norm on the (often single) input split before the
+    # exchange — single-threaded for a one-file table.
     base = _scoped_cache(
         _ensure_parallelism(embeddings).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             norm(as_double(F.col(vec_col))).alias("nrm"),
-            bucket_arr.alias("bks"),
         )
     )
+    if n_planes is None:
+        # The sizing count doubles as the cache materialization — one pass
+        # over the input serves both (no separate pre-cache sizing scan).
+        n_planes = auto_n_planes(base.count())
+    bucket_arr = F.array(
+        *[
+            hyperplane_bucket("v", _hyperplanes(dim, n_planes, seed + t))
+            for t in range(n_tables)
+        ]
+    )
+    # The L bucket ids live in their own small cache (id + L ints — no
+    # vectors): the bucket self-join reads it on both sides, and without the
+    # materialization barrier each side would re-run all L·k interpreted
+    # plane-dot folds per row. Building it reads base's cache, not parquet.
+    bucketed = _scoped_cache(base.select("id", bucket_arr.alias("bks")))
 
-    buckets = base.select("id", F.posexplode("bks").alias("tbl", "bucket"))
+    buckets = bucketed.select("id", F.posexplode("bks").alias("tbl", "bucket"))
     left = buckets.select("tbl", "bucket", F.col("id").alias("id_a"))
     right = buckets.select("tbl", "bucket", F.col("id").alias("id_b"))
     candidates = (

@@ -80,6 +80,32 @@ def _recover_state_dir(state_dir: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _require_same_filesystem(state_dir: str, events_dir: str) -> None:
+    """Fail fast if state_dir and events_dir live on different filesystems.
+
+    The exactly-once event drain relies on os.rename being atomic, which only
+    holds within one filesystem; a cross-device rename raises EXDEV mid-drain,
+    and a copy fallback would silently break the atomicity guarantee. Better
+    to refuse at sweep start with an actionable message.
+    """
+
+    def dev_of(path: str) -> int:
+        p = os.path.abspath(path)
+        while not os.path.exists(p):
+            parent = os.path.dirname(p)
+            if parent == p:
+                break
+            p = parent
+        return os.stat(p).st_dev
+
+    if dev_of(state_dir) != dev_of(events_dir):
+        raise ValueError(
+            f"state_dir ({state_dir}) and events_dir ({events_dir}) must be on "
+            "the same filesystem: the exactly-once event drain moves staged "
+            "part-files with atomic os.rename, which cannot cross devices"
+        )
+
+
 def _drain_pending_events(state_dir: str, events_dir: str) -> None:
     """Move staged event part-files out of the published state snapshot into
     the events sink. Idempotent and crash-safe: each part-file move is one
@@ -133,6 +159,7 @@ def sweep_once(spark: SparkSession, state_dir: str, events_dir: str, now: dateti
     """
     now = now or datetime.now(timezone.utc)
     now_col = F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S")))
+    _require_same_filesystem(state_dir, events_dir)
     _recover_state_dir(state_dir)
     _drain_pending_events(state_dir, events_dir)  # complete an interrupted publish
     state = spark.read.parquet(state_dir)

@@ -385,3 +385,32 @@ def test_replay_access_stream_equals_batch(spark, sf_dir, tmp_path):
             assert key not in batch_rows, key  # deleted by replay in both
         checked += 1
     assert checked > 0
+
+
+def test_sweep_rejects_cross_filesystem_dirs(spark, tmp_path, monkeypatch):
+    # ADVICE r6: the exactly-once drain relies on same-filesystem os.rename;
+    # a cross-device pair must fail fast at sweep start, not EXDEV mid-drain.
+    import os as _os
+
+    import pytest
+
+    from mcp_synaptic_spark.streaming import expiry as E
+
+    state = str(tmp_path / "state")
+    events = str(tmp_path / "events")
+
+    class FakeStatResult:
+        def __init__(self, dev):
+            self.st_dev = dev
+
+    def stat_with_devs(path, *a, **kw):
+        # pretend events_dir sits on a different device than everything else
+        dev = 1 if _os.path.abspath(str(path)).startswith(_os.path.abspath(events)) else 0
+        return FakeStatResult(dev)
+
+    monkeypatch.setattr(E.os, "stat", stat_with_devs)
+    with pytest.raises(ValueError, match="same filesystem"):
+        E._require_same_filesystem(state, events)
+    # same-device pair passes (restore real stat)
+    monkeypatch.undo()
+    E._require_same_filesystem(state, events)

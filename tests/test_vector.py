@@ -53,3 +53,16 @@ def test_l2_normalize(spark):
     out = df.select(V.l2_normalize(F.col("v")).alias("n")).collect()
     assert all(abs(x - y) < 1e-12 for x, y in zip(out[0].n, [0.6, 0.8]))
     assert out[1].n == [0.0, 0.0]  # zero vector passes through
+
+
+def test_fixed_variants_accept_mixed_str_column(spark):
+    # ADVICE r6: a mixed str/Column call used to fall into the Column branch
+    # with the raw str and crash on .getItem — both orders must now work and
+    # match the all-Column result bit-for-bit.
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<float>, b array<float>")
+    want = df.select(V.cosine_similarity_fixed(F.col("a"), F.col("b"), 3).alias("s")).first().s
+    for a, b in [("a", F.col("b")), (F.col("a"), "b")]:
+        got = df.select(V.cosine_similarity_fixed(a, b, 3).alias("s")).first().s
+        assert got == want
+        d = df.select(V.dot_fixed(a, b, 3).alias("d")).first().d
+        assert d == 32.0
