@@ -30,13 +30,22 @@ def test_graded_window_holds_the_round_targets():
     names = list(entry.queries())
     assert len(names) >= 67
     window = set(names[:50])
-    for must_grade in (
-        "dedup_ngram_jaccard",  # stale since r4 rewrite until r6
-        "filter_tags_created",  # stale since r4 rewrite until r6
-        "ann_mllib_lsh",        # oracle new in r6
-        "multimodal_features",  # oracle new in r6
-        "max_score",            # query new in r6
-    ):
+    # r7 targets: the whole r6 tail (r5-dated evidence) + every query whose
+    # operator file r7 touches (vector/dedup/similarity/expiry/memory).
+    r6_tail = (
+        "assemble_context", "doc_add", "doc_get", "doc_update", "doc_delete",
+        "doc_stats", "tpch_q3", "tpch_q5", "tpch_q6", "top_orders_per_customer",
+        "orders_semi_join", "customers_anti_join", "orders_rollup", "parse_ttl",
+        "time_until_expiry", "fingerprint", "search_by_metadata",
+    )
+    r7_touched = (
+        "pairwise_similarity", "rag_search", "batch_topk",      # vector.py
+        "dedup_embedding_lsh", "dedup_simhash", "ann_lsh_topk", # dedup.py skew caps
+        "ann_mllib_lsh", "ann_ivf_topk",                        # similarity.py index
+        "doc_change_feed",                                      # expiry.py
+        "memory_upsert", "memory_delete",                       # memory.py txn round
+    )
+    for must_grade in r6_tail + r7_touched:
         assert must_grade in window, f"{must_grade} rotated out of the graded window"
 
 
