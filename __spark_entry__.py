@@ -1368,7 +1368,9 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     from mcp_synaptic_spark.operators.similarity import ivf_index_load, ivf_index_write
 
     path = os.path.join(_IVF_CACHE_ROOT, sf_dir.strip("/").replace("/", "_"))
-    ivf_index_write(_t(spark, sf_dir, "embeddings"), path, n_cells=16, id_col="vec_id")
+    # cells_sidecar: commit the index's own (vec_id → cell) assignment so the
+    # oracle reads it instead of re-deriving argmin (fixture-scale only)
+    ivf_index_write(_t(spark, sf_dir, "embeddings"), path, n_cells=16, id_col="vec_id", cells_sidecar=True)
     indexed, centroids = ivf_index_load(spark, path)
     _check_centroids_committed(sf_dir, centroids)
     return indexed, centroids
@@ -1439,30 +1441,32 @@ _SF_EVENT_COUNTS = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000}
 def _mk_oracle_ann_ivf() -> str | None:
     """SQL twin of ivf_topk over the committed per-SF IVF indexes.
 
-    Embeds each SF's persisted centroids as literals, discriminated by
-    events-count; recomputes the KMeans cell assignment (argmin Euclidean,
-    lowest cell on ties — MLlib's contract), the nprobe=4 nearest-centroid
-    probe (by 1−cosine, cell asc ties), and the exact re-rank. Returns None
-    (→ rows-only fallback) if no committed index is found. If the dataset's
-    events count matches NO committed fixture, the empty-cent guard raises
-    inside DuckDB instead of silently returning 0 rows (a 0-row oracle would
-    read as a false FAIL against the Spark side).
+    Embeds each SF's persisted centroids AND its persisted (vec_id → cell)
+    assignment (`_cells.json`, written by ivf_index_write from the committed
+    index parquet itself) as literals, discriminated by events-count; then
+    recomputes only the nprobe=4 nearest-centroid probe (by 1−cosine, cell
+    asc ties) and the exact re-rank. Returns None (→ rows-only fallback) if
+    no committed index is found. If the dataset's events count matches NO
+    committed fixture, the empty-cent guard raises inside DuckDB instead of
+    silently returning 0 rows (a 0-row oracle would read as a false FAIL
+    against the Spark side).
 
-    KNOWN FRAGILITY (accepted, documented): the oracle re-derives each row's
-    cell as exact argmin list_distance over the centroid literals, while the
-    committed index's cell column came from MLlib KMeans transform, which
-    uses the norm-trick fastSquaredDistance (different fp rounding). A vector
-    near-equidistant to two centroids could be assigned differently on the
-    two sides. The committed fixtures have no such near-ties (parity is green
-    at every SF); regenerated fixtures or new data must re-verify via
-    tools/parity.py, and _check_centroids_committed already refuses to run
-    the query against centroids the oracle won't be using."""
+    Reading the assignment from the fixture (instead of re-deriving argmin
+    list_distance, as rounds 2–6 did) makes the parity check
+    assignment-independent: MLlib's transform uses the norm-trick
+    fastSquaredDistance whose fp rounding can differ from an exact argmin on
+    a near-equidistant vector, and the oracle should grade the PROBE + RERANK
+    semantics, not reproduce KMeans' internal rounding. The sidecar is read
+    back from the committed index parquet, so it is the index's own truth."""
     import json as _json
 
     branches = []
+    cell_branches = []
     for sf, n_events in _SF_EVENT_COUNTS.items():
-        sidecar = os.path.join(_IVF_CACHE_ROOT, f"root_testdata_{sf}", "_centroids.json")
-        if not os.path.exists(sidecar):
+        fixture_dir = os.path.join(_IVF_CACHE_ROOT, f"root_testdata_{sf}")
+        sidecar = os.path.join(fixture_dir, "_centroids.json")
+        cells_sidecar = os.path.join(fixture_dir, "_cells.json")
+        if not (os.path.exists(sidecar) and os.path.exists(cells_sidecar)):
             continue
         with open(sidecar) as f:
             cents = _json.load(f)
@@ -1474,9 +1478,17 @@ def _mk_oracle_ann_ivf() -> str | None:
             f"SELECT cell, c FROM (VALUES {rows}) t(cell, c)\n"
             f"  WHERE (SELECT count(*) FROM events) = {n_events}"
         )
+        with open(cells_sidecar) as f:
+            pairs = _json.load(f)
+        pair_rows = ", ".join(f"({int(i)}, {int(c)})" for i, c in pairs)
+        cell_branches.append(
+            f"SELECT vec_id, cell FROM (VALUES {pair_rows}) t(vec_id, cell)\n"
+            f"  WHERE (SELECT count(*) FROM events) = {n_events}"
+        )
     if not branches:
         return None
     cent_cte = "\n  UNION ALL\n".join(branches)
+    cellmap_cte = "\n  UNION ALL\n".join(cell_branches)
     cos_probe = _cos("q.qvec", "c.c")
     cos_score = _cos("a.v", "p.qvec")
     return f"""
@@ -1492,13 +1504,21 @@ cent AS (
          NULL
   WHERE NOT EXISTS (SELECT 1 FROM cent_raw)
 ),
+cellmap_raw AS (
+  {cellmap_cte}
+),
+cellmap AS (
+  SELECT * FROM cellmap_raw
+  UNION ALL
+  -- symmetric fail-loud guard: centroids without a matching assignment
+  -- sidecar must raise, not silently 0-row the join below
+  SELECT CASE WHEN error('IVF oracle: events count matches no committed cell-assignment fixture') IS NULL THEN 0 END,
+         0
+  WHERE NOT EXISTS (SELECT 1 FROM cellmap_raw)
+),
 base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 assigned AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT b.vec_id, b.v, c.cell,
-           row_number() OVER (PARTITION BY b.vec_id ORDER BY list_distance(b.v, c.c) ASC, c.cell ASC) AS rn
-    FROM base b CROSS JOIN cent c
-  ) WHERE rn = 1
+  SELECT b.vec_id, b.v, m.cell FROM base b JOIN cellmap m USING (vec_id)
 ),
 q AS (SELECT vec_id AS qid, v AS qvec FROM base WHERE vec_id % 500 = 0),
 probes AS (

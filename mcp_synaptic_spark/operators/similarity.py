@@ -238,6 +238,7 @@ def ivf_index_write(
     id_col: str = "id",
     vec_col: str = "embedding",
     overwrite: bool = False,
+    cells_sidecar: bool = False,
 ) -> list[list[float]]:
     """Persist the IVF index partitioned by `cell` — the build-once half of
     the build/probe split. Index construction NEVER belongs in the query path
@@ -248,21 +249,46 @@ def ivf_index_write(
     along as an underscore-prefixed JSON sidecar (ignored by parquet readers,
     like _SUCCESS). Local-FS sidecar I/O here; on a cluster the same pattern
     targets the object store through its client.
+
+    cells_sidecar=True also writes `_cells.json` — the full (id → cell)
+    assignment as the INDEX produced it, so a parity oracle can read the
+    assignment instead of re-deriving argmin (whose fp rounding can differ
+    from MLlib's fastSquaredDistance on near-ties). This is a TEST/ORACLE
+    artifact: it collects O(N) ids to the driver, so it stays off by default
+    and must never be enabled on a production-scale corpus.
     """
     import json
     import os
 
     sidecar = os.path.join(path, "_centroids.json")
+    cells_path = os.path.join(path, "_cells.json")
     if not overwrite and os.path.exists(sidecar):
         with open(sidecar) as f:
-            return json.load(f)
+            stored = json.load(f)
+        if cells_sidecar and not os.path.exists(cells_path):
+            _write_cells_sidecar(corpus.sparkSession, path, cells_path, id_col)
+        return stored
     assigned, centroids = ivf_build(
         corpus, n_cells=n_cells, seed=seed, max_iter=max_iter, id_col=id_col, vec_col=vec_col
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     with open(sidecar, "w") as f:
         json.dump(centroids, f)
+    if cells_sidecar:
+        _write_cells_sidecar(corpus.sparkSession, path, cells_path, id_col)
     return centroids
+
+
+def _write_cells_sidecar(spark, index_path: str, cells_path: str, id_col: str) -> None:
+    """Dump the persisted index's (id, cell) assignment as a JSON sidecar,
+    sorted by id for determinism. Reads the committed parquet back, so the
+    sidecar always reflects what the index actually stores."""
+    import json
+
+    rows = spark.read.parquet(index_path).select(id_col, "cell").collect()
+    pairs = sorted((int(r[0]), int(r["cell"])) for r in rows)
+    with open(cells_path, "w") as f:
+        json.dump(pairs, f)
 
 
 def ivf_index_load(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
