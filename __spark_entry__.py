@@ -1856,25 +1856,49 @@ FROM kept WHERE rn = 1
 """
 
 
+_BRP_FIXTURE = "/root/repo/.brp_cache/brp_seed42_d64_t3.json"
+
+
+def _mllib_lsh_index(spark: SparkSession, sf_dir: str):
+    """Build-once persisted BRP-LSH index per sf_dir (the IVF treatment —
+    VERDICT r6 item 4): the corpus is normalized + hashed ONCE from the
+    committed plane fixture and written as parquet; queries probe the
+    persisted layout. Idempotent across processes like _ivf_index; index
+    construction is ETL, never a read-path cost."""
+    import json as _json
+
+    from mcp_synaptic_spark.operators.similarity import (
+        mllib_lsh_index_load,
+        mllib_lsh_index_write,
+    )
+
+    with open(_BRP_FIXTURE) as f:
+        planes = _json.load(f)
+    path = os.path.join("/root/repo/.brp_cache", "index_" + sf_dir.strip("/").replace("/", "_"))
+    mllib_lsh_index_write(_t(spark, sf_dir, "embeddings"), path, planes, id_col="vec_id")
+    return mllib_lsh_index_load(spark, path)
+
+
 def _q_ann_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH tier (Euclidean LSH over unit
-    vectors ≡ cosine). Approximate vs exact kNN but DETERMINISTIC given the
-    seed: the model's projection vectors depend only on (seed, dim,
+    vectors ≡ cosine), served from the PERSISTED hashed corpus — no fit and
+    no corpus transform in the query path (build/probe split, like the IVF
+    tier). Deterministic: the projection vectors depend only on (seed, dim,
     numHashTables) — proven data-independent by tools/dump_brp_planes.py and
     committed as .brp_cache/brp_seed42_d64_t3.json — so the oracle replays
     MLlib's floor(dot/bucketLength) bucket ids, the any-table candidate
     union, and the exact re-rank from those literals (FIXTURES.md §7).
     Recall vs exact batch_topk additionally asserted in tests."""
-    from mcp_synaptic_spark.operators.similarity import mllib_lsh_topk
+    from mcp_synaptic_spark.operators.similarity import mllib_lsh_topk_indexed
 
     emb = _t(spark, sf_dir, "embeddings")
+    indexed, planes, bl = _mllib_lsh_index(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 500 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return mllib_lsh_topk(queries, emb, k=5, id_col="vec_id")
-
-
-_BRP_FIXTURE = "/root/repo/.brp_cache/brp_seed42_d64_t3.json"
+    return mllib_lsh_topk_indexed(
+        queries, indexed, planes, k=5, bucket_length=bl, id_col="vec_id"
+    )
 
 
 def _mk_oracle_ann_mllib_lsh() -> str | None:

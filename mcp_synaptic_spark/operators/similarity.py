@@ -181,6 +181,141 @@ def mllib_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _brp_hash_expr(vn_name: str, plane: Sequence[float], bucket_length: float):
+    """MLlib BRP hash for one table, as ONE parsed SQL expression over an
+    fp64-normalized vector column NAME: floor(dot(vn, u)/bucketLength)
+    (BucketedRandomProjectionLSHModel.hashFunction). HOF fold, not unrolled
+    — same tree-size rationale as hyperplane_bucket."""
+    lits = ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in plane)
+    dot_sql = (
+        f"aggregate(zip_with(`{vn_name}`, array({lits}), (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+    return F.expr(f"CAST(FLOOR({dot_sql} / CAST({float(bucket_length)!r} AS DOUBLE)) AS BIGINT)")
+
+
+def mllib_lsh_index_write(
+    corpus: DataFrame,
+    path: str,
+    planes: Sequence[Sequence[float]],
+    *,
+    bucket_length: float = 1.0,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    overwrite: bool = False,
+) -> None:
+    """Persist the BRP-LSH-hashed corpus — the build-once half of the
+    build/probe split (same contract as ivf_index_write). At 100 TB the
+    expensive half of MLlib's approxSimilarityJoin is re-transforming the
+    corpus per query; hashing it ONCE and persisting (vn + one bucket id per
+    table) turns every subsequent query into a candidate equi-join against a
+    parquet scan. `planes` are the projection unit-vectors (data-independent
+    given seed — FIXTURES.md §7), stored in a `_planes.json` sidecar so the
+    probe side reproduces the identical hash.
+
+    Idempotent: an existing index at `path` (overwrite=False) is left as-is.
+    """
+    import json
+    import os
+
+    sidecar = os.path.join(path, "_planes.json")
+    if not overwrite and os.path.exists(sidecar):
+        return
+    normalized = corpus.select(
+        F.col(id_col), l2_normalize(F.col(vec_col)).alias("vn")
+    )
+    hashed = normalized.select(
+        id_col,
+        "vn",
+        *[_brp_hash_expr("vn", p, bucket_length).alias(f"h{i}") for i, p in enumerate(planes)],
+    )
+    hashed.write.mode("overwrite").parquet(path)
+    with open(sidecar, "w") as f:
+        json.dump(
+            {"planes": [[float(x) for x in p] for p in planes], "bucket_length": bucket_length},
+            f,
+        )
+
+
+def mllib_lsh_index_load(spark, path: str) -> tuple[DataFrame, list[list[float]], float]:
+    """Open a persisted BRP-LSH index → (hashed corpus frame, planes,
+    bucket_length)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_planes.json")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(path), meta["planes"], float(meta["bucket_length"])
+
+
+def mllib_lsh_topk_indexed(
+    queries: DataFrame,
+    indexed_corpus: DataFrame,
+    planes: Sequence[Sequence[float]],
+    *,
+    k: int = 10,
+    bucket_length: float = 1.0,
+    threshold: float = 2.0,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    id_col: str = "id",
+) -> DataFrame:
+    """BRP-LSH top-k against a PERSISTED hashed corpus — no fit, no corpus
+    transform in the query path. Bit-compatible with mllib_lsh_topk given
+    the same planes (the fit is only a plane draw): candidates are DISTINCT
+    pairs sharing ANY table's bucket (what approxSimilarityJoin's hash-entry
+    explode + equi-join produces), then the exact re-rank keeps l2 <
+    threshold and scores cos ≡ 1 − l2²/2 over the stored unit vectors.
+
+    Physical shape at scale: the query side is tiny (hash + normalize a few
+    vectors) and broadcast; candidate generation is a broadcast equi-join on
+    (table, bucket) over a narrow (id, h*) projection of the index scan;
+    vectors (vn) are read only for the candidate set via a second broadcast
+    semi-join. One shuffle total (the final per-qid rank window over ≤
+    candidate rows).
+    """
+    nt = len(planes)
+    q = queries.select(
+        F.col(query_id_col), l2_normalize(F.col(query_vec_col)).alias("qn")
+    ).select(
+        query_id_col,
+        "qn",
+        *[_brp_hash_expr("qn", p, bucket_length).alias(f"qh{i}") for i, p in enumerate(planes)],
+    )
+    qx = q.select(
+        query_id_col,
+        F.posexplode(F.array(*[F.col(f"qh{i}") for i in range(nt)])).alias("tbl", "hb"),
+    )
+    cx = indexed_corpus.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"h{i}") for i in range(nt)])).alias("tbl", "hb"),
+    )
+    cand = (
+        cx.join(F.broadcast(qx), ["tbl", "hb"]).select(query_id_col, id_col).distinct()
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("qn"), F.col("vn"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        cand.join(indexed_corpus.select(id_col, "vn"), id_col)
+        .join(F.broadcast(q.select(query_id_col, "qn")), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(F.lit(1.0) - l2 * l2 / 2.0, ROUND_DP).alias("score"),
+            l2.alias("_l2"),
+        )
+        .where(F.col("_l2") < threshold)
+        .drop("_l2")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def auto_n_cells(n_rows: int, *, lo: int = 4, hi: int = 65536) -> int:
     """Corpus-size-derived IVF cell count: ≈ √N (the standard IVF sizing —
     balances cell-scan cost ~N/cells against centroid-probe cost ~cells;

@@ -141,3 +141,35 @@ def test_auto_index_sizing():
         p = S.auto_n_planes(n)
         if p < 20:
             assert 8 <= n / 2**p <= 32
+
+
+def test_mllib_lsh_indexed_matches_fit_path(spark, sf_dir, tmp_path):
+    """The persisted-index probe (mllib_lsh_topk_indexed) must return the
+    exact rows the fit-per-call path returns for the same planes: the BRP
+    fit is only a plane draw (data-independent, committed fixture), so the
+    build/probe split may not change a single (qid, id, score, rank)."""
+    import json
+
+    with open("/root/repo/.brp_cache/brp_seed42_d64_t3.json") as f:
+        planes = json.load(f)
+
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    fit_rows = sorted(
+        (r.qid, r.id, r.score, r.rank)
+        for r in S.mllib_lsh_topk(queries, emb, k=K, num_hash_tables=3, seed=42).collect()
+    )
+
+    path = str(tmp_path / "brp_index")
+    S.mllib_lsh_index_write(emb, path, planes)
+    indexed, loaded_planes, bl = S.mllib_lsh_index_load(spark, path)
+    assert loaded_planes == planes and bl == 1.0
+    idx_rows = sorted(
+        (r.qid, r.id, r.score, r.rank)
+        for r in S.mllib_lsh_topk_indexed(queries, indexed, loaded_planes, k=K, bucket_length=bl).collect()
+    )
+    assert idx_rows == fit_rows
+
+    # idempotence: a second write against an existing index is a no-op
+    S.mllib_lsh_index_write(emb.limit(1), path, planes)
+    again, _, _ = S.mllib_lsh_index_load(spark, path)
+    assert again.count() == indexed.count()
