@@ -173,3 +173,79 @@ def test_embedding_lsh_crossover_beats_exact(spark):
     assert t_lsh < 2 * t_exact, (
         f"LSH ({t_lsh:.1f}s) should be sub-quadratic vs exact ({t_exact:.1f}s) at N={n}"
     )
+
+
+def test_max_bucket_caps_degenerate_bucket_fanout(spark):
+    """VERDICT r6 item 5: one degenerate bucket (hundreds of identical short
+    docs sharing every block/band) must not go quadratic when max_bucket is
+    set — and pairs living in small buckets must survive the cap."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.dedup import (
+        _cap_bucket_occupancy,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    # 300 identical boilerplate docs (the degenerate bucket) + one planted
+    # near-dup pair of longer distinct docs + filler singletons
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur") for i in range(300)]
+    planted = [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    filler = [(2000 + i, f"unique document number {i} with words w{i} x{i} y{i} z{i}") for i in range(20)]
+    docs = spark.createDataFrame(boiler + planted + filler, "doc_id long, text string")
+
+    # uncapped: the degenerate cluster dominates — 300*299/2 pairs from it
+    uncapped = simhash_pairs(docs, max_hamming=3).count()
+    assert uncapped >= 300 * 299 // 2
+
+    # capped: degenerate-bucket pairs are dropped, planted pair survives
+    capped = simhash_pairs(docs, max_hamming=3, max_bucket=50).collect()
+    capped_pairs = {(r.id_a, r.id_b) for r in capped}
+    assert (1000, 1001) in capped_pairs
+    assert not any(a < 300 and b < 300 for a, b in capped_pairs)
+
+    capped_mh = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=50).collect()
+    mh_pairs = {(r.id_a, r.id_b) for r in capped_mh}
+    assert (1000, 1001) in mh_pairs
+    assert not any(a < 300 and b < 300 for a, b in mh_pairs)
+
+    # the cap bounds join fan-out directly: no surviving key holds > cap rows
+    keyed = docs.select(
+        F.col("doc_id").alias("id"), F.md5("text").alias("blk"), F.lit(0).alias("val")
+    )
+    surv = _cap_bucket_occupancy(keyed, ["blk", "val"], 50)
+    max_occ = surv.groupBy("blk", "val").count().agg(F.max("count")).first()[0]
+    assert max_occ is not None and max_occ <= 50
+
+
+def test_max_bucket_caps_embedding_lsh(spark):
+    """Same cap on the hyperplane-LSH embedding path: a pile of identical
+    vectors shares a bucket in EVERY table; capped runs drop those pairs and
+    keep a planted near-identical pair elsewhere."""
+    import math
+
+    from mcp_synaptic_spark.operators.dedup import embedding_near_dup_pairs_lsh
+
+    dim = 8
+    base = [1.0 if i == 0 else 0.0 for i in range(dim)]
+    rot = [math.cos(0.05) if i == 0 else (math.sin(0.05) if i == 1 else 0.0) for i in range(dim)]
+    other = [1.0 if i == 3 else 0.0 for i in range(dim)]
+    rows = (
+        [(i, base) for i in range(200)]                      # degenerate pile
+        + [(1000, other), (1001, [x * 0.999 + (0.001 if i == 4 else 0.0) for i, x in enumerate(other)])]
+        + [(1500, rot)]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    uncapped = embedding_near_dup_pairs_lsh(emb, dim=dim, n_planes=4, threshold=0.9).count()
+    assert uncapped >= 200 * 199 // 2
+
+    capped = embedding_near_dup_pairs_lsh(
+        emb, dim=dim, n_planes=4, threshold=0.9, max_bucket=50
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in capped}
+    assert (1000, 1001) in pairs
+    assert not any(a < 200 and b < 200 for a, b in pairs)
