@@ -1,0 +1,257 @@
+"""TxnTable (state/txn.py): the Delta-protocol ACID backend for the memory
+store — commit atomicity, optimistic concurrency (no lost updates),
+copy-on-write pruning, crash/orphan behavior, snapshot isolation, and the
+transactional expiry sweep twin (no rename dance, exactly-once events)."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from mcp_synaptic_spark.state.txn import TxnTable, drain_events
+from mcp_synaptic_spark.streaming.expiry import sweep_once_txn
+
+SCHEMA = "key string, updated_at timestamp, expires_at timestamp, payload string"
+
+
+def _rows(spark, *triples):
+    return spark.createDataFrame(
+        [
+            (k, datetime(2025, 1, 1, tzinfo=timezone.utc), exp, p)
+            for k, exp, p in triples
+        ],
+        SCHEMA,
+    )
+
+
+def test_create_read_upsert_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _rows(spark, ("a", None, "1"), ("b", None, "2")))
+    assert t.version() == 0
+    assert {r.key for r in t.read().collect()} == {"a", "b"}
+
+    v = t.upsert(_rows(spark, ("b", None, "2x"), ("c", None, "3")))
+    assert v == 1
+    got = {r.key: r.payload for r in t.read().collect()}
+    assert got == {"a": "1", "b": "2x", "c": "3"}  # last-writer-wins on b
+
+
+def test_snapshot_isolation_and_empty_upsert(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _rows(spark, ("a", None, "1")))
+    old = t.read(0)
+    t.upsert(_rows(spark, ("a", None, "2")))
+    # the version-0 reader still sees its snapshot after the commit
+    assert [r.payload for r in old.collect()] == ["1"]
+    assert [r.payload for r in t.read().collect()] == ["2"]
+    # empty update batch commits nothing
+    assert t.upsert(t.read().limit(0)) == t.version() == 1
+
+
+def test_conflict_retry_loses_no_update(spark, tmp_path):
+    """Simulated race: writer B publishes the contested version while writer
+    A is mid-flight (forced by pre-creating A's target commit file from B's
+    data). A's os.link must fail, and A's retry must land BOTH updates."""
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _rows(spark, ("a", None, "base")))
+
+    real_publish = t._try_publish
+    raced = {"done": False}
+
+    def racing_publish(version, commit):
+        if not raced["done"]:
+            raced["done"] = True
+            # writer B sneaks in and wins this exact version first
+            b = TxnTable(spark, path)
+            assert b.upsert(_rows(spark, ("b", None, "fromB"))) == version
+        return real_publish(version, commit)
+
+    t._try_publish = racing_publish
+    v = t.upsert(_rows(spark, ("c", None, "fromA")))
+    assert v == 2  # lost version 1 to B, retried as 2
+    got = {r.key: r.payload for r in t.read().collect()}
+    assert got == {"a": "base", "b": "fromB", "c": "fromA"}
+
+
+def test_threaded_writers_no_lost_updates(spark, tmp_path):
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _rows(spark, ("seed", None, "0")))
+
+    def write(i):
+        TxnTable(spark, path).upsert(_rows(spark, (f"k{i}", None, str(i))))
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(write, range(8)))
+    keys = {r.key for r in t.read().collect()}
+    assert keys == {"seed"} | {f"k{i}" for i in range(8)}
+    assert t.version() == 8  # one commit per successful upsert, none lost
+
+
+def test_crash_before_publish_is_invisible_and_vacuumable(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _rows(spark, ("a", None, "1")))
+    # simulate a crash: data dir written, commit never published
+    orphan, _ = t._write_data_dir(_rows(spark, ("ghost", None, "x")))
+    assert {r.key for r in t.read().collect()} == {"a"}  # reader unaffected
+    removed = t.vacuum()
+    assert removed == [orphan]
+    assert not os.path.isdir(os.path.join(path, orphan))
+    # table still fully functional
+    t.upsert(_rows(spark, ("b", None, "2")))
+    assert {r.key for r in t.read().collect()} == {"a", "b"}
+
+
+def test_partial_commit_file_never_visible(spark, tmp_path):
+    """The publish primitive links a fully-written fsynced temp file — there
+    is no moment where a commit path exists with partial content."""
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _rows(spark, ("a", None, "1")))
+    for name in os.listdir(os.path.join(path, "_txn")):
+        with open(os.path.join(path, "_txn", name)) as f:
+            json.load(f)  # every visible commit parses
+
+
+def test_upsert_rewrites_only_overlapping_dirs(spark, tmp_path):
+    """Copy-on-write pruning: an upsert whose key range misses a directory
+    carries that directory over by reference (same dir name stays live)."""
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _rows(spark, ("a1", None, "1"), ("a2", None, "2")))
+    t.upsert(_rows(spark, ("z1", None, "26")))  # disjoint range → new dir
+    live_before = {d["dir"] for d in t._read_commit(t.version())["live"]}
+    assert len(live_before) == 2
+
+    t.upsert(_rows(spark, ("z1", None, "26x")))  # hits only the z-dir range
+    live_after = t._read_commit(t.version())["live"]
+    carried = {d["dir"] for d in live_after} & live_before
+    # the a-range dir survived untouched; the z-range dir was rewritten
+    assert len(carried) == 1
+    a_dir = next(d for d in live_after if d["dir"] in carried)
+    assert a_dir["hi"] < "z"
+    got = {r.key: r.payload for r in t.read().collect()}
+    assert got == {"a1": "1", "a2": "2", "z1": "26x"}
+    assert t.read().count() == 3  # the rewrite didn't duplicate z1
+
+
+def test_delete_where_with_events_single_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxnTable.create(
+        spark,
+        path,
+        _rows(
+            spark,
+            ("keep", None, "1"),
+            ("drop1", datetime(2024, 1, 1, tzinfo=timezone.utc), "2"),
+            ("drop2", datetime(2024, 1, 1, tzinfo=timezone.utc), "3"),
+        ),
+    )
+    now = F.to_timestamp(F.lit("2025-06-01 00:00:00"))
+    cond = F.col("expires_at").isNotNull() & (F.col("expires_at") <= now)
+    v, n = t.delete_where(cond, events_of=lambda m: m.select("key"))
+    assert (v, n) == (1, 2)
+    assert {r.key for r in t.read().collect()} == {"keep"}
+    # events ride the same commit
+    c = t._read_commit(1)
+    assert c["events"].startswith("e-")
+    evs = spark.read.parquet(os.path.join(path, c["events"]))
+    assert {r.key for r in evs.collect()} == {"drop1", "drop2"}
+    # no-match delete commits nothing
+    assert t.delete_where(cond) == (1, 0)
+
+
+def test_sweep_once_txn_counts_and_events_exactly_once(spark, tmp_path):
+    path, events_dir = str(tmp_path / "t"), str(tmp_path / "events")
+    past = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    t = TxnTable.create(
+        spark,
+        path,
+        _rows(spark, ("live", None, "1"), ("dead1", past, "2"), ("dead2", past, "3")),
+    )
+    now = datetime(2025, 6, 1, tzinfo=timezone.utc)
+    assert sweep_once_txn(t, events_dir, now=now) == 2
+    assert {r.key for r in t.read().collect()} == {"live"}
+    evs = spark.read.parquet(events_dir)
+    assert sorted(r.key for r in evs.collect()) == ["dead1", "dead2"]
+    assert {r.event_type for r in evs.collect()} == {"memory_expired"}
+    # idempotent second sweep: nothing expired, nothing re-delivered
+    assert sweep_once_txn(t, events_dir, now=now) == 0
+    assert spark.read.parquet(events_dir).count() == 2
+
+
+def test_sweep_once_txn_crash_between_commit_and_drain(spark, tmp_path):
+    """Crash AFTER the delete commit but BEFORE the drain: the next sweep
+    delivers the stranded events exactly once — the txn twin of
+    test_expiry_sweep_events_exactly_once_across_crash, with no rename
+    dance and no recovery path to run."""
+    path, events_dir = str(tmp_path / "t"), str(tmp_path / "events")
+    past = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    t = TxnTable.create(spark, path, _rows(spark, ("live", None, "1"), ("dead", past, "2")))
+    now = datetime(2025, 6, 1, tzinfo=timezone.utc)
+    now_col = F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S")))
+    cond = F.col("expires_at").isNotNull() & (F.col("expires_at") <= now_col)
+    # the sweep's commit half only — "crash" before any drain runs
+    _, n = t.delete_where(
+        cond,
+        events_of=lambda m: m.select(
+            F.lit("memory_expired").alias("event_type"), F.col("key"), now_col.alias("ts")
+        ),
+    )
+    assert n == 1
+    assert not os.path.isdir(events_dir)  # events not delivered yet
+    # state is already consistent — the commit was atomic
+    assert {r.key for r in t.read().collect()} == {"live"}
+    # next sweep drains first, then finds nothing new to expire
+    assert sweep_once_txn(t, events_dir, now=now) == 0
+    assert [r.key for r in spark.read.parquet(events_dir).collect()] == ["dead"]
+    # and a third pass re-delivers nothing (drained marker seals the version)
+    drain_events(t, events_dir)
+    assert spark.read.parquet(events_dir).count() == 1
+
+
+def test_vacuum_reclaims_superseded_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _rows(spark, ("a", None, "1")))
+    t.upsert(_rows(spark, ("a", None, "2")))
+    t.upsert(_rows(spark, ("a", None, "3")))
+    all_dirs = [n for n in os.listdir(path) if n.startswith("d-")]
+    assert len(all_dirs) == 3
+    removed = t.vacuum(keep_from_version=t.version())
+    assert len(removed) == 2
+    # latest version still reads fine
+    assert [r.payload for r in t.read().collect()] == ["3"]
+
+
+def test_sweep_backend_flag_dispatch(spark, tmp_path):
+    """sweep_once(backend='txn') over a TxnTable root must agree with the
+    default parquet backend on the same rows: same expired count, same
+    surviving keys, same delivered events."""
+    from mcp_synaptic_spark.streaming.expiry import sweep_once
+
+    past = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [("live", None, "1"), ("dead1", past, "2"), ("dead2", past, "3")]
+    now = datetime(2025, 6, 1, tzinfo=timezone.utc)
+
+    pq_state, pq_events = str(tmp_path / "pq"), str(tmp_path / "pq_events")
+    _rows(spark, *rows).write.parquet(pq_state)
+    n_pq = sweep_once(spark, pq_state, pq_events, now=now)
+
+    tx_state, tx_events = str(tmp_path / "tx"), str(tmp_path / "tx_events")
+    TxnTable.create(spark, tx_state, _rows(spark, *rows))
+    n_tx = sweep_once(spark, tx_state, tx_events, now=now, backend="txn")
+
+    assert n_pq == n_tx == 2
+    assert {r.key for r in spark.read.parquet(pq_state).collect()} == {
+        r.key for r in TxnTable(spark, tx_state).read().collect()
+    } == {"live"}
+    assert sorted(r.key for r in spark.read.parquet(pq_events).collect()) == sorted(
+        r.key for r in spark.read.parquet(tx_events).collect()
+    ) == ["dead1", "dead2"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown backend"):
+        sweep_once(spark, pq_state, pq_events, backend="nope")
