@@ -1,0 +1,201 @@
+"""Scale validation (VERDICT r6 item 6): run the dedup/ANN/memory pipelines
+at ~sf1 (the committed testdata tops out at sf0.1, so the corpus is sf0.1
+replicated 10x with offset ids — 20k vectors, 5k docs x10, 100k memories
+x10) and record a BENCH-style JSON. The point is to exercise the
+corpus-size-derived knobs (auto_n_planes, auto_n_cells, max_bucket) where
+they actually bite, and to catch any operator whose scaling deviates from
+its design claim.
+
+Replication makes every row a 10-way exact-duplicate group — deliberately
+the dedup-workload shape (known ground truth: C(10,2)=45 pairs per group),
+and the worst case for bucket occupancy, which is what max_bucket exists
+for.
+
+Usage: python tools/scale_bench.py [REP] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mcp_synaptic_spark.session import get_spark
+from mcp_synaptic_spark.sources.tables import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = "/tmp/spark_graft_scale10"
+
+
+def build_corpus(spark, rep: int):
+    reps = spark.range(rep).select(F.col("id").alias("rep"))
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .crossJoin(F.broadcast(reps))
+        .select((F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"), "embedding")
+    )
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .crossJoin(F.broadcast(reps))
+        .select((F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text")
+    )
+    # write out so every operator reads a realistically-partitioned table,
+    # not an in-memory cross join
+    emb.write.mode("overwrite").parquet(f"{SCRATCH}/embeddings")
+    docs.write.mode("overwrite").parquet(f"{SCRATCH}/documents")
+    return (
+        spark.read.parquet(f"{SCRATCH}/embeddings"),
+        spark.read.parquet(f"{SCRATCH}/documents"),
+    )
+
+
+def main() -> None:
+    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE_r07.json"
+    spark = get_spark("scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from mcp_synaptic_spark.operators.dedup import (
+        embedding_near_dup_pairs_lsh,
+        exact_dedup_groups,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from mcp_synaptic_spark.operators.similarity import (
+        auto_n_cells,
+        auto_n_planes,
+        ivf_index_load,
+        ivf_index_write,
+        ivf_topk,
+        lsh_topk_join,
+        mllib_lsh_index_load,
+        mllib_lsh_index_write,
+        mllib_lsh_topk_indexed,
+    )
+
+    emb, docs = build_corpus(spark, rep)
+    n_emb, n_docs = emb.count(), docs.count()
+    queries = emb.where(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    timings: dict[str, float] = {}
+    checks: dict[str, object] = {
+        "rep": rep,
+        "n_embeddings": n_emb,
+        "n_documents": n_docs,
+        "auto_n_planes": auto_n_planes(n_emb),
+        "auto_n_cells": auto_n_cells(n_emb),
+    }
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        result = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"{name}: {timings[name]}s -> {result}", flush=True)
+        return result
+
+    # --- dedup tier: ground truth is exact (45 pairs per replicated group) --
+    n_groups = timed("dedup_exact_groups", lambda: exact_dedup_groups(docs).count())
+    checks["dedup_exact_groups_ok"] = bool(n_groups >= n_docs // rep)
+
+    pairs_goal = n_emb // rep * (rep * (rep - 1) // 2)
+    n_lsh = timed(
+        "dedup_embedding_lsh_auto",
+        lambda: embedding_near_dup_pairs_lsh(emb, threshold=0.9, dim=64).count(),
+    )
+    checks["dedup_embedding_lsh_recall_identical"] = bool(n_lsh == pairs_goal)
+
+    n_lsh_capped = timed(
+        "dedup_embedding_lsh_capped",
+        lambda: embedding_near_dup_pairs_lsh(
+            emb, threshold=0.9, dim=64, max_bucket=100
+        ).count(),
+    )
+    checks["dedup_embedding_lsh_capped_pairs"] = n_lsh_capped
+
+    timed("dedup_minhash", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
+    timed(
+        "dedup_minhash_capped",
+        lambda: minhash_lsh_pairs(docs, threshold=0.5, max_bucket=200).count(),
+    )
+    timed("dedup_simhash", lambda: simhash_pairs(docs, max_hamming=3).count())
+
+    # --- ANN tier: auto-sized knobs, build/probe split ----------------------
+    timed(
+        "ann_lsh_topk_auto",
+        lambda: lsh_topk_join(queries, emb, dim=64, k=5, n_planes=None, id_col="vec_id").count(),
+    )
+
+    ivf_path = f"{SCRATCH}/ivf_index"
+    shutil.rmtree(ivf_path, ignore_errors=True)
+    timed(
+        "ivf_index_build_auto",
+        lambda: ivf_index_write(emb, ivf_path, n_cells=None, id_col="vec_id") and None,
+    )
+    indexed, centroids = ivf_index_load(spark, ivf_path)
+    checks["ivf_cells_built"] = len(centroids)
+    timed(
+        "ann_ivf_probe",
+        lambda: ivf_topk(queries, indexed, centroids, k=5, nprobe=8, id_col="vec_id").count(),
+    )
+
+    brp_path = f"{SCRATCH}/brp_index"
+    shutil.rmtree(brp_path, ignore_errors=True)
+    with open("/root/repo/.brp_cache/brp_seed42_d64_t3.json") as f:
+        planes = json.load(f)
+    timed(
+        "mllib_lsh_index_build",
+        lambda: mllib_lsh_index_write(emb, brp_path, planes, id_col="vec_id"),
+    )
+    bidx, bplanes, bl = mllib_lsh_index_load(spark, brp_path)
+    timed(
+        "ann_mllib_probe",
+        lambda: mllib_lsh_topk_indexed(
+            queries, bidx, bplanes, k=5, bucket_length=bl, id_col="vec_id"
+        ).count(),
+    )
+
+    # --- memory tier at 10x -------------------------------------------------
+    from mcp_synaptic_spark.operators.memory import memory_stats, upsert_by_key
+    from mcp_synaptic_spark.sources.memories import NOW_TS, memories_from_events
+
+    mem = memories_from_events(load_table(spark, SF_DIR, "events"))
+    reps = spark.range(rep).select(F.col("id").alias("rep"))
+    big_mem = (
+        mem.crossJoin(F.broadcast(reps))
+        .withColumn("key", F.concat_ws("-", F.col("key"), F.col("rep")))
+        .drop("rep")
+    )
+    big_mem.write.mode("overwrite").parquet(f"{SCRATCH}/memories")
+    big_mem = spark.read.parquet(f"{SCRATCH}/memories")
+    n_mem = big_mem.count()
+    checks["n_memories"] = n_mem
+
+    updates = big_mem.limit(n_mem // 100).withColumn("content", F.lit("updated"))
+    timed("memory_upsert_10x", lambda: upsert_by_key(big_mem, updates).count())
+    now_col = F.to_timestamp(F.lit(NOW_TS))
+    timed("memory_stats_10x", lambda: memory_stats(big_mem, now_col).count())
+
+    total = round(sum(timings.values()), 3)
+    payload = {
+        "metric": "scale_validation_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf_equivalent": 0.1 * rep,
+        "checks": checks,
+    }
+    print(json.dumps(payload))
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
