@@ -103,7 +103,10 @@ def main() -> None:
 
     # --- dedup tier: ground truth is exact (45 pairs per replicated group) --
     n_groups = timed("dedup_exact_groups", lambda: exact_dedup_groups(docs).count())
-    checks["dedup_exact_groups_ok"] = bool(n_groups >= n_docs // rep)
+    # every distinct base text becomes one >1-member group after replication
+    # (base-corpus exact dups merge groups, so compare against distinct texts)
+    n_distinct = docs.select("text").distinct().count()
+    checks["dedup_exact_groups_ok"] = bool(n_groups == n_distinct)
 
     pairs_goal = n_emb // rep * (rep * (rep - 1) // 2)
     n_lsh = timed(
@@ -178,7 +181,7 @@ def main() -> None:
     n_mem = big_mem.count()
     checks["n_memories"] = n_mem
 
-    updates = big_mem.limit(n_mem // 100).withColumn("content", F.lit("updated"))
+    updates = big_mem.limit(n_mem // 100).withColumn("metadata", F.lit("updated"))
     timed("memory_upsert_10x", lambda: upsert_by_key(big_mem, updates).count())
     now_col = F.to_timestamp(F.lit(NOW_TS))
     timed("memory_stats_10x", lambda: memory_stats(big_mem, now_col).count())
