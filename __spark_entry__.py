@@ -599,6 +599,37 @@ WHERE rn = 1 AND (key LIKE '%7' OR key LIKE '%1')
 """
 
 
+def _q_memory_upsert_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/S2 through the ACID backend (state/txn.py): the SAME deterministic
+    update batch as memory_upsert, but executed as real table commits —
+    create (version 0), one optimistic upsert commit (version 1), read the
+    committed state back from disk. Graded against the SAME pure-transform
+    oracle (_ORACLE_MEMORY_UPSERT): the commit protocol, copy-on-write
+    rewrite, and parquet round-trip may not change a single row. The table
+    root is recreated per call (deterministic, idempotent; temp-dir ETL —
+    bench.py skips write-path queries, see its SKIP note)."""
+    import shutil
+    import tempfile
+
+    from mcp_synaptic_spark.state.txn import TxnTable
+
+    mem = _memories(spark, sf_dir)
+    updates = (
+        mem.where(F.col("key").endswith("7"))
+        .withColumn("data", F.lit('{"updated": true}'))
+        .withColumn("updated_at", now_col())
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_txn_upsert_" + sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxnTable.create(spark, path, mem)
+    t.upsert(updates)
+    return t.read().where(F.col("key").endswith("7") | F.col("key").endswith("1")).select(
+        "key", "data", "updated_at"
+    )
+
+
 def _q_memory_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2/X10 — touch two keys; emit them plus an untouched control row.
 
@@ -2212,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cleanup_expired_count": _q_cleanup_expired_count,
         "memories_live_count": _q_memories_live_count,
         "memory_upsert": _q_memory_upsert,
+        "memory_upsert_txn": _q_memory_upsert_txn,  # ACID backend, new r7
         "memory_touch": _q_memory_touch,
         "memory_delete": _q_memory_delete,
         "memory_exists": _q_memory_exists,
@@ -2219,10 +2251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- bench-regression watch (r6 driver-run noise cluster) ---------
         "tpch_q1": _q_tpch_q1,
         "memory_report": _q_memory_report,
-        "orders_page": _q_orders_page,
         # ---- entry 50 ends here ------------------------------------------
         # tail: every entry below is green in CORRECTNESS_r06 and its
         # operator files are unchanged this round
+        "orders_page": _q_orders_page,
         "ts_parse_multi": _q_ts_parse_multi,
         "frame_sample": _q_frame_sample,
         "token_stats": _q_token_stats,
@@ -2262,6 +2294,8 @@ def oracle_sql() -> dict[str, str]:
         "memories_live_count": _ORACLE_MEMORIES_LIVE,
         "parse_ttl": _ORACLE_PARSE_TTL,
         "memory_upsert": _ORACLE_MEMORY_UPSERT,
+        # the ACID write path must reproduce the pure transform exactly
+        "memory_upsert_txn": _ORACLE_MEMORY_UPSERT,
         "memory_touch": _ORACLE_MEMORY_TOUCH,
         "memory_delete": _ORACLE_MEMORY_DELETE,
         "memory_exists": _ORACLE_MEMORY_EXISTS,
