@@ -4,8 +4,12 @@ The reference is an OLTP-ish keyed store (SQLite/Redis). The Spark-first
 re-expression treats the ``memories`` table as state and each operation as a
 deterministic DataFrame transform ``state → state'`` (SURVEY §7 "OLTP-on-
 batch"). Upserts use union + window-dedupe on (key, updated_at) so vanilla
-parquet suffices; on a Delta-enabled cluster the same transforms compile to
-MERGE/DELETE.
+parquet suffices; the DURABLE multi-writer story (the reference's SQLite
+transactionality) is state/txn.py — a Delta-protocol commit log whose
+``TxnTable.upsert``/``delete_where`` apply these same transforms
+copy-on-write under optimistic concurrency (graded end-to-end by the
+``memory_upsert_txn`` oracle query). On a Delta-enabled cluster they
+compile to MERGE/DELETE instead.
 
 Scale notes: every transform here is a narrow map or a single keyed shuffle on
 ``key`` — partition the table by bucket(key) in production and the window

@@ -9,7 +9,9 @@ Reference behavior re-expressed:
   expired rows of each sweep are appended to an events sink table — a
   change feed any downstream reader can readStream.
 
-State lives in parquet (swap for Delta on a cluster for ACID rewrites — the
+State lives in parquet; sweep_once(backend="txn") runs the same sweep over
+a state/txn.py TxnTable for multi-writer ACID (swap for Delta on a cluster —
+the
 transforms are identical). The sweep is driven by a rate-source tick; each
 tick is one sweep.
 """
