@@ -213,14 +213,27 @@ def mllib_lsh_index_write(
     given seed — FIXTURES.md §7), stored in a `_planes.json` sidecar so the
     probe side reproduces the identical hash.
 
-    Idempotent: an existing index at `path` (overwrite=False) is left as-is.
+    Idempotent with a staleness guard: an existing index at `path`
+    (overwrite=False) is reused only while its recorded (row count, planes,
+    bucket_length) still match — the planes are data-independent, but the
+    hashed CORPUS isn't, and silently serving a stale index against a
+    regenerated dataset is exactly the divergence the IVF tier's
+    _check_centroids_committed exists to prevent. The row-count probe is a
+    parquet-metadata read (no data scan).
     """
     import json
     import os
 
+    meta = {
+        "planes": [[float(x) for x in p] for p in planes],
+        "bucket_length": bucket_length,
+        "n_rows": corpus.count(),
+    }
     sidecar = os.path.join(path, "_planes.json")
     if not overwrite and os.path.exists(sidecar):
-        return
+        with open(sidecar) as f:
+            if json.load(f) == meta:
+                return
     normalized = corpus.select(
         F.col(id_col), l2_normalize(F.col(vec_col)).alias("vn")
     )
@@ -231,10 +244,7 @@ def mllib_lsh_index_write(
     )
     hashed.write.mode("overwrite").parquet(path)
     with open(sidecar, "w") as f:
-        json.dump(
-            {"planes": [[float(x) for x in p] for p in planes], "bucket_length": bucket_length},
-            f,
-        )
+        json.dump(meta, f)
 
 
 def mllib_lsh_index_load(spark, path: str) -> tuple[DataFrame, list[list[float]], float]:

@@ -36,21 +36,24 @@ def run_expiry_sweep(
     interval_seconds: int = 300,
     now_fn=None,
     checkpoint_dir: str | None = None,
+    backend: str = "parquet",
 ):
     """Start the periodic sweep as a streaming query; returns the handle.
 
     now_fn() -> datetime lets tests pin the clock (defaults to wall clock,
-    matching the reference's behavior).
+    matching the reference's behavior). ``backend`` passes through to
+    sweep_once — "txn" drives the ACID TxnTable sweep on each tick.
 
     The default checkpoint is a SIBLING of state_dir, never inside it: the
-    sweep's write-audit-publish renames state_dir away and deletes the old
-    snapshot, which would destroy an in-dir checkpoint on the first
-    successful publish and kill the streaming query.
+    parquet sweep's write-audit-publish renames state_dir away and deletes
+    the old snapshot, which would destroy an in-dir checkpoint on the first
+    successful publish and kill the streaming query (the txn backend never
+    renames the root, but the sibling default stays uniform).
     """
     ticks = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
 
     def sweep(batch_df: DataFrame, batch_id: int) -> None:
-        sweep_once(spark, state_dir, events_dir, now=(now_fn() if now_fn else None))
+        sweep_once(spark, state_dir, events_dir, now=(now_fn() if now_fn else None), backend=backend)
 
     return (
         ticks.writeStream.trigger(processingTime=f"{interval_seconds} seconds")

@@ -169,7 +169,11 @@ def test_mllib_lsh_indexed_matches_fit_path(spark, sf_dir, tmp_path):
     )
     assert idx_rows == fit_rows
 
-    # idempotence: a second write against an existing index is a no-op
-    S.mllib_lsh_index_write(emb.limit(1), path, planes)
+    # idempotence: rewriting the SAME corpus is a no-op (same recorded meta)
+    S.mllib_lsh_index_write(emb, path, planes)
     again, _, _ = S.mllib_lsh_index_load(spark, path)
     assert again.count() == indexed.count()
+    # staleness guard: a changed corpus (different row count) forces a rebuild
+    S.mllib_lsh_index_write(emb.limit(1), path, planes)
+    rebuilt, _, _ = S.mllib_lsh_index_load(spark, path)
+    assert rebuilt.count() == 1

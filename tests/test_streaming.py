@@ -414,3 +414,48 @@ def test_sweep_rejects_cross_filesystem_dirs(spark, tmp_path, monkeypatch):
     # same-device pair passes (restore real stat)
     monkeypatch.undo()
     E._require_same_filesystem(state, events)
+
+
+def test_run_expiry_sweep_streaming_txn_backend(spark, tmp_path):
+    """The streaming driver ticks the ACID sweep: expired rows leave the
+    TxnTable as commits and events land exactly-once — same harness as the
+    parquet-backend streaming test, different state machinery."""
+    from datetime import datetime, timezone
+
+    from mcp_synaptic_spark.state.txn import TxnTable
+    from mcp_synaptic_spark.streaming.expiry import run_expiry_sweep
+
+    state, events_dir = str(tmp_path / "t"), str(tmp_path / "events")
+    past = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        ("live", datetime(2025, 1, 1, tzinfo=timezone.utc), None, "1"),
+        ("dead", datetime(2025, 1, 1, tzinfo=timezone.utc), past, "2"),
+    ]
+    TxnTable.create(
+        spark,
+        state,
+        spark.createDataFrame(rows, "key string, updated_at timestamp, expires_at timestamp, payload string"),
+    )
+    q = run_expiry_sweep(
+        spark,
+        state,
+        events_dir,
+        interval_seconds=1,
+        now_fn=lambda: datetime(2025, 6, 1, tzinfo=timezone.utc),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        backend="txn",
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        t = TxnTable(spark, state)
+        while time.time() < deadline:
+            if t.version() >= 1 and os.path.isdir(events_dir):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    t = TxnTable(spark, state)
+    assert {r.key for r in t.read().collect()} == {"live"}
+    assert [r.key for r in spark.read.parquet(events_dir).collect()] == ["dead"]
