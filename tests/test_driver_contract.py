@@ -45,6 +45,7 @@ def test_graded_window_holds_the_round_targets():
         "doc_change_feed",                                      # expiry.py
         "memory_upsert", "memory_delete",                       # memory.py txn round
         "memory_upsert_txn",                                    # ACID query new in r7
+        "dedup_simhash_capped",                                 # max_bucket dial, new r7
     )
     for must_grade in r6_tail + r7_touched:
         assert must_grade in window, f"{must_grade} rotated out of the graded window"

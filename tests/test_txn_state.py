@@ -255,3 +255,40 @@ def test_sweep_backend_flag_dispatch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown backend"):
         sweep_once(spark, pq_state, pq_events, backend="nope")
+
+
+def test_txn_random_op_sequences_match_dict_model(spark, tmp_path):
+    """Model-based check: random interleaved upsert/delete sequences applied
+    to a TxnTable must match a plain dict model applying the same ops — the
+    commit log, COW pruning, and range stats may not change keyed-store
+    semantics. Deterministic seed; ~40 commits across 4 scenarios."""
+    import random
+
+    rng = random.Random(1234)
+    keyspace = [f"k{i:02d}" for i in range(30)]
+
+    for scenario in range(4):
+        path = str(tmp_path / f"model{scenario}")
+        seed_keys = rng.sample(keyspace, 8)
+        model = {k: f"v0-{k}" for k in seed_keys}
+        t = TxnTable.create(
+            spark, path, _rows(spark, *[(k, None, model[k]) for k in seed_keys])
+        )
+        for step in range(10):
+            if rng.random() < 0.7:
+                batch_keys = rng.sample(keyspace, rng.randint(1, 5))
+                batch = {k: f"v{step + 1}-{k}" for k in batch_keys}
+                t.upsert(_rows(spark, *[(k, None, v) for k, v in batch.items()]))
+                model.update(batch)
+            else:
+                victim = rng.choice(keyspace)
+                t.delete_where(F.col("key") == victim)
+                model.pop(victim, None)
+                if not model:
+                    break  # table read() needs >=0 rows; empty dir is fine but stop early
+            got = {r.key: r.payload for r in t.read().collect()}
+            assert got == model, f"scenario {scenario} diverged at step {step}"
+        # final state survives vacuum of superseded versions
+        t.vacuum(keep_from_version=t.version())
+        got = {r.key: r.payload for r in t.read().collect()}
+        assert got == model
