@@ -302,16 +302,25 @@ def drain_events(table: TxnTable, events_dir: str, *, up_to_version: int | None 
             if os.path.isdir(pending):
                 for part in os.listdir(pending):
                     if part.endswith(".parquet") and not part.startswith((".", "_")):
-                        os.rename(os.path.join(pending, part), os.path.join(events_dir, part))
+                        try:
+                            os.rename(os.path.join(pending, part), os.path.join(events_dir, part))
+                        except FileNotFoundError:
+                            # a CONCURRENT drainer moved this part between our
+                            # listdir and rename — the destination name is
+                            # identical, so exactly-once delivery holds; skip
+                            pass
             drained += 1
-        with open(marker + ".tmp", "w") as f:
+        # unique tmp per caller (like _try_publish): a SHARED tmp path would
+        # let one drainer's unlink yank the file from under another's link
+        tmp = f"{marker}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
             f.write("")
             f.flush()
             os.fsync(f.fileno())
         try:
-            os.link(marker + ".tmp", marker)
+            os.link(tmp, marker)
         except FileExistsError:
             pass
         finally:
-            os.unlink(marker + ".tmp")
+            os.unlink(tmp)
     return drained

@@ -292,3 +292,26 @@ def test_txn_random_op_sequences_match_dict_model(spark, tmp_path):
         t.vacuum(keep_from_version=t.version())
         got = {r.key: r.payload for r in t.read().collect()}
         assert got == model
+
+
+def test_concurrent_drainers_exactly_once(spark, tmp_path):
+    """Two drainers racing the same committed events: the loser of each
+    part-file rename (FileNotFoundError) must skip, not crash, and the
+    events land exactly once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path, events_dir = str(tmp_path / "t"), str(tmp_path / "events")
+    past = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    t = TxnTable.create(
+        spark, path, _rows(spark, ("live", None, "1"), *[(f"dead{i}", past, str(i)) for i in range(6)])
+    )
+    now = F.to_timestamp(F.lit("2025-06-01 00:00:00"))
+    cond = F.col("expires_at").isNotNull() & (F.col("expires_at") <= now)
+    t.delete_where(cond, events_of=lambda m: m.select("key"))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(lambda _: drain_events(TxnTable(spark, path), events_dir), range(2)))
+
+    assert sorted(r.key for r in spark.read.parquet(events_dir).collect()) == sorted(
+        f"dead{i}" for i in range(6)
+    )
