@@ -5,6 +5,11 @@ the small-query cluster are code-caused or machine noise (VERDICT r6 item 1).
 Each side runs in its own fresh subprocess (fresh JVM, fresh session state),
 A and B alternating so slow machine drift hits both sides equally. Writes one
 JSON line per run to the results file; summarize with --summarize.
+
+Setup (the worktrees are not kept around): ``git worktree add .ab/r5
+<baseline-commit> && git worktree add .ab/r7 <candidate-commit>``; remove
+them with ``git worktree remove --force`` when done. Round-7 conclusions
+from this harness are in PLANS.md note 15.
 """
 
 from __future__ import annotations
