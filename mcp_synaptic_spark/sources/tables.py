@@ -100,6 +100,81 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+# --- interchange formats (JSONL / CSV) -------------------------------------
+#
+# Training-data pipelines exchange JSONL constantly and CSV occasionally;
+# parquet stays the engine-native format (columnar pruning + pushdown), these
+# are the ingest/export seams. Two honesty rules:
+# - readers REQUIRE an explicit schema: inference is lossy (timestamps come
+#   back as strings, longs as doubles) and silently wrong at scale;
+# - the CSV writer REFUSES array/map/struct columns unless asked to stringify
+#   them (CSV has no list type; a silent toString would not round-trip).
+
+
+#: Spark's default JSON/CSV timestampFormat is millisecond-precision, which
+#: silently truncates the micros parquet timestamps carry — pin a µs format
+#: on BOTH directions so instants round-trip exactly.
+_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Export as JSON-lines. Timestamps serialize as ISO-8601 with offset at
+    MICROsecond precision (session UTC — see ensure_session_conf), so a
+    schema-bearing read_jsonl round-trips the exact instant;
+    arrays/maps/structs nest natively."""
+    ensure_session_conf(df.sparkSession)
+    df.write.mode(mode).option("timestampFormat", _TS_FORMAT).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read JSON-lines under an EXPLICIT schema (DDL string or StructType).
+
+    FAILFAST: a row that doesn't parse under the schema raises instead of
+    becoming a silent NULL — at 100 TB a permissive reader turns data bugs
+    into statistical noise you can't find."""
+    ensure_session_conf(spark)
+    return (
+        spark.read.schema(schema)
+        .option("mode", "FAILFAST")
+        .option("timestampFormat", _TS_FORMAT)
+        .json(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite", stringify_complex: bool = False) -> None:
+    """Export as headered CSV. Complex columns (array/map/struct) are
+    rejected unless stringify_complex=True wraps them in to_json — explicit,
+    because the JSON-in-CSV cell needs from_json on the way back in."""
+    complex_cols = [
+        f.name for f in df.schema.fields if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    if complex_cols and not stringify_complex:
+        raise ValueError(
+            f"CSV cannot hold complex columns {complex_cols}; pass "
+            "stringify_complex=True to serialize them as JSON strings "
+            "(read back with from_json), or use write_jsonl"
+        )
+    ensure_session_conf(df.sparkSession)
+    out = df
+    for c in complex_cols:
+        out = out.withColumn(c, F.to_json(F.col(c)))
+    out.write.mode(mode).option("header", "true").option("timestampFormat", _TS_FORMAT).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read headered CSV under an EXPLICIT schema, FAILFAST like read_jsonl.
+    Columns stringified by write_csv(stringify_complex=True) arrive as JSON
+    strings — apply from_json with the original element type to restore."""
+    ensure_session_conf(spark)
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .option("timestampFormat", _TS_FORMAT)
+        .csv(path)
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql access."""
     for name in TABLES:
