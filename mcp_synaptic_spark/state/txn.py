@@ -226,6 +226,32 @@ class TxnTable:
             if self._try_publish(v + 1, commit):
                 return v + 1, n_deleted
 
+    def compact(self) -> int:
+        """Merge all live data directories into one — the OPTIMIZE step of
+        the lifecycle. Every upsert adds a directory, and at scale the
+        accumulation IS the small-file problem: each write's range-stat scan
+        and each read's file listing grow with dir count. Compaction is an
+        ordinary commit (op="compact", same optimistic publish), so it
+        coexists safely with concurrent writers — a conflict just retries —
+        and superseded dirs stay on disk for snapshot readers until
+        vacuum(keep_from_version=...) reclaims them. No-op at ≤1 live dir.
+
+        Production note: Delta's OPTIMIZE bin-packs to a target file size
+        instead of one-dir-total and can run incrementally; same commit
+        mechanics, finer packing policy.
+        """
+        while True:
+            v = self.version()
+            live = self._read_commit(v)["live"]
+            if len(live) <= 1:
+                return v
+            merged = self._read_dirs([d["dir"] for d in live])
+            name, stats = self._write_data_dir(merged)
+            if self._try_publish(
+                v + 1, {"version": v + 1, "op": "compact", "live": [{"dir": name, **stats}]}
+            ):
+                return v + 1
+
     # ------------------------------------------------------------ hygiene
 
     def vacuum(self, keep_from_version: int | None = None) -> list[str]:

@@ -315,3 +315,38 @@ def test_concurrent_drainers_exactly_once(spark, tmp_path):
     assert sorted(r.key for r in spark.read.parquet(events_dir).collect()) == sorted(
         f"dead{i}" for i in range(6)
     )
+
+
+def test_compact_merges_live_dirs_preserving_state(spark, tmp_path):
+    """After a stream of upserts the table holds many small dirs; compact
+    must fold them into ONE live dir with identical rows, behave as a
+    normal commit (version bump, snapshot readers keep their view), and
+    leave the old dirs for vacuum."""
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _rows(spark, ("a", None, "1")))
+    for i in range(5):
+        t.upsert(_rows(spark, (f"k{i}", None, str(i))))
+    before = {r.key: r.payload for r in t.read().collect()}
+    v_before = t.version()
+    live_before = t._read_commit(v_before)["live"]
+    assert len(live_before) == 6  # create + 5 disjoint upserts
+
+    old_reader = t.read(v_before)
+    v = t.compact()
+    assert v == v_before + 1
+    live = t._read_commit(v)["live"]
+    assert len(live) == 1
+    assert {r.key: r.payload for r in t.read().collect()} == before
+    # a snapshot reader of the pre-compaction version still reads its view
+    # (compaction adds a commit, it doesn't touch existing dirs)...
+    assert {r.key: r.payload for r in old_reader.collect()} == before
+    # ...until vacuum's version floor reclaims the superseded dirs
+    removed = t.vacuum(keep_from_version=v)
+    assert len(removed) == 6
+    assert {r.key: r.payload for r in t.read().collect()} == before
+    # compact again is a no-op
+    assert t.compact() == v
+    # subsequent writes still work against the compacted layout
+    t.upsert(_rows(spark, ("k0", None, "updated")))
+    got = {r.key: r.payload for r in t.read().collect()}
+    assert got["k0"] == "updated" and len(got) == len(before)
