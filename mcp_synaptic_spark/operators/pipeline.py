@@ -1,0 +1,226 @@
+"""Training-data pipeline operators beyond the reference surface:
+benchmark decontamination, deterministic dataset splits, stratified
+sampling, and PII redaction.
+
+These are the corpus-preparation steps a large-scale LLM training pipeline
+runs between raw ingestion and tokenization. The reference (an MCP
+memory/RAG server) has no analogue — this module extends the engine the way
+`operators/dedup.py` and `operators/similarity.py` do, with the same
+oracle-twin discipline (every operator is graded against a DuckDB SQL
+equivalent in `__spark_entry__.py`).
+
+Scale design
+------------
+- `ngram_decontaminate`: eval-set n-grams are hashed to 60-bit digests and
+  broadcast (eval benchmarks are ~10⁵–10⁷ grams → tens of MB, always the
+  small side); the train corpus explodes to (id, digest) and inner-joins the
+  broadcast set, so NO train-side shuffle happens until after the match
+  filter — the post-join aggregate sees only contaminated rows (tiny).
+  Digests, not strings, cross the wire.
+- `hash_split`: membership is a pure per-row function of (salt, id) — a
+  narrow projection with zero shuffles and zero global state, so the split
+  is stable under corpus growth, reshuffling, and re-partitioning. This is
+  why hash-splits (not random()) are the production norm: adding documents
+  never reassigns existing ones.
+- `stratified_sample_exact`: one shuffle (partition by stratum) + in-
+  partition sort by a salted hash — exact per-stratum fractions,
+  deterministic. A giant stratum serializes into one sort, so for
+  strata that dwarf executor memory use `stratified_sample_threshold`:
+  zero-shuffle Bernoulli-by-hash-threshold, fraction exact only in
+  expectation but per-row independent — the standard trade at 100 TB.
+- `pii_redact`: narrow regexp projection, whole-stage codegen, zero
+  shuffles. Patterns are RE2-compatible (no backreferences/lookaround) so
+  the DuckDB oracle runs them verbatim.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import shingles_from_tokens, whitespace_tokens
+from .dedup import _h
+
+__all__ = [
+    "ngram_decontaminate",
+    "hash_split",
+    "stratified_sample_exact",
+    "stratified_sample_threshold",
+    "pii_redact",
+    "DEFAULT_PII_PATTERNS",
+]
+
+
+def _salted_hash(salt: str, key: Column) -> Column:
+    """Portable 60-bit hash of 'salt:key' (same md5 recipe as dedup._h, so
+    DuckDB oracles reproduce it bit-for-bit)."""
+    return _h(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+
+
+def _doc_ngram_digests(
+    docs: DataFrame, *, n: int, content_col: str, id_col: str
+) -> DataFrame:
+    """(id, digest) — one row per distinct word-n-gram per document.
+
+    Two-step projection (materialized token array, then shingles) so the
+    tokenizer runs once per row, not once per higher-order-function lambda
+    evaluation (see shingles_from_tokens docstring).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), whitespace_tokens(F.col(content_col)).alias("toks")
+    )
+    return toks.select(
+        "id", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("ng")
+    ).select("id", _h(F.col("ng")).alias("dg"))
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 13,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "report",
+) -> DataFrame:
+    """Benchmark decontamination: find (or drop) training documents sharing
+    any word-n-gram with an evaluation set.
+
+    This is the standard eval-leakage guard (13-gram overlap in GPT-3's
+    appendix; n is a dial — short synthetic docs in tests use smaller n).
+    Documents shorter than n words contribute their full text as one gram,
+    so short eval items still decontaminate.
+
+    mode="report" → (doc_id, n_hits): contaminated train docs with the count
+    of distinct shared n-gram digests (collisions, if any, are identical on
+    both sides of the oracle — the digest recipe is shared).
+    mode="drop"   → the train DataFrame minus contaminated documents.
+    """
+    ev = (
+        _doc_ngram_digests(eval_docs, n=n, content_col=content_col, id_col=id_col)
+        .select("dg")
+        .distinct()
+    )
+    tr = _doc_ngram_digests(train, n=n, content_col=content_col, id_col=id_col)
+    hits = tr.join(F.broadcast(ev), "dg")  # matched rows only reach the agg
+    report = hits.groupBy(F.col("id").alias(id_col)).agg(
+        F.count_distinct("dg").alias("n_hits")
+    )
+    if mode == "report":
+        return report
+    if mode == "drop":
+        return train.join(F.broadcast(report.select(id_col)), id_col, "left_anti")
+    raise ValueError(f"mode must be 'report' or 'drop', got {mode!r}")
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    splits: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by salted id-hash.
+
+    `splits` maps name → fraction (must sum to 1.0). A row's bucket is
+    hash(salt:id) % 1e6 cut by cumulative thresholds, so membership is a
+    pure per-row function: stable under corpus growth and immune to
+    partitioning — the property random() splits lack. Changing `salt`
+    draws an independent split.
+    """
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    bucket = _salted_hash(salt, F.col(id_col)) % F.lit(1_000_000)
+    names = list(splits)
+    cums, acc = [], 0.0
+    for name in names:
+        acc += splits[name]
+        cums.append(int(round(acc * 1_000_000)))
+    expr = reduce(
+        lambda tail, nc: F.when(bucket < F.lit(nc[1]), F.lit(nc[0])).otherwise(tail),
+        reversed(list(zip(names[:-1], cums[:-1]))),
+        F.lit(names[-1]),
+    )
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    *,
+    frac: float,
+    by: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic stratified sample: the ceil(frac·|stratum|) rows with
+    the smallest salted id-hashes in each stratum.
+
+    Exact per-stratum fractions; one shuffle (by stratum). The hash order
+    makes the choice reproducible and salt-switchable. For strata too large
+    to sort in one task, use stratified_sample_threshold (zero-shuffle).
+    """
+    h = _salted_hash(salt, F.col(id_col))
+    w = Window.partitionBy(by).orderBy(h.asc(), F.col(id_col).asc())
+    wall = Window.partitionBy(by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_cnt", F.count(F.lit(1)).over(wall))
+        .where(F.col("_rn") <= F.ceil(F.lit(frac) * F.col("_cnt")))
+        .drop("_rn", "_cnt")
+    )
+
+
+def stratified_sample_threshold(
+    df: DataFrame,
+    *,
+    frac: float,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Zero-shuffle Bernoulli sample by hash threshold: keep rows whose
+    salted hash bucket falls under frac·1e6. Fraction holds in expectation
+    (per-row independent); deterministic per (salt, id). The scale path when
+    a stratum (or the whole corpus) dwarfs a task's sort budget."""
+    bucket = _salted_hash(salt, F.col(id_col)) % F.lit(1_000_000)
+    return df.where(bucket < F.lit(int(round(frac * 1_000_000))))
+
+
+#: (kind, RE2-compatible pattern) applied in order; replacement is [PII:kind].
+DEFAULT_PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}"),
+)
+
+
+def pii_redact(
+    df: DataFrame,
+    *,
+    content_col: str = "text",
+    out_col: str = "clean_text",
+    count_col: str = "n_redacted",
+    patterns: tuple[tuple[str, str], ...] = DEFAULT_PII_PATTERNS,
+) -> DataFrame:
+    """Redact PII-shaped spans, appending the cleaned text and a per-row
+    redaction count.
+
+    Patterns are applied SEQUENTIALLY — each pattern counts and replaces on
+    the output of the previous one — so overlapping pattern classes (an IP
+    inside an already-redacted span) never double-count; the oracle nests
+    its regexp_replace calls in the same order. All-narrow projection: no
+    shuffle, stays in whole-stage codegen.
+    """
+    cur: Column = F.col(content_col)
+    counts: list[Column] = []
+    for kind, pat in patterns:
+        counts.append(F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, f"[PII:{kind}]")
+    return df.withColumn(out_col, cur).withColumn(
+        count_col, reduce(lambda a, b: a + b, counts).cast("bigint")
+    )

@@ -1,0 +1,148 @@
+"""Pipeline-tier operators: n-gram decontamination (report/drop), hash
+splits (determinism, stability under growth, fraction sanity), stratified
+sampling (exact per-stratum ceil, threshold variant determinism), and PII
+redaction (sequential counting, no double-redaction)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_synaptic_spark.operators import pipeline as P
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- decontamination -------------------------------------------------------
+
+def test_decontaminate_flags_shared_ngram_only(spark):
+    ev = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    tr = _docs(
+        spark,
+        [
+            (1, "prefix words alpha beta gamma delta suffix"),  # shares a 4-gram
+            (2, "alpha beta words gamma delta epsilon words"),  # no shared 4-gram
+            (3, "totally unrelated content about engines"),
+        ],
+    )
+    out = {r.doc_id: r.n_hits for r in P.ngram_decontaminate(tr, ev, n=4).collect()}
+    assert out == {1: 1}
+
+
+def test_decontaminate_short_doc_matches_whole_text(spark):
+    # eval doc shorter than n contributes its full text as one gram; a train
+    # doc shorter than n matches iff the whole texts are equal
+    ev = _docs(spark, [(100, "tiny eval")])
+    tr = _docs(spark, [(1, "tiny eval"), (2, "tiny train")])
+    out = {r.doc_id: r.n_hits for r in P.ngram_decontaminate(tr, ev, n=13).collect()}
+    assert out == {1: 1}
+
+
+def test_decontaminate_drop_mode_removes_contaminated(spark):
+    ev = _docs(spark, [(100, "one two three four five")])
+    tr = _docs(spark, [(1, "zero one two three four end"), (2, "clean doc here now")])
+    kept = [r.doc_id for r in P.ngram_decontaminate(tr, ev, n=4, mode="drop").collect()]
+    assert kept == [2]
+
+
+def test_decontaminate_bad_mode_raises(spark):
+    d = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="mode"):
+        P.ngram_decontaminate(d, d, mode="purge")
+
+
+# --- hash split ------------------------------------------------------------
+
+def test_hash_split_is_deterministic_and_stable_under_growth(spark):
+    base = _docs(spark, [(i, f"doc {i}") for i in range(200)])
+    grown = _docs(spark, [(i, f"doc {i}") for i in range(400)])
+    a = {r.doc_id: r.split for r in P.hash_split(base).collect()}
+    b = {r.doc_id: r.split for r in P.hash_split(grown).collect()}
+    assert all(b[k] == v for k, v in a.items())  # growth never reassigns
+    # same call twice → identical assignment
+    again = {r.doc_id: r.split for r in P.hash_split(base).collect()}
+    assert again == a
+
+
+def test_hash_split_fractions_roughly_hold(spark):
+    docs = _docs(spark, [(i, "x") for i in range(2000)])
+    counts = {
+        r.split: r.n
+        for r in P.hash_split(docs).groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.85 <= counts["train"] / 2000 <= 0.95
+    assert counts["train"] + counts.get("val", 0) + counts.get("test", 0) == 2000
+
+
+def test_hash_split_salt_draws_independent_split(spark):
+    docs = _docs(spark, [(i, "x") for i in range(500)])
+    a = {r.doc_id: r.split for r in P.hash_split(docs, salt="s1").collect()}
+    b = {r.doc_id: r.split for r in P.hash_split(docs, salt="s2").collect()}
+    assert any(a[k] != b[k] for k in a)
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    docs = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        P.hash_split(docs, splits={"train": 0.5, "test": 0.4})
+
+
+# --- stratified sampling ---------------------------------------------------
+
+def test_stratified_sample_exact_takes_ceil_per_stratum(spark):
+    rows = [(i, "x", "en") for i in range(10)] + [(100 + i, "x", "fr") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = P.stratified_sample_exact(docs, frac=0.25, by="lang")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 3, "fr": 1}  # ceil(2.5)=3, ceil(0.75)=1
+
+
+def test_stratified_sample_exact_is_deterministic(spark):
+    rows = [(i, "x", "en") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = sorted(r.doc_id for r in P.stratified_sample_exact(docs, frac=0.2, by="lang").collect())
+    b = sorted(r.doc_id for r in P.stratified_sample_exact(docs, frac=0.2, by="lang").collect())
+    assert a == b and len(a) == 10
+
+
+def test_stratified_threshold_variant_is_subset_stable(spark):
+    docs = _docs(spark, [(i, "x") for i in range(1000)])
+    s20 = {r.doc_id for r in P.stratified_sample_threshold(docs, frac=0.2).collect()}
+    s40 = {r.doc_id for r in P.stratified_sample_threshold(docs, frac=0.4).collect()}
+    assert s20 <= s40  # threshold growth only adds rows (same hash order)
+    assert 0.1 <= len(s20) / 1000 <= 0.3
+
+
+# --- PII redaction ---------------------------------------------------------
+
+def test_pii_redact_all_three_kinds(spark):
+    d = _docs(
+        spark,
+        [(1, "mail a.user@corp.example.org from 192.168.0.1 call +1 555-010-0042 end")],
+    )
+    row = P.pii_redact(d).collect()[0]
+    assert row.n_redacted == 3
+    assert row.clean_text == "mail [PII:email] from [PII:ipv4] call [PII:phone] end"
+
+
+def test_pii_redact_counts_zero_when_clean(spark):
+    d = _docs(spark, [(1, "nothing sensitive here at all")])
+    row = P.pii_redact(d).collect()[0]
+    assert row.n_redacted == 0 and row.clean_text == "nothing sensitive here at all"
+
+
+def test_pii_redact_sequential_no_double_count(spark):
+    # the IP-like digits inside the email are consumed by the email pass;
+    # the ipv4 pass must see the already-redacted text and count 0
+    d = _docs(spark, [(1, "x 10.0.0.1@host.example.com y")])
+    row = P.pii_redact(d).collect()[0]
+    assert row.n_redacted == 1
+    assert row.clean_text == "x [PII:email] y"
+
+
+def test_pii_redact_multiple_matches_counted(spark):
+    d = _docs(spark, [(1, "a@b.co and c@d.io plus 1.2.3.4 and 5.6.7.8")])
+    row = P.pii_redact(d).collect()[0]
+    assert row.n_redacted == 4
