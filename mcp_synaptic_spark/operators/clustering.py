@@ -74,10 +74,16 @@ def connected_components(
     # inside `pairs`; releasing them now would force the edge materialization
     # to recompute the whole shingle/signature pipeline uncached. The next
     # top-level operator's release sweeps this operator's cache too.
-    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    p = _scoped_cache(pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")))
+    # Materialize the pair pipeline EXACTLY ONCE before the symmetric union:
+    # without this barrier the union's two branches race each other through
+    # the (possibly expensive) upstream pair generation — concurrent tasks
+    # computing the same not-yet-cached partition both compute it, so the
+    # LSH pipeline ran twice (measured 26 s vs 2.5 s at sf0.1).
+    p.count()
     # symmetric edge list, cached once: every round's join re-reads it
     edges = _scoped_cache(
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+        p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
