@@ -74,17 +74,22 @@ def connected_components(
     # inside `pairs`; releasing them now would force the edge materialization
     # to recompute the whole shingle/signature pipeline uncached. The next
     # top-level operator's release sweeps this operator's cache too.
-    p = _scoped_cache(pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")))
-    # Materialize the pair pipeline EXACTLY ONCE before the symmetric union:
-    # without this barrier the union's two branches race each other through
-    # the (possibly expensive) upstream pair generation — concurrent tasks
-    # computing the same not-yet-cached partition both compute it, so the
-    # LSH pipeline ran twice (measured 26 s vs 2.5 s at sf0.1).
-    p.count()
-    # symmetric edge list, cached once: every round's join re-reads it
-    edges = _scoped_cache(
-        p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    )
+    # Symmetrize with ONE explode, not union(p, swap(p)): a union's two
+    # branches race each other through the (possibly expensive) uncached
+    # upstream pair generation — concurrent tasks computing the same
+    # not-yet-cached partition both compute it, so the LSH pipeline ran
+    # twice (measured 26 s vs 2.5 s at sf0.1). The single-branch explode
+    # plan evaluates the pair source exactly once, no barrier job needed.
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("a"), F.col(id_b).alias("b")),
+                F.struct(F.col(id_b).alias("a"), F.col(id_a).alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    # cached once: every round's join re-reads the edge list
+    edges = _scoped_cache(sym.distinct())
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()

@@ -54,3 +54,18 @@ def test_graded_window_holds_the_round_targets():
 def test_oracles_are_nonempty_sql():
     for name, sql in entry.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_r7_pipeline_tier_registered_for_r8_rotation():
+    """The six r7-new pipeline-tier queries are tail-positioned this round
+    (the r7 window is fully owned by the ordered r6-tail rotation); they are
+    parity-verified locally and MUST be moved into the first 50 when the r8
+    window is rotated. This test pins their presence + oracles so the
+    rotation can't silently drop them."""
+    names = list(entry.queries())
+    osql = entry.oracle_sql()
+    for q in (
+        "dedup_clusters", "dedup_apply_clusters", "decontaminate",
+        "train_test_split", "pii_redact", "stratified_sample",
+    ):
+        assert q in names and q in osql, q

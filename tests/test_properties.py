@@ -155,3 +155,80 @@ def test_word_count_matches_python_split(spark, texts):
         .collect()
     ]
     assert out == [len(t.split()) for t in texts]
+
+
+# --- connected components vs driver-side union-find model -------------------
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference model: classic union-find, component label = min member."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from mcp_synaptic_spark.operators.clustering import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(df, max_iters=50).collect()}
+    assert got == _uf_components(edges)
+
+
+# --- hash split totality / determinism --------------------------------------
+
+@PROP
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=60, unique=True))
+def test_hash_split_partitions_every_row_exactly_once(spark, ids):
+    from mcp_synaptic_spark.operators.pipeline import hash_split
+
+    df = spark.createDataFrame([(i, "t") for i in ids], "doc_id long, text string")
+    rows = hash_split(df).collect()
+    assert len(rows) == len(ids)
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    again = hash_split(df).collect()
+    assert {r.doc_id: r.split for r in rows} == {r.doc_id: r.split for r in again}
+
+
+# --- stratified exact sample: per-stratum ceil invariant --------------------
+
+@PROP
+@given(
+    st.lists(st.tuples(st.integers(0, 500), st.sampled_from(["en", "fr", "de"])),
+             min_size=1, max_size=60, unique_by=lambda t: t[0]),
+    st.floats(0.05, 1.0),
+)
+def test_stratified_sample_exact_hits_ceil_per_stratum(spark, rows, frac):
+    import math
+
+    from mcp_synaptic_spark.operators.pipeline import stratified_sample_exact
+
+    df = spark.createDataFrame([(i, "t", lang) for i, lang in rows],
+                               "doc_id long, text string, lang string")
+    totals: dict[str, int] = {}
+    for _, lang in rows:
+        totals[lang] = totals.get(lang, 0) + 1
+    out = stratified_sample_exact(df, frac=frac, by="lang").collect()
+    got: dict[str, int] = {}
+    for r in out:
+        got[r.lang] = got.get(r.lang, 0) + 1
+    assert got == {lang: math.ceil(frac * n) for lang, n in totals.items()}

@@ -43,7 +43,9 @@ def build_corpus(spark, rep: int):
     docs = (
         load_table(spark, SF_DIR, "documents")
         .crossJoin(F.broadcast(reps))
-        .select((F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text")
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text", "lang"
+        )
     )
     # write out so every operator reads a realistically-partitioned table,
     # not an in-memory cross join
@@ -185,6 +187,74 @@ def main() -> None:
     timed("memory_upsert_10x", lambda: upsert_by_key(big_mem, updates).count())
     now_col = F.to_timestamp(F.lit(NOW_TS))
     timed("memory_stats_10x", lambda: memory_stats(big_mem, now_col).count())
+
+    # --- pipeline tier at 10x ----------------------------------------------
+    # Replication makes every base text a 10-replica exact-dup clique, so the
+    # pair graph is dominated by dense components — exactly the shape the
+    # HashMin convergence claim (rounds ≈ diameter, tiny for cliques) relies
+    # on. Decontamination ground truth: every eval doc's 9 replicas sit in
+    # train as exact copies, so each must be flagged.
+    from mcp_synaptic_spark.operators.clustering import connected_components, dedup_corpus
+    from mcp_synaptic_spark.operators.pipeline import (
+        hash_split,
+        ngram_decontaminate,
+        pii_redact,
+        stratified_sample_exact,
+        stratified_sample_threshold,
+    )
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=200)
+    comp = timed(
+        "cc_cluster_10x",
+        lambda: connected_components(pairs).cache(),
+    )
+    cc_vertices = comp.count()
+    cc_components = comp.select("component").distinct().count()
+    checks["cc_vertices"] = cc_vertices
+    checks["cc_components"] = cc_components
+    # every clustered doc's label must be the min member — spot-invariant:
+    # no vertex may carry a label larger than its own id
+    checks["cc_minlabel_ok"] = bool(
+        comp.where(F.col("component") > F.col("id")).limit(1).count() == 0
+    )
+    timed(
+        "cc_dedup_corpus_10x",
+        lambda: dedup_corpus(docs, minhash_lsh_pairs(docs, threshold=0.5, max_bucket=200)).count(),
+    )
+    comp.unpersist()
+
+    n_eval = docs.where(F.col("doc_id") % 10_000_000 % 97 == 0).count()
+    flagged = timed(
+        "decontaminate_10x",
+        lambda: ngram_decontaminate(
+            docs.where(F.col("doc_id") % 10_000_000 % 97 != 0),
+            docs.where(F.col("doc_id") % 10_000_000 % 97 == 0),
+            n=4,
+        ).count(),
+    )
+    checks["decontaminate_flagged"] = flagged
+    checks["decontaminate_catches_replicas"] = bool(flagged >= n_eval * (rep - 1) // rep)
+
+    split_counts = timed(
+        "hash_split_10x",
+        lambda: {
+            r["split"]: r["n"]
+            for r in hash_split(docs).groupBy("split").agg(F.count("*").alias("n")).collect()
+        },
+    )
+    checks["hash_split_train_frac"] = round(split_counts["train"] / n_docs, 4)
+    timed(
+        "stratified_sample_exact_10x",
+        lambda: stratified_sample_exact(docs, frac=0.2, by="lang").count(),
+    )
+    timed(
+        "stratified_sample_threshold_10x",
+        lambda: stratified_sample_threshold(docs, frac=0.2).count(),
+    )
+    timed(
+        "pii_redact_10x",
+        lambda: pii_redact(docs).agg(F.sum("n_redacted")).collect()[0][0],
+    )
 
     total = round(sum(timings.values()), 3)
     payload = {
