@@ -2447,6 +2447,101 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def _q_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition removal: inject a duplicated head-line into even
+    docs (head-20-words as a line before AND after the body), then strip
+    repeats keeping first occurrence."""
+    docs = _t(spark, sf_dir, "documents")
+    head = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 20), " ")
+    synth = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(head, F.lit("\n"), F.col("text"), F.lit("\n"), head),
+    ).otherwise(F.col("text"))
+    out = P.dedup_lines(docs.withColumn("text", synth))
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.size(F.split(F.col("text"), "\n")).cast("bigint").alias("n_lines_before"),
+        F.size(F.split(F.col("clean_text"), "\n")).cast("bigint").alias("n_lines_after"),
+    ).orderBy("doc_id")
+
+
+# list_filter with the (value, index) lambda + list_position over the prefix
+# = order-preserving first-occurrence dedup (DuckDB's list_distinct does NOT
+# preserve order; Spark's array_distinct does).
+_ORACLE_DEDUP_WITHIN_DOC = """
+WITH synth AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN
+      array_to_string((string_split(text, ' '))[1:20], ' ') || chr(10) || text
+        || chr(10) || array_to_string((string_split(text, ' '))[1:20], ' ')
+    ELSE text END AS t
+  FROM documents),
+l AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM synth),
+dd AS (SELECT doc_id, ls,
+         list_filter(ls, (x, i) -> list_position(ls[1:i-1], x) = 0) AS cl
+       FROM l)
+SELECT doc_id, array_to_string(cl, chr(10)) AS clean_text,
+       CAST(length(ls) AS BIGINT) AS n_lines_before,
+       CAST(length(cl) AS BIGINT) AS n_lines_after
+FROM dd ORDER BY doc_id
+"""
+
+
+def _q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end corpus-preparation story: near-dup CLUSTER
+    dedup → benchmark DECONTAMINATION (drop) → deterministic hash SPLIT,
+    summarized per split. Proves the pipeline operators compose — the
+    per-split doc count and char sum pin the exact surviving set."""
+    docs = _t(spark, sf_dir, "documents")
+    deduped = CL.dedup_corpus(docs, D.minhash_lsh_pairs(docs, threshold=0.5))
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    train = deduped.where(F.col("doc_id") % 97 != 0)
+    clean = P.ngram_decontaminate(train, ev, n=4, mode="drop")
+    split = P.hash_split(
+        clean, splits={"train": 0.9, "val": 0.05, "test": 0.05}, salt="split-v1"
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+_ORACLE_CORPUS_PREP = f"""
+WITH RECURSIVE {_CC_CTES.strip()},
+kept AS (
+  SELECT * FROM documents
+  WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> cid)),
+d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+g4 AS (
+  SELECT doc_id,
+    unnest(CASE WHEN length(w) < 4 THEN [array_to_string(w, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, length(w) - 3),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+    END) AS ng
+  FROM d),
+gh AS (SELECT doc_id, ('0x' || substr(md5(ng), 1, 15))::BIGINT AS dg FROM g4),
+evd AS (SELECT DISTINCT dg FROM gh WHERE doc_id % 97 = 0),
+contaminated AS (
+  SELECT DISTINCT gh.doc_id FROM gh JOIN evd USING (dg) WHERE gh.doc_id % 97 <> 0),
+clean AS (
+  SELECT * FROM kept
+  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+s AS (
+  SELECT *, CASE
+    WHEN ('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 900000 THEN 'train'
+    WHEN ('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 950000 THEN 'val'
+    ELSE 'test' END AS split
+  FROM clean)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split ORDER BY split
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2559,6 +2654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": _q_train_test_split,
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
+        "dedup_within_doc": _q_dedup_within_doc,
+        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
     }
 
 
@@ -2640,4 +2737,6 @@ def oracle_sql() -> dict[str, str]:
         "train_test_split": _ORACLE_TRAIN_TEST_SPLIT,
         "pii_redact": _ORACLE_PII_REDACT,
         "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
+        "dedup_within_doc": _ORACLE_DEDUP_WITHIN_DOC,
+        "corpus_prep_pipeline": _ORACLE_CORPUS_PREP,
     }

@@ -50,6 +50,7 @@ __all__ = [
     "stratified_sample_exact",
     "stratified_sample_threshold",
     "pii_redact",
+    "dedup_lines",
     "DEFAULT_PII_PATTERNS",
 ]
 
@@ -189,6 +190,29 @@ def stratified_sample_threshold(
     a stratum (or the whole corpus) dwarfs a task's sort budget."""
     bucket = _salted_hash(salt, F.col(id_col)) % F.lit(1_000_000)
     return df.where(bucket < F.lit(int(round(frac * 1_000_000))))
+
+
+def dedup_lines(
+    df: DataFrame,
+    *,
+    content_col: str = "text",
+    out_col: str = "clean_text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Intra-document repetition removal: drop repeated lines within each
+    document, keeping the first occurrence in order.
+
+    The C4-style preprocessing step that strips boilerplate repeated inside
+    a single document (navigation blocks, repeated headers). Implemented as
+    split → array_distinct → re-join: Spark's array_distinct preserves
+    first-occurrence order, so the whole operator is ONE narrow projection —
+    zero shuffles, whole-stage codegen, trivially 100 TB-safe. `sep` is a
+    regex for the split and a literal for the re-join (escape regex
+    metacharacters if splitting on one).
+    """
+    return df.withColumn(
+        out_col, F.array_join(F.array_distinct(F.split(F.col(content_col), sep)), sep)
+    )
 
 
 #: (kind, RE2-compatible pattern) applied in order; replacement is [PII:kind].

@@ -146,3 +146,22 @@ def test_pii_redact_multiple_matches_counted(spark):
     d = _docs(spark, [(1, "a@b.co and c@d.io plus 1.2.3.4 and 5.6.7.8")])
     row = P.pii_redact(d).collect()[0]
     assert row.n_redacted == 4
+
+
+# --- intra-document line dedup ----------------------------------------------
+
+def test_dedup_lines_keeps_first_occurrence_in_order(spark):
+    d = _docs(spark, [(1, "b\na\nc\na\nb")])
+    assert P.dedup_lines(d).collect()[0].clean_text == "b\na\nc"
+
+
+def test_dedup_lines_noop_when_unique(spark):
+    d = _docs(spark, [(1, "x\ny\nz"), (2, "single line")])
+    got = {r.doc_id: r.clean_text for r in P.dedup_lines(d).collect()}
+    assert got == {1: "x\ny\nz", 2: "single line"}
+
+
+def test_dedup_lines_is_a_zero_shuffle_projection(spark):
+    d = _docs(spark, [(1, "a\na")])
+    plan = P.dedup_lines(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
