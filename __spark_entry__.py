@@ -2562,7 +2562,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     — the r6 driver-run noise cluster). The tail holds only queries green
     in CORRECTNESS_r06 whose operator files are untouched this round
     (text_analysis.py, windows.py, access_log.py, multimodal.py,
-    embedders.py, and entry-file-only queries)."""
+    embedders.py, and entry-file-only queries) — EXCEPT the eight r7-new
+    pipeline-tier queries at the very end, which could not fit the window.
+
+    Round-8 window plan (for the next rotation): lead with the eight
+    r7-new pipeline queries (dedup_clusters, dedup_apply_clusters,
+    decontaminate, train_test_split, pii_redact, stratified_sample,
+    dedup_within_doc, corpus_prep_pipeline — all parity-verified locally
+    in r7 via tools/parity.py but never driver-graded), then any query
+    whose operator files r8 touches, then the oldest-evidence tail
+    (everything else will hold r7 evidence)."""
     return {
         # --- round-6 tail, graded first (r5-dated evidence retires) -------
         "assemble_context": _q_assemble_context,

@@ -179,3 +179,48 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql access."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --- bucketed tables (co-partitioned joins) ---------------------------------
+#
+# The doc <-> embedding join (J2, reference rag/database/documents.py:66-111)
+# runs on every get/search/update; on plain parquet each execution shuffles
+# both sides on id. Writing the two tables BUCKETED on the join key lets the
+# planner prove co-partitioning and drop the exchange entirely: the join is
+# SortMergeJoin over matching bucket files with ZERO shuffle — the decisive
+# layout optimization at 100 TB, where the corpus-side shuffle is the whole
+# cost. Same idea as Hive/Spark bucketing everywhere: pay one layout write,
+# amortize over every subsequent keyed join.
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    *,
+    bucket_col: str,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist `df` as a bucketed+sorted external table on `bucket_col`.
+
+    Bucket metadata lives in the session catalog (saveAsTable is required —
+    plain .parquet(path) cannot record bucketing); `path` makes the table
+    external so the data outlives the catalog entry. Both sides of a
+    co-partitioned join must use the SAME n_buckets.
+    """
+    (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed table BY NAME (spark.table) — reading the path with
+    spark.read.parquet would silently drop the bucket metadata and the
+    exchange-free join with it."""
+    return spark.table(table_name)

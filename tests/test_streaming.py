@@ -459,3 +459,65 @@ def test_run_expiry_sweep_streaming_txn_backend(spark, tmp_path):
     t = TxnTable(spark, state)
     assert {r.key for r in t.read().collect()} == {"live"}
     assert [r.key for r in spark.read.parquet(events_dir).collect()] == ["dead"]
+
+
+def test_streaming_exact_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """First-seen-wins streaming dedup must agree with the batch exact-dedup
+    notion of duplicate (same content digest)."""
+    from mcp_synaptic_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").limit(100).select("doc_id", "text")
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100_000)  # same text, new ids
+    both = docs.unionByName(dup)
+    src = str(tmp_path / "src")
+    both.write.parquet(src)
+
+    stream = spark.readStream.schema(both.schema).parquet(src)
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("sdedup_plain")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("sdedup_plain")
+    # limit() without order is nondeterministic across jobs — derive the
+    # expected distinct-text count from what was actually WRITTEN
+    n_distinct = spark.read.parquet(src).select("text").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("text").distinct().count() == n_distinct
+
+
+def test_streaming_exact_dedup_with_watermark_bounded_state(spark, sf_dir, tmp_path):
+    """The production shape: a ts column + watermark bounds the seen-set.
+    Duplicates arriving inside the horizon are still dropped."""
+    from mcp_synaptic_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .limit(50)
+        # ts offset from epoch: a record AT exactly epoch 0 collides with the
+        # initial watermark boundary and is treated as late on arrival
+        .select(
+            "doc_id", "text", F.timestamp_seconds(F.lit(3600) + F.col("doc_id") % 100).alias("ts")
+        )
+    )
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100_000)
+    both = docs.unionByName(dup)
+    src = str(tmp_path / "src_wm")
+    both.write.parquet(src)
+
+    stream = spark.readStream.schema(both.schema).parquet(src)
+    q = (
+        streaming_exact_dedup(stream, ts_col="ts", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sdedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    expected = spark.read.parquet(src).select("text").distinct().count()
+    assert spark.table("sdedup_wm").count() == expected
