@@ -74,12 +74,12 @@ def connected_components(
     # inside `pairs`; releasing them now would force the edge materialization
     # to recompute the whole shingle/signature pipeline uncached. The next
     # top-level operator's release sweeps this operator's cache too.
-    # Symmetrize with ONE explode, not union(p, swap(p)): a union's two
-    # branches race each other through the (possibly expensive) uncached
-    # upstream pair generation — concurrent tasks computing the same
-    # not-yet-cached partition both compute it, so the LSH pipeline ran
-    # twice (measured 26 s vs 2.5 s at sf0.1). The single-branch explode
-    # plan evaluates the pair source exactly once, no barrier job needed.
+    # Symmetrize with ONE explode, not union(p, swap(p)): the single-branch
+    # plan evaluates the (possibly expensive) pair source once per job with
+    # no extra cache or barrier job. (Block-level cache locking means the
+    # union shape would not actually double-compute — A/B-measured in PLANS
+    # note 18 — but the explode shape is strictly simpler and one job
+    # cheaper.)
     sym = pairs.select(
         F.explode(
             F.array(
