@@ -2442,7 +2442,7 @@ r AS (
          count(*) OVER (PARTITION BY lang) AS cnt
   FROM h)
 SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sampled_chars
-FROM r WHERE rn <= ceil(0.2 * cnt)
+FROM r WHERE rn <= ceil(round(0.2 * cnt, 9))
 GROUP BY lang ORDER BY lang
 """
 
@@ -2468,7 +2468,8 @@ def _q_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # list_filter with the (value, index) lambda + list_position over the prefix
 # = order-preserving first-occurrence dedup (DuckDB's list_distinct does NOT
-# preserve order; Spark's array_distinct does).
+# preserve order); length(x) < 1 mirrors the operator's min_len=1 exemption
+# that always preserves blank lines.
 _ORACLE_DEDUP_WITHIN_DOC = """
 WITH synth AS (
   SELECT doc_id,
@@ -2479,7 +2480,7 @@ WITH synth AS (
   FROM documents),
 l AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM synth),
 dd AS (SELECT doc_id, ls,
-         list_filter(ls, (x, i) -> list_position(ls[1:i-1], x) = 0) AS cl
+         list_filter(ls, (x, i) -> length(x) < 1 OR list_position(ls[1:i-1], x) = 0) AS cl
        FROM l)
 SELECT doc_id, array_to_string(cl, chr(10)) AS clean_text,
        CAST(length(ls) AS BIGINT) AS n_lines_before,

@@ -94,7 +94,11 @@ def connected_components(
         edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()
 
-    for _ in range(max_iters):
+    # max_iters bounds PROPAGATION rounds; the +1 grants the extra confirming
+    # round a diameter-d graph needs (d rounds move the label, round d+1
+    # observes changed==0) so convergence exactly at the bound is not a
+    # spurious failure.
+    for _ in range(max_iters + 1):
         # min label among each vertex's neighbours, partial-agg before shuffle
         prop = (
             edges.join(labels.withColumnRenamed("id", "a"), "a")
@@ -132,13 +136,12 @@ def dedup_corpus(
     """Remove every non-canonical member of each near-dup cluster.
 
     Documents absent from `pairs` are untouched; of each connected component
-    exactly the minimum-id document survives. The removal list is vertices
-    where id != component — small by construction — so the apply step is a
-    single LEFT ANTI join against it (broadcast at real scale: the removal
-    list is pairs-sized, the corpus is not).
+    exactly the minimum-id document survives. The apply step is a single
+    LEFT ANTI join against the removal list (vertices where id !=
+    component). No forced broadcast: in heavily-duplicated crawl corpora
+    the removal list is a large fraction of the corpus — AQE picks the
+    broadcast strategy at runtime when (and only when) the list is small.
     """
     comp = connected_components(pairs, id_a=id_a, id_b=id_b)
     removals = comp.where(F.col("id") != F.col("component")).select("id")
-    return docs.join(
-        F.broadcast(removals).withColumnRenamed("id", id_col), id_col, "left_anti"
-    )
+    return docs.join(removals.withColumnRenamed("id", id_col), id_col, "left_anti")

@@ -43,7 +43,7 @@ def _h(s: Column) -> Column:
 
 
 
-def _h_seeded(seed: int, s: Column) -> Column:
+def _h_seeded(seed: int | str, s: Column) -> Column:
     """Seeded variant: hash of '<seed>:<s>' — k independent hash families
     without modular arithmetic (no int64 overflow, oracle-portable)."""
     return _h(F.concat(F.lit(f"{seed}:"), s))

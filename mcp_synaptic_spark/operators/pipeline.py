@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import shingles_from_tokens, whitespace_tokens
-from .dedup import _h
+from .dedup import _h, _h_seeded
 
 __all__ = [
     "ngram_decontaminate",
@@ -56,15 +56,24 @@ __all__ = [
 
 
 def _salted_hash(salt: str, key: Column) -> Column:
-    """Portable 60-bit hash of 'salt:key' (same md5 recipe as dedup._h, so
-    DuckDB oracles reproduce it bit-for-bit)."""
-    return _h(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+    """Portable 60-bit hash of 'salt:key' — delegates to dedup._h_seeded so
+    the recipe (and its DuckDB oracle twin) lives in exactly one place."""
+    return _h_seeded(salt, key.cast("string"))
+
+
+def _tmp_name(df: DataFrame, base: str) -> str:
+    """A working-column name guaranteed not to clobber a caller's column."""
+    name = base
+    while name in df.columns:
+        name += "_"
+    return name
 
 
 def _doc_ngram_digests(
-    docs: DataFrame, *, n: int, content_col: str, id_col: str
+    docs: DataFrame, *, lengths: list[int], content_col: str, id_col: str
 ) -> DataFrame:
-    """(id, digest) — one row per distinct word-n-gram per document.
+    """(id, digest) — one row per distinct word-k-gram per document, for
+    every k in `lengths`.
 
     Two-step projection (materialized token array, then shingles) so the
     tokenizer runs once per row, not once per higher-order-function lambda
@@ -73,9 +82,12 @@ def _doc_ngram_digests(
     toks = docs.select(
         F.col(id_col).alias("id"), whitespace_tokens(F.col(content_col)).alias("toks")
     )
-    return toks.select(
-        "id", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("ng")
-    ).select("id", _h(F.col("ng")).alias("dg"))
+    grams = F.array_distinct(
+        F.concat(*[shingles_from_tokens(F.col("toks"), k) for k in lengths])
+    )
+    return toks.select("id", F.explode(grams).alias("ng")).select(
+        "id", _h(F.col("ng")).alias("dg")
+    )
 
 
 def ngram_decontaminate(
@@ -92,29 +104,52 @@ def ngram_decontaminate(
 
     This is the standard eval-leakage guard (13-gram overlap in GPT-3's
     appendix; n is a dial — short synthetic docs in tests use smaller n).
-    Documents shorter than n words contribute their full text as one gram,
-    so short eval items still decontaminate.
+
+    Eval items SHORTER than n words contribute their full text as one gram
+    — and the train side additionally emits grams at exactly those short
+    lengths, so a long train document containing a short eval item verbatim
+    is still caught (without this, a k<n eval digest could only ever match
+    a token-identical k-word train doc). The distinct short lengths are
+    collected driver-side first: at most n-1 values, one tiny
+    aggregate-and-collect job over the (small) eval set.
 
     mode="report" → (doc_id, n_hits): contaminated train docs with the count
-    of distinct shared n-gram digests (collisions, if any, are identical on
+    of distinct shared gram digests (collisions, if any, are identical on
     both sides of the oracle — the digest recipe is shared).
     mode="drop"   → the train DataFrame minus contaminated documents.
     """
+    if mode not in ("report", "drop"):
+        raise ValueError(f"mode must be 'report' or 'drop', got {mode!r}")
+    short_lens = [
+        r.k
+        for r in eval_docs.select(
+            F.size(whitespace_tokens(F.col(content_col))).alias("k")
+        )
+        .where((F.col("k") > 0) & (F.col("k") < n))
+        .distinct()
+        .collect()
+    ]
     ev = (
-        _doc_ngram_digests(eval_docs, n=n, content_col=content_col, id_col=id_col)
+        _doc_ngram_digests(eval_docs, lengths=[n], content_col=content_col, id_col=id_col)
         .select("dg")
         .distinct()
     )
-    tr = _doc_ngram_digests(train, n=n, content_col=content_col, id_col=id_col)
-    hits = tr.join(F.broadcast(ev), "dg")  # matched rows only reach the agg
-    report = hits.groupBy(F.col("id").alias(id_col)).agg(
+    tr = _doc_ngram_digests(
+        train, lengths=sorted({n, *short_lens}), content_col=content_col, id_col=id_col
+    )
+    # eval digests are the small side by nature (a benchmark suite vs a
+    # corpus) — hint broadcast; matched rows only reach the aggregate
+    hits = tr.join(F.broadcast(ev), "dg")
+    if mode == "drop":
+        # no forced broadcast here: the contaminated-id list is bounded only
+        # by the train corpus (a crawl that ingested the benchmarks' source
+        # sites can have huge overlap) — let AQE pick the join strategy
+        return train.join(
+            hits.select(F.col("id").alias(id_col)).distinct(), id_col, "left_anti"
+        )
+    return hits.groupBy(F.col("id").alias(id_col)).agg(
         F.count_distinct("dg").alias("n_hits")
     )
-    if mode == "report":
-        return report
-    if mode == "drop":
-        return train.join(F.broadcast(report.select(id_col)), id_col, "left_anti")
-    raise ValueError(f"mode must be 'report' or 'drop', got {mode!r}")
 
 
 def hash_split(
@@ -133,7 +168,10 @@ def hash_split(
     partitioning — the property random() splits lack. Changing `salt`
     draws an independent split.
     """
-    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not splits or any(f <= 0 for f in splits.values()):
+        raise ValueError(f"splits must be non-empty with positive fractions, got {splits}")
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1.0, got {total}")
@@ -165,15 +203,22 @@ def stratified_sample_exact(
     Exact per-stratum fractions; one shuffle (by stratum). The hash order
     makes the choice reproducible and salt-switchable. For strata too large
     to sort in one task, use stratified_sample_threshold (zero-shuffle).
+
+    The cutoff is ceil(round(frac·count, 9)): the raw double product can
+    land a hair ABOVE an exact integer (0.07·100 = 7.000000000000001) and a
+    bare ceil would then keep one extra row per affected stratum; rounding
+    to 9 dp first restores the exact-fraction contract for any frac with
+    ≤9 decimal digits.
     """
     h = _salted_hash(salt, F.col(id_col))
     w = Window.partitionBy(by).orderBy(h.asc(), F.col(id_col).asc())
     wall = Window.partitionBy(by)
+    rn, cnt = _tmp_name(df, "_rn"), _tmp_name(df, "_cnt")
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_cnt", F.count(F.lit(1)).over(wall))
-        .where(F.col("_rn") <= F.ceil(F.lit(frac) * F.col("_cnt")))
-        .drop("_rn", "_cnt")
+        df.withColumn(rn, F.row_number().over(w))
+        .withColumn(cnt, F.count(F.lit(1)).over(wall))
+        .where(F.col(rn) <= F.ceil(F.round(F.lit(frac) * F.col(cnt), 9)))
+        .drop(rn, cnt)
     )
 
 
@@ -198,20 +243,36 @@ def dedup_lines(
     content_col: str = "text",
     out_col: str = "clean_text",
     sep: str = "\n",
+    min_len: int = 1,
 ) -> DataFrame:
     """Intra-document repetition removal: drop repeated lines within each
     document, keeping the first occurrence in order.
 
     The C4-style preprocessing step that strips boilerplate repeated inside
-    a single document (navigation blocks, repeated headers). Implemented as
-    split → array_distinct → re-join: Spark's array_distinct preserves
-    first-occurrence order, so the whole operator is ONE narrow projection —
-    zero shuffles, whole-stage codegen, trivially 100 TB-safe. `sep` is a
-    regex for the split and a literal for the re-join (escape regex
-    metacharacters if splitting on one).
+    a single document (navigation blocks, repeated headers). Lines shorter
+    than `min_len` characters are exempt and always kept — with the default
+    of 1 that preserves blank lines, so paragraph structure survives
+    ('a\\n\\nb\\n\\na' keeps both blanks and drops only the repeated 'a');
+    raise it to also protect short legitimate repeats like '---' separators.
+
+    One narrow projection — zero shuffles, whole-stage codegen, trivially
+    100 TB-safe. The per-row cost is O(lines²) from the first-occurrence
+    scan, fine for document-sized line counts. `sep` is a regex for the
+    split and a literal for the re-join (escape regex metacharacters if
+    splitting on one). The lines array is materialized to a column first:
+    HOF lambdas re-evaluate their input expression per element (no CSE), so
+    filtering over the raw split expression would re-split per line.
     """
-    return df.withColumn(
-        out_col, F.array_join(F.array_distinct(F.split(F.col(content_col), sep)), sep)
+    lines = _tmp_name(df, "_lines")
+    arr = F.col(lines)
+    kept = F.filter(
+        arr,
+        lambda x, i: (F.length(x) < min_len) | (F.array_position(arr, x) == i + 1),
+    )
+    return (
+        df.withColumn(lines, F.split(F.col(content_col), sep))
+        .withColumn(out_col, F.array_join(kept, sep))
+        .drop(lines)
     )
 
 

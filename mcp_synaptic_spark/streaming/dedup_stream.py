@@ -43,11 +43,14 @@ def streaming_exact_dedup(
     `ts_col` the seen-set is evicted past the watermark horizon (bounded
     state); without, state grows with distinct contents (backfills only).
     """
-    hashed = docs_stream.withColumn("_ch", content_hash(docs_stream[content_col]))
+    ch = "_ch"
+    while ch in docs_stream.columns:  # never clobber a caller's column
+        ch += "_"
+    hashed = docs_stream.withColumn(ch, content_hash(docs_stream[content_col]))
     if ts_col is not None:
         deduped = hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            ["_ch"]
+            [ch]
         )
     else:
-        deduped = hashed.dropDuplicates(["_ch"])
-    return deduped.drop("_ch")
+        deduped = hashed.dropDuplicates([ch])
+    return deduped.drop(ch)

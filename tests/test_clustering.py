@@ -56,3 +56,13 @@ def test_dedup_corpus_keeps_canonical_and_untouched(spark):
     pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6)])
     kept = sorted(r.doc_id for r in CL.dedup_corpus(docs, pairs).collect())
     assert kept == [1, 4, 5]
+
+
+def test_convergence_exactly_at_max_iters_succeeds(spark):
+    # diameter-5 path with max_iters=5: the label needs all 5 permitted
+    # propagation rounds and the +1 confirming round observes changed==0 —
+    # must NOT raise (round-7 review boundary fix)
+    path = [(i, i + 1) for i in range(1, 6)]
+    out = CL.connected_components(_pairs(spark, path), max_iters=5)
+    got = {r.id: r.component for r in out.collect()}
+    assert got == {i: 1 for i in range(1, 7)}

@@ -165,3 +165,58 @@ def test_dedup_lines_is_a_zero_shuffle_projection(spark):
     d = _docs(spark, [(1, "a\na")])
     plan = P.dedup_lines(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- review-pass regression tests (round-7 code review findings) ------------
+
+def test_stratified_ceil_is_float_robust(spark):
+    # 0.07 * 100 = 7.000000000000001 in doubles; a bare ceil kept 8 rows
+    rows = [(i, "x", "en") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = P.stratified_sample_exact(docs, frac=0.07, by="lang")
+    assert out.count() == 7
+
+
+def test_decontaminate_short_eval_inside_long_train_doc(spark):
+    # an eval item SHORTER than n must still catch a longer train doc that
+    # contains it verbatim (train side emits grams at the short length too)
+    ev = _docs(spark, [(100, "capital of france")])  # 3 words < n=13
+    tr = _docs(
+        spark,
+        [
+            (1, "question what is the capital of france answer paris obviously today"),
+            (2, "a completely unrelated training document with many words here now"),
+        ],
+    )
+    out = {r.doc_id: r.n_hits for r in P.ngram_decontaminate(tr, ev, n=13).collect()}
+    assert out == {1: 1}
+    kept = [r.doc_id for r in P.ngram_decontaminate(tr, ev, n=13, mode="drop").collect()]
+    assert kept == [2]
+
+
+def test_dedup_lines_preserves_blank_lines(spark):
+    d = _docs(spark, [(1, "para1\n\npara2\n\npara1")])
+    assert P.dedup_lines(d).collect()[0].clean_text == "para1\n\npara2\n"
+
+
+def test_dedup_lines_min_len_protects_short_separators(spark):
+    d = _docs(spark, [(1, "a---b\n---\nc\n---\nd")])
+    assert P.dedup_lines(d, min_len=4).collect()[0].clean_text == "a---b\n---\nc\n---\nd"
+
+
+def test_temp_columns_do_not_clobber_caller_columns(spark):
+    rows = [(1, "x", "en", 7, 8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, _rn long, _cnt long")
+    out = P.stratified_sample_exact(docs, frac=1.0, by="lang").collect()[0]
+    assert out._rn == 7 and out._cnt == 8
+    d2 = spark.createDataFrame([(1, "a\na", "keepme")], "doc_id long, text string, _lines string")
+    got = P.dedup_lines(d2).collect()[0]
+    assert got._lines == "keepme" and got.clean_text == "a"
+
+
+def test_hash_split_rejects_empty_and_negative(spark):
+    docs = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="non-empty"):
+        P.hash_split(docs, splits={})
+    with pytest.raises(ValueError, match="positive"):
+        P.hash_split(docs, splits={"bad": -0.1, "rest": 1.1})
