@@ -2543,6 +2543,70 @@ FROM s GROUP BY split ORDER BY split
 """
 
 
+def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: at most 10 docs per source (every source is over the
+    cap in this corpus, so all 20 sources clamp to exactly 10); the char
+    sum pins WHICH docs each source kept."""
+    capped = P.cap_per_source(_t(spark, sf_dir, "documents"), cap=10, salt="cap-v1")
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_SOURCE_CAP = """
+WITH h AS (
+  SELECT source, doc_id, n_chars,
+         ('0x' || substr(md5('cap-v1:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM documents),
+r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+  FROM h)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM r WHERE rn <= 10
+GROUP BY source ORDER BY source
+"""
+
+
+def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix rebalancing: keep src0 at 50%, src1 at 10%, drop src2,
+    everything else untouched — per-source counts + char sums pin the
+    exact surviving mixture."""
+    mixed = P.weighted_source_sample(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 0.5, "src1": 0.1, "src2": 0.0},
+        default=1.0,
+        salt="mix-v1",
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_SOURCE_MIX = """
+WITH b AS (
+  SELECT source, doc_id, n_chars,
+         ('0x' || substr(md5('mix-v1:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 AS bucket
+  FROM documents),
+s AS (
+  SELECT * FROM b
+  WHERE bucket < CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 100000
+                             WHEN 'src2' THEN 0 ELSE 1000000 END)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM s GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2563,16 +2627,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     — the r6 driver-run noise cluster). The tail holds only queries green
     in CORRECTNESS_r06 whose operator files are untouched this round
     (text_analysis.py, windows.py, access_log.py, multimodal.py,
-    embedders.py, and entry-file-only queries) — EXCEPT the eight r7-new
+    embedders.py, and entry-file-only queries) — EXCEPT the ten r7-new
     pipeline-tier queries at the very end, which could not fit the window.
 
-    Round-8 window plan (for the next rotation): lead with the eight
+    Round-8 window plan (for the next rotation): lead with the ten
     r7-new pipeline queries (dedup_clusters, dedup_apply_clusters,
     decontaminate, train_test_split, pii_redact, stratified_sample,
-    dedup_within_doc, corpus_prep_pipeline — all parity-verified locally
-    in r7 via tools/parity.py but never driver-graded), then any query
-    whose operator files r8 touches, then the oldest-evidence tail
-    (everything else will hold r7 evidence)."""
+    dedup_within_doc, corpus_prep_pipeline, source_cap, source_mix — all
+    parity-verified locally in r7 via tools/parity.py but never
+    driver-graded), then any query whose operator files r8 touches, then
+    the oldest-evidence tail (everything else will hold r7 evidence)."""
     return {
         # --- round-6 tail, graded first (r5-dated evidence retires) -------
         "assemble_context": _q_assemble_context,
@@ -2655,9 +2719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_access_replay": _q_memory_access_replay,
         # --- new in r7 (operators/clustering.py, operators/pipeline.py):
         # tail-positioned because the 50-slot graded window is fully owned
-        # by the ordered r6-tail rotation + touched-file queries; these six
-        # are parity-verified locally this round (tools/parity.py — see
-        # PLANS.md) and MUST lead the r8 graded window.
+        # by the ordered r6-tail rotation + touched-file queries; these
+        # (through source_mix below) are parity-verified locally this round
+        # (tools/parity.py — see PLANS.md) and MUST lead the r8 window.
         "dedup_clusters": _q_dedup_clusters,
         "dedup_apply_clusters": _q_dedup_apply_clusters,
         "decontaminate": _q_decontaminate,
@@ -2666,6 +2730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "dedup_within_doc": _q_dedup_within_doc,
         "corpus_prep_pipeline": _q_corpus_prep_pipeline,
+        "source_cap": _q_source_cap,
+        "source_mix": _q_source_mix,
     }
 
 
@@ -2749,4 +2815,6 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
         "dedup_within_doc": _ORACLE_DEDUP_WITHIN_DOC,
         "corpus_prep_pipeline": _ORACLE_CORPUS_PREP,
+        "source_cap": _ORACLE_SOURCE_CAP,
+        "source_mix": _ORACLE_SOURCE_MIX,
     }

@@ -79,7 +79,7 @@ def main() -> None:
         "dedup_simhash_capped", "memory_upsert_txn", "dedup_clusters",
         "dedup_apply_clusters", "decontaminate", "train_test_split",
         "pii_redact", "stratified_sample", "dedup_within_doc",
-        "corpus_prep_pipeline",
+        "corpus_prep_pipeline", "source_cap", "source_mix",
     }
     comparable = round(sum(v for k, v in timings.items() if k not in ADDED_R7), 3)
     # the run's noise regime, recorded in-band: median/max pass-to-pass

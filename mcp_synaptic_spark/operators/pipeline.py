@@ -51,6 +51,8 @@ __all__ = [
     "stratified_sample_threshold",
     "pii_redact",
     "dedup_lines",
+    "cap_per_source",
+    "weighted_source_sample",
     "DEFAULT_PII_PATTERNS",
 ]
 
@@ -274,6 +276,67 @@ def dedup_lines(
         .withColumn(out_col, F.array_join(kept, sep))
         .drop(lines)
     )
+
+
+def cap_per_source(
+    df: DataFrame,
+    *,
+    cap: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Domain/source capping: keep at most `cap` documents per source.
+
+    The anti-domination guard of corpus mixing — without it one prolific
+    domain (or one over-crawled dump) swamps the mixture. The kept subset
+    is the `cap` smallest salted id-hashes per source: deterministic,
+    salt-switchable, and stable as the corpus grows (a source already at
+    its cap keeps exactly the same members unless a new doc hashes below
+    an incumbent). One shuffle (by source); a source vastly over cap still
+    sorts in one task — for truly degenerate single-source corpora,
+    pre-filter with weighted_source_sample (zero-shuffle) first.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    h = _salted_hash(salt, F.col(id_col))
+    w = Window.partitionBy(by).orderBy(h.asc(), F.col(id_col).asc())
+    rn = _tmp_name(df, "_rn")
+    return df.withColumn(rn, F.row_number().over(w)).where(F.col(rn) <= cap).drop(rn)
+
+
+def weighted_source_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    by: str = "source",
+    default: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Source-mix rebalancing: keep each source at its own Bernoulli
+    fraction (hash-threshold, zero-shuffle).
+
+    `weights` maps source → keep fraction in [0, 1]; unlisted sources use
+    `default`. Deterministic per (salt, id), fractions exact in
+    expectation — the narrow-projection path for re-weighting a corpus
+    mixture at any scale. Fraction 0 drops a source entirely.
+    """
+    bad = {k: v for k, v in weights.items() if not 0.0 <= v <= 1.0}
+    if bad or not 0.0 <= default <= 1.0:
+        raise ValueError(f"fractions must be in [0,1]: {bad or {'default': default}}")
+    bucket = _salted_hash(salt, F.col(id_col)) % F.lit(1_000_000)
+    # thresholds become integer literals IN PYTHON — double-to-int casts
+    # differ across engines (Spark truncates, DuckDB rounds), so no float
+    # arithmetic is allowed into the plan or its oracle twin
+    thr = reduce(
+        lambda tail, kv: F.when(
+            F.col(by) == F.lit(kv[0]), F.lit(int(round(kv[1] * 1_000_000)))
+        ).otherwise(tail),
+        weights.items(),
+        F.lit(int(round(default * 1_000_000))),
+    )
+    return df.where(bucket < thr)
 
 
 #: (kind, RE2-compatible pattern) applied in order; replacement is [PII:kind].

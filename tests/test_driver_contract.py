@@ -67,6 +67,6 @@ def test_r7_pipeline_tier_registered_for_r8_rotation():
     for q in (
         "dedup_clusters", "dedup_apply_clusters", "decontaminate",
         "train_test_split", "pii_redact", "stratified_sample",
-        "dedup_within_doc", "corpus_prep_pipeline",
+        "dedup_within_doc", "corpus_prep_pipeline", "source_cap", "source_mix",
     ):
         assert q in names and q in osql, q

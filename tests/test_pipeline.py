@@ -220,3 +220,50 @@ def test_hash_split_rejects_empty_and_negative(spark):
         P.hash_split(docs, splits={})
     with pytest.raises(ValueError, match="positive"):
         P.hash_split(docs, splits={"bad": -0.1, "rest": 1.1})
+
+
+# --- source capping / mixing -------------------------------------------------
+
+def _src_docs(spark, counts):
+    rows, i = [], 0
+    for src, n in counts.items():
+        for _ in range(n):
+            rows.append((i, "t", src)); i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_cap_per_source_clamps_only_oversized(spark):
+    docs = _src_docs(spark, {"a": 30, "b": 5})
+    out = P.cap_per_source(docs, cap=10)
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got == {"a": 10, "b": 5}
+
+
+def test_cap_per_source_stable_under_growth(spark):
+    base = _src_docs(spark, {"a": 30})
+    kept1 = {r.doc_id for r in P.cap_per_source(base, cap=10).collect()}
+    # adding docs to ANOTHER source never changes a's kept set
+    grown = _src_docs(spark, {"a": 30, "b": 50})
+    kept2 = {r.doc_id for r in P.cap_per_source(grown, cap=10).collect() if r.source == "a"}
+    assert kept1 == kept2
+
+
+def test_cap_per_source_rejects_bad_cap(spark):
+    with pytest.raises(ValueError, match="cap"):
+        P.cap_per_source(_src_docs(spark, {"a": 1}), cap=0)
+
+
+def test_weighted_source_sample_zero_drops_and_default_keeps(spark):
+    docs = _src_docs(spark, {"a": 200, "b": 200, "c": 200})
+    out = P.weighted_source_sample(docs, {"a": 0.5, "b": 0.0})
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "b" not in got and got["c"] == 200
+    assert 60 <= got["a"] <= 140  # ~50% in expectation
+
+
+def test_weighted_source_sample_rejects_out_of_range(spark):
+    docs = _src_docs(spark, {"a": 1})
+    with pytest.raises(ValueError, match=r"\[0,1\]"):
+        P.weighted_source_sample(docs, {"a": 1.5})
+    with pytest.raises(ValueError, match=r"\[0,1\]"):
+        P.weighted_source_sample(docs, {}, default=-0.1)
