@@ -44,7 +44,10 @@ def build_corpus(spark, rep: int):
         load_table(spark, SF_DIR, "documents")
         .crossJoin(F.broadcast(reps))
         .select(
-            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text", "lang"
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
         )
     )
     # write out so every operator reads a realistically-partitioned table,
@@ -196,11 +199,14 @@ def main() -> None:
     # train as exact copies, so each must be flagged.
     from mcp_synaptic_spark.operators.clustering import connected_components, dedup_corpus
     from mcp_synaptic_spark.operators.pipeline import (
+        cap_per_source,
+        dedup_lines,
         hash_split,
         ngram_decontaminate,
         pii_redact,
         stratified_sample_exact,
         stratified_sample_threshold,
+        weighted_source_sample,
     )
 
     pairs = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=200)
@@ -254,6 +260,17 @@ def main() -> None:
     timed(
         "pii_redact_10x",
         lambda: pii_redact(docs).agg(F.sum("n_redacted")).collect()[0][0],
+    )
+    timed(
+        "dedup_lines_10x",
+        lambda: dedup_lines(docs).agg(F.sum(F.length("clean_text"))).collect()[0][0],
+    )
+    n_capped = timed("source_cap_10x", lambda: cap_per_source(docs, cap=1000).count())
+    # 20 sources x 2500 docs each, all over the cap -> exactly 20 x 1000 kept
+    checks["source_cap_exact"] = bool(n_capped == 20 * 1000)
+    timed(
+        "source_mix_10x",
+        lambda: weighted_source_sample(docs, {"src0": 0.5, "src1": 0.0}).count(),
     )
 
     total = round(sum(timings.values()), 3)
