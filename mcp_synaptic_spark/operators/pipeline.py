@@ -31,6 +31,11 @@ Scale design
 - `pii_redact`: narrow regexp projection, whole-stage codegen, zero
   shuffles. Patterns are RE2-compatible (no backreferences/lookaround) so
   the DuckDB oracle runs them verbatim.
+- `dedup_lines`: intra-document repetition removal as one narrow
+  first-occurrence projection — zero shuffles.
+- `cap_per_source` / `weighted_source_sample`: corpus-mixing controls —
+  domain capping (one stratum shuffle) and per-source Bernoulli
+  re-weighting (zero-shuffle integer hash thresholds).
 """
 
 from __future__ import annotations
