@@ -1471,26 +1471,23 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SF_EVENT_COUNTS = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000}
 
 
-def _mk_oracle_ann_ivf() -> str | None:
-    """SQL twin of ivf_topk over the committed per-SF IVF indexes.
-
-    Embeds each SF's persisted centroids AND its persisted (vec_id → cell)
+def _ivf_fixture_ctes() -> tuple[str, str] | None:
+    """The shared (cent, cellmap) CTE bodies every IVF-fixture oracle opens
+    with: each SF's persisted centroids AND its persisted (vec_id → cell)
     assignment (`_cells.json`, written by ivf_index_write from the committed
-    index parquet itself) as literals, discriminated by events-count; then
-    recomputes only the nprobe=4 nearest-centroid probe (by 1−cosine, cell
-    asc ties) and the exact re-rank. Returns None (→ rows-only fallback) if
-    no committed index is found. If the dataset's events count matches NO
-    committed fixture, the empty-cent guard raises inside DuckDB instead of
-    silently returning 0 rows (a 0-row oracle would read as a false FAIL
-    against the Spark side).
+    index parquet itself) as literals, discriminated by events-count, with
+    fail-loud guards — a dataset whose events count matches NO committed
+    fixture raises inside DuckDB instead of silently producing a 0-row
+    oracle (which would read as a false FAIL against the Spark side).
+    Returns None (→ rows-only fallback) if no committed index exists.
 
     Reading the assignment from the fixture (instead of re-deriving argmin
-    list_distance, as rounds 2–6 did) makes the parity check
+    list_distance, as rounds 2–6 did) makes the parity checks
     assignment-independent: MLlib's transform uses the norm-trick
     fastSquaredDistance whose fp rounding can differ from an exact argmin on
-    a near-equidistant vector, and the oracle should grade the PROBE + RERANK
-    semantics, not reproduce KMeans' internal rounding. The sidecar is read
-    back from the committed index parquet, so it is the index's own truth."""
+    a near-equidistant vector, and the oracles grade PROBE/RERANK/DEDUP
+    semantics, not KMeans' internal rounding. The sidecar is read back from
+    the committed index parquet, so it is the index's own truth."""
     import json as _json
 
     branches = []
@@ -1522,10 +1519,7 @@ def _mk_oracle_ann_ivf() -> str | None:
         return None
     cent_cte = "\n  UNION ALL\n".join(branches)
     cellmap_cte = "\n  UNION ALL\n".join(cell_branches)
-    cos_probe = _cos("q.qvec", "c.c")
-    cos_score = _cos("a.v", "p.qvec")
-    return f"""
-WITH cent_raw AS (
+    cent_sql = f"""cent_raw AS (
   {cent_cte}
 ),
 cent AS (
@@ -1536,8 +1530,8 @@ cent AS (
   SELECT CASE WHEN error('IVF oracle: events count matches no committed centroid fixture') IS NULL THEN 0 END,
          NULL
   WHERE NOT EXISTS (SELECT 1 FROM cent_raw)
-),
-cellmap_raw AS (
+)"""
+    cellmap_sql = f"""cellmap_raw AS (
   {cellmap_cte}
 ),
 cellmap AS (
@@ -1548,7 +1542,23 @@ cellmap AS (
   SELECT CASE WHEN error('IVF oracle: events count matches no committed cell-assignment fixture') IS NULL THEN 0 END,
          0
   WHERE NOT EXISTS (SELECT 1 FROM cellmap_raw)
-),
+)"""
+    return cent_sql, cellmap_sql
+
+
+def _mk_oracle_ann_ivf() -> str | None:
+    """SQL twin of ivf_topk over the committed per-SF IVF fixtures
+    (_ivf_fixture_ctes): recomputes only the nprobe=4 nearest-centroid probe
+    (by 1−cosine, cell asc ties) and the exact re-rank."""
+    ctes = _ivf_fixture_ctes()
+    if ctes is None:
+        return None
+    cent_sql, cellmap_sql = ctes
+    cos_probe = _cos("q.qvec", "c.c")
+    cos_score = _cos("a.v", "p.qvec")
+    return f"""
+WITH {cent_sql},
+{cellmap_sql},
 base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 assigned AS (
   SELECT b.vec_id, b.v, m.cell FROM base b JOIN cellmap m USING (vec_id)
@@ -1576,6 +1586,61 @@ SELECT * FROM ranked WHERE rank <= 5
 
 
 _ORACLE_ANN_IVF = _mk_oracle_ann_ivf()
+
+#: SemDeDup pair threshold — tuned to the synthetic embeddings the same way
+#: the dedup_embedding queries sit at 0.45: the corpus' max pairwise cosine
+#: is ~0.51, so 0.4 yields a real removal set (26 of 500 at sf0.01) while a
+#: production text corpus would run the paper's ~0.95.
+_SEMANTIC_DEDUP_THRESHOLD = 0.4
+
+
+def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.py:semantic_dedup, Abbas et al. 2023
+    arXiv:2303.09540): within-IVF-cell cosine near-dup removal, keeping each
+    pair's lower-(centroid_sim, id) member. Probes the same persisted per-SF
+    IVF index as ann_ivf_topk — no KMeans fit in the query path; the oracle
+    reads the identical committed cell assignment + centroids."""
+    from mcp_synaptic_spark.operators.similarity import semantic_dedup
+
+    indexed, centroids = _ivf_index(spark, sf_dir)
+    return semantic_dedup(indexed, centroids, threshold=_SEMANTIC_DEDUP_THRESHOLD)
+
+
+def _mk_oracle_dedup_semantic() -> str | None:
+    """SQL twin of semantic_dedup over the committed IVF fixtures: same
+    cell assignment (cellmap sidecar), same rounded-6dp cosines, same
+    set-based keep rule — each within-cell pair at cosine ≥ threshold marks
+    its (centroid_sim, id)-greater member removed."""
+    ctes = _ivf_fixture_ctes()
+    if ctes is None:
+        return None
+    cent_sql, cellmap_sql = ctes
+    cos_cent = _cos("a.v", "c.c")
+    cos_pair = _cos("x.v", "y.v")
+    return f"""
+WITH {cent_sql},
+{cellmap_sql},
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+withc AS (
+  SELECT a.vec_id, m.cell, a.v,
+         round(greatest(-1.0, least(1.0, {cos_cent})), 6) AS centroid_sim
+  FROM base a JOIN cellmap m USING (vec_id) JOIN cent c ON c.cell = m.cell
+),
+pairs AS (
+  SELECT x.vec_id AS ia, y.vec_id AS ib, x.centroid_sim AS ca, y.centroid_sim AS cb
+  FROM withc x JOIN withc y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE round(greatest(-1.0, least(1.0, {cos_pair})), 6) >= {_SEMANTIC_DEDUP_THRESHOLD}
+),
+removed AS (
+  SELECT DISTINCT CASE WHEN cb >= ca THEN ib ELSE ia END AS vec_id FROM pairs
+)
+SELECT w.vec_id, CAST(w.cell AS INT) AS cell, w.centroid_sim,
+       (r.vec_id IS NOT NULL) AS removed
+FROM withc w LEFT JOIN removed r USING (vec_id)
+"""
+
+
+_ORACLE_DEDUP_SEMANTIC = _mk_oracle_dedup_semantic()
 
 
 def _q_embed_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1710,6 +1775,80 @@ SELECT doc_id, n_words,
       + 0.2 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
       + 0.3 * least(1.0, stop_ratio * 5), 6) AS quality_score
 FROM feat
+"""
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition filters (text_analysis.py:repetition_stats,
+    arXiv:2112.11446 §A1.1): dup-word fraction, top word-bigram + its char
+    coverage, dup-5-gram fraction — one narrow zero-shuffle projection."""
+    return TA.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_REPETITION = r"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents
+), stats AS (
+  SELECT doc_id, n_chars, len(w) AS n_words,
+    len(list_distinct(w)) AS ndw,
+    CASE WHEN len(w) >= 2 THEN list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]) ELSE [] END AS g2,
+    CASE WHEN len(w) >= 5 THEN list_transform(range(len(w) - 4), i -> array_to_string(w[i+1:i+5], ' ')) ELSE [] END AS g5
+  FROM base
+), bg AS (
+  SELECT doc_id, unnest(g2) AS g FROM stats
+), bgc AS (
+  SELECT doc_id, g, CAST(count(*) AS INT) AS c FROM bg GROUP BY doc_id, g
+), top AS (
+  SELECT doc_id, g, c FROM (
+    SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn FROM bgc
+  ) WHERE rn = 1
+)
+SELECT s.doc_id, s.n_words,
+  round(CASE WHEN s.n_words > 0 THEN 1.0 - s.ndw::DOUBLE / s.n_words ELSE 0.0 END, 6) AS dup_word_frac,
+  t.g AS top_bigram,
+  coalesce(t.c, 0) AS top_bigram_count,
+  round(CASE WHEN s.n_chars > 0 AND coalesce(t.c, 0) > 0
+        THEN t.c * length(t.g)::DOUBLE / s.n_chars ELSE 0.0 END, 6) AS top_bigram_char_frac,
+  round(CASE WHEN len(g5) > 0 THEN 1.0 - len(list_distinct(g5))::DOUBLE / len(g5) ELSE 0.0 END, 6) AS dup_5gram_frac
+FROM stats s LEFT JOIN top t USING (doc_id)
+"""
+
+
+def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed exact-substring duplication (dedup.py:substring_dup_stats,
+    Lee et al. 2022 arXiv:2107.06499 §4.1 at 10-word-window granularity):
+    per-doc count/fraction of windows shared verbatim with another doc. The
+    Spark side blocks on xxhash64(window); the oracle groups by window text
+    (hash-collision-free ground truth)."""
+    return D.substring_dup_stats(_t(spark, sf_dir, "documents"), n=10)
+
+
+_ORACLE_DEDUP_SUBSTRING = r"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents
+), wins AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 10
+    THEN list_transform(range(len(w) - 9), i -> array_to_string(w[i+1:i+10], ' '))
+    ELSE [] END) AS win
+  FROM base
+), dfh AS (
+  SELECT win, count(DISTINCT doc_id) AS df FROM wins GROUP BY win
+), per AS (
+  SELECT w.doc_id,
+    CAST(count(*) AS BIGINT) AS n_windows,
+    CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+  FROM wins w JOIN dfh d USING (win) GROUP BY w.doc_id
+)
+SELECT doc.doc_id,
+  coalesce(p.n_windows, 0) AS n_windows,
+  coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+  round(CASE WHEN coalesce(p.n_windows, 0) > 0
+        THEN coalesce(p.n_dup_windows, 0)::DOUBLE / p.n_windows ELSE 0.0 END, 6) AS dup_window_frac
+FROM documents doc LEFT JOIN per p USING (doc_id)
 """
 
 
@@ -2732,6 +2871,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_pipeline": _q_corpus_prep_pipeline,
         "source_cap": _q_source_cap,
         "source_mix": _q_source_mix,
+        # --- new this session (r7 tail → must lead the r8 window with the
+        # pipeline tier): Gopher repetition filters, windowed substring dedup,
+        # SemDeDup over the persisted IVF cells ---
+        "repetition_stats": _q_repetition_stats,
+        "dedup_substring": _q_dedup_substring,
+        "dedup_semantic": _q_dedup_semantic,
     }
 
 
@@ -2817,4 +2962,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep_pipeline": _ORACLE_CORPUS_PREP,
         "source_cap": _ORACLE_SOURCE_CAP,
         "source_mix": _ORACLE_SOURCE_MIX,
+        "repetition_stats": _ORACLE_REPETITION,
+        "dedup_substring": _ORACLE_DEDUP_SUBSTRING,
+        **({"dedup_semantic": _ORACLE_DEDUP_SEMANTIC} if _ORACLE_DEDUP_SEMANTIC else {}),
     }

@@ -499,3 +499,89 @@ def embedding_near_dup_pairs_lsh(
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-document exact-substring duplication at n-word-window
+    granularity (the scalable approximation of suffix-array substring dedup,
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 §4.1 — a shared substring of ≥ n words implies
+    a shared n-word window, so windows are the blocking unit).
+
+    Every doc emits its overlapping n-word windows; a window occurrence is
+    *duplicated* when the same n-word string also occurs in at least one
+    OTHER document. Per-doc output (one row per input doc, short docs
+    included with zeros): ``n_windows``, ``n_dup_windows``,
+    ``dup_window_frac`` — the consumer thresholds the fraction (or trims the
+    flagged spans) downstream.
+
+    Scale: windows never leave the map side as strings — each occurrence is
+    reduced to ``xxhash64(window)`` immediately, so the document-frequency
+    shuffle carries (8-byte hash, id) pairs, ~independent of window length.
+    Work is O(total windows), not O(N²): the per-hash df aggregate and the
+    hash-join back to occurrences are both map-side-combinable and
+    AQE-planned. ``max_df`` mirrors ngram_jaccard_pairs: windows appearing in
+    more than max_df docs (boilerplate) are EXCLUDED from both counts before
+    the join, bounding any single hash's fan-out; None = exact semantics.
+    The n-word window granularity means substrings shorter than n words are
+    invisible by design (the Lee et al. length floor). Collision note:
+    xxhash64 equates two distinct windows with probability ~2⁻⁶⁴ per pair —
+    acceptable for a dedup *signal*; the parity oracle groups by window text.
+    """
+    if n < 1:
+        raise ValueError(f"window size n must be >= 1, got {n}")
+    _release_stale()
+    ids = docs.select(F.col(id_col).alias("id"))
+    w = F.expr(
+        f"IF(trim(`{content_col}`) = '', CAST(array() AS ARRAY<STRING>), "
+        f"split(trim(`{content_col}`), '\\\\s+'))"
+    )
+    # windows → 64-bit hashes in one narrow projection; the string windows
+    # exist only inside the expression, never in a shuffled column
+    wins = (
+        _ensure_parallelism(docs)
+        .select(F.col(id_col).alias("id"), w.alias("w"))
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    f"IF(size(w) >= {n}, "
+                    f"transform(sequence(1, size(w) - {n - 1}), i -> xxhash64(array_join(slice(w, i, {n}), ' '))), "
+                    "CAST(array() AS ARRAY<BIGINT>))"
+                )
+            ).alias("h"),
+        )
+    )
+    per_hash = wins.groupBy("h").agg(F.count_distinct("id").alias("df"))
+    if max_df is not None:
+        per_hash = per_hash.where(F.col("df") <= max_df)
+    per_doc = (
+        wins.join(per_hash, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+    )
+    return (
+        ids.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.when(
+                    F.coalesce("n_windows", F.lit(0)) > 0,
+                    F.coalesce("n_dup_windows", F.lit(0)).cast("double") / F.col("n_windows"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_window_frac"),
+        )
+    )

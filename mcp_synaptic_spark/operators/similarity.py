@@ -28,7 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine_similarity, dot, l2_normalize
+from ..functions.vector import as_double, cosine_similarity, dot, dot_fixed, l2_normalize, norm
 from .rag import ORDER_DP, ROUND_DP
 
 
@@ -488,3 +488,90 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    indexed: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    removal inside the coarse k-means cells of a persisted IVF index — the
+    paper's design point is exactly this reuse: clustering bounds the
+    quadratic so pairwise cosine only ever runs within a cell.
+
+    Keep rule (the paper keeps the member with the LOWEST similarity to its
+    cluster centroid), made order-independent and set-based: a vector is
+    removed iff some same-cell vector has cosine ≥ threshold with it and a
+    strictly smaller (centroid_sim, id) lexicographic key. Equivalently, each
+    near-dup pair marks its (centroid_sim, id)-greater member removed; the
+    removal set is the union over pairs. Deterministic, engine-portable
+    (EXISTS semi-join semantics), and — unlike the greedy sequential scan in
+    the paper's pseudocode — independent of visit order.
+
+    Input is the ivf_index_load frame (id, vector, cell) + its sidecar
+    centroids, so no KMeans fit happens here (build/probe split, as for
+    ann queries). Output: one row per vector — (id, cell, centroid_sim,
+    removed). Comparisons use the ROUND_DP-rounded similarity on both the
+    pair threshold and the keep key, so the decision boundary is identical
+    for any engine that reproduces 6-dp cosine.
+
+    Scale: one shuffle on `cell` (the partitioning the index already has on
+    disk), then all pair work is cell-local; with n_cells ≈ √N (auto_n_cells)
+    expected within-cell pairs stay ~N per cell-batch, not N². The removal
+    join back is an id equi-join. Skewed cells (a mass of near-identical
+    vectors) are the AQE skew-join case; the dedup THRESHOLD itself keeps
+    hot cells rare in practice — they are exactly what gets removed.
+    """
+    if dim is None:
+        dim = len(centroids[0])
+    clamp6 = lambda c: F.round(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), c)), ROUND_DP)  # noqa: E731
+    cent = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    # per-vector work (N rows): centroid sim via the HOF fold is fine; the
+    # norm is precomputed HERE so the within-cell pair join below runs the
+    # unrolled dot_fixed codegen path (the N²-within-cell hot loop) instead
+    # of an interpreted per-element fold — same sequential fp64 order either
+    # way, so values match the oracle bit-for-bit.
+    base = indexed.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col("cell").cast("int").alias("cell"),
+        norm(as_double(F.col(vec_col))).alias("nrm"),
+    ).withColumn(
+        "centroid_sim",
+        clamp6(cosine_similarity(F.col("v"), F.element_at(cent, F.col("cell") + 1))),
+    )
+    a = base.select(
+        F.col("cell"), F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), F.col("centroid_sim").alias("ca"),
+    )
+    b = base.select(
+        F.col("cell"), F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("centroid_sim").alias("cb"),
+    )
+    pair_cos = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(0.0)).otherwise(
+        dot_fixed("va", "vb", dim) / (F.col("na") * F.col("nb"))
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(clamp6(pair_cos) >= threshold)
+    )
+    # the pair's (centroid_sim, id)-greater member is the removed one; with
+    # id_a < id_b a tie on the rounded sims removes b
+    removed = pairs.select(
+        F.when(F.col("cb") >= F.col("ca"), F.col("id_b")).otherwise(F.col("id_a")).alias("id")
+    ).distinct()
+    return (
+        base.join(removed.withColumn("_rm", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            "centroid_sim",
+            F.coalesce("_rm", F.lit(False)).alias("removed"),
+        )
+    )

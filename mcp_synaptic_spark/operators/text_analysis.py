@@ -106,6 +106,98 @@ def fingerprint(docs: DataFrame, content_col: str = "text") -> DataFrame:
     )
 
 
+# --- repetition filters (Gopher, Rae et al. 2021 arXiv:2112.11446 §A1.1) ---
+#
+# The metrics below are the word/n-gram repetition signals pretraining
+# pipelines use to drop boilerplate and degenerate text. Everything is ONE
+# narrow per-row projection — the n-gram lists, run-length scan, and ratios
+# are array expressions inside whole-stage codegen, so at 100 TB this is an
+# embarrassingly-parallel scan with zero shuffles and zero Python.
+
+_WORDS_SQL = "IF(trim(`{c}`) = '', CAST(array() AS ARRAY<STRING>), split(trim(`{c}`), '\\\\s+'))"
+
+# overlapping word n-grams as array expressions over a projected `w` column
+_G2_SQL = (
+    "IF(size(w) >= 2, transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])), "
+    "CAST(array() AS ARRAY<STRING>))"
+)
+_G5_SQL = (
+    "IF(size(w) >= 5, transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' ')), "
+    "CAST(array() AS ARRAY<STRING>))"
+)
+
+# Most-frequent bigram via a single run-length scan over the SORTED gram
+# array (equal grams are adjacent after array_sort, so the longest run IS the
+# top count). `>=` on the update means a later — lexicographically larger —
+# gram wins count ties, matching the oracle's ORDER BY cnt DESC, g DESC.
+# One aggregate() pass per doc (O(grams)), not a per-doc groupBy shuffle.
+_RUN_SQL = "IF(x <=> acc.prev, acc.run + 1, 1)"
+_TOP_G2_SQL = f"""aggregate(
+  array_sort({_G2_SQL}),
+  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best_c', 0, 'best_g', CAST(NULL AS STRING)),
+  (acc, x) -> named_struct(
+    'prev', x,
+    'run', {_RUN_SQL},
+    'best_c', IF({_RUN_SQL} >= acc.best_c, {_RUN_SQL}, acc.best_c),
+    'best_g', IF({_RUN_SQL} >= acc.best_c, x, acc.best_g)),
+  acc -> named_struct('c', acc.best_c, 'g', acc.best_g))"""
+
+
+def repetition_stats(docs: DataFrame, content_col: str = "text") -> DataFrame:
+    """Per-doc repetition metrics in the Gopher family (arXiv:2112.11446
+    §A1.1 "repetition removal"; no reference-repo analogue — beyond-reference
+    training-pipeline surface):
+
+    - ``dup_word_frac``      1 − distinct/total over whitespace words (the
+                             word-granularity duplicate fraction),
+    - ``top_bigram`` / ``top_bigram_count`` the most frequent overlapping
+                             word 2-gram (ties → lexicographically largest),
+    - ``top_bigram_char_frac`` chars covered by its occurrences
+                             (count × gram length / doc chars — uncapped, so
+                             heavily-overlapping runs can exceed 1.0; the
+                             filter consumer thresholds, it doesn't sum),
+    - ``dup_5gram_frac``     1 − distinct/total over overlapping 5-grams
+                             (Gopher's duplicate-n-gram signal at n=5).
+
+    Docs too short for a gram size report 0 (and a NULL top_bigram).
+    """
+    words = F.expr(_WORDS_SQL.format(c=content_col))
+    base = docs.select(F.col("doc_id"), F.length(content_col).alias("_n_chars"), words.alias("w"))
+    sel = base.select(
+        "doc_id",
+        "_n_chars",
+        F.expr("size(w)").alias("n_words"),
+        F.expr("size(array_distinct(w))").alias("_ndw"),
+        F.expr(f"size({_G5_SQL})").alias("_n5"),
+        F.expr(f"size(array_distinct({_G5_SQL}))").alias("_nd5"),
+        F.expr(_TOP_G2_SQL).alias("_top"),
+    )
+    nw = F.col("n_words")
+    top_c, top_g = F.col("_top.c"), F.col("_top.g")
+    return sel.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.round(
+            F.when(nw > 0, 1.0 - F.col("_ndw").cast("double") / nw).otherwise(F.lit(0.0)), 6
+        ).alias("dup_word_frac"),
+        top_g.alias("top_bigram"),
+        top_c.alias("top_bigram_count"),
+        F.round(
+            F.when(
+                (F.col("_n_chars") > 0) & (top_c > 0),
+                top_c * F.length(top_g).cast("double") / F.col("_n_chars"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_char_frac"),
+        F.round(
+            F.when(F.col("_n5") > 0, 1.0 - F.col("_nd5").cast("double") / F.col("_n5")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("dup_5gram_frac"),
+    )
+
+
 def lang_distribution(docs: DataFrame) -> DataFrame:
     """Corpus language histogram with share-of-corpus.
 

@@ -249,3 +249,52 @@ def test_max_bucket_caps_embedding_lsh(spark):
     pairs = {(r.id_a, r.id_b) for r in capped}
     assert (1000, 1001) in pairs
     assert not any(a < 200 and b < 200 for a, b in pairs)
+
+
+# --- substring_dup_stats (windowed substring dedup, arXiv:2107.06499) ------
+
+
+def test_substring_dup_stats_cross_doc_only(spark):
+    from mcp_synaptic_spark.operators.dedup import substring_dup_stats
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),            # 3 windows, 1 shared
+            (2, "head " + shared),                    # 2 windows, 1 shared
+            (3, "completely different words " + " ".join(f"w{i}" for i in range(10))),
+            (4, "short doc"),                         # < 10 words → 0 windows
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r.doc_id: r for r in substring_dup_stats(docs, n=10).collect()}
+    assert (out[1].n_windows, out[1].n_dup_windows) == (3, 1)
+    assert (out[2].n_windows, out[2].n_dup_windows) == (2, 1)
+    assert out[1].dup_window_frac == round(1 / 3, 6)
+    assert out[3].n_dup_windows == 0
+    assert (out[4].n_windows, out[4].dup_window_frac) == (0, 0.0)
+
+
+def test_substring_dup_stats_within_doc_repeat_is_not_cross_doc(spark):
+    from mcp_synaptic_spark.operators.dedup import substring_dup_stats
+
+    ten = " ".join(f"t{i}" for i in range(10))
+    # the same 10-word window occurs twice inside ONE doc — df counts
+    # DISTINCT docs, so nothing is flagged
+    docs = spark.createDataFrame([(1, ten + " mid " + ten)], "doc_id INT, text STRING")
+    r = substring_dup_stats(docs, n=10).collect()[0]
+    assert r.n_windows == 12 and r.n_dup_windows == 0
+
+
+def test_substring_dup_stats_max_df_drops_boilerplate(spark):
+    from mcp_synaptic_spark.operators.dedup import substring_dup_stats
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 5)], "doc_id INT, text STRING"
+    )
+    # df=4 for the lone window; max_df=3 excludes it from BOTH counts
+    out = {r.doc_id: r for r in substring_dup_stats(docs, n=10, max_df=3).collect()}
+    assert all(r.n_windows == 0 and r.n_dup_windows == 0 for r in out.values())
+    uncapped = {r.doc_id: r for r in substring_dup_stats(docs, n=10).collect()}
+    assert all(r.n_dup_windows == 1 for r in uncapped.values())

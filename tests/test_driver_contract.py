@@ -68,5 +68,7 @@ def test_r7_pipeline_tier_registered_for_r8_rotation():
         "dedup_clusters", "dedup_apply_clusters", "decontaminate",
         "train_test_split", "pii_redact", "stratified_sample",
         "dedup_within_doc", "corpus_prep_pipeline", "source_cap", "source_mix",
+        # late-r7 additions, same rotation obligation:
+        "repetition_stats", "dedup_substring", "dedup_semantic",
     ):
         assert q in names and q in osql, q

@@ -177,3 +177,77 @@ def test_mllib_lsh_indexed_matches_fit_path(spark, sf_dir, tmp_path):
     S.mllib_lsh_index_write(emb.limit(1), path, planes)
     rebuilt, _, _ = S.mllib_lsh_index_load(spark, path)
     assert rebuilt.count() == 1
+
+
+# --- semantic_dedup (SemDeDup, arXiv:2303.09540) ---------------------------
+
+
+def _semantic_fixture(spark):
+    # cell 0 centroid → +x, cell 1 centroid → +y; dim 4
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        # cell 0: 10/11 nearly parallel (cos≈1) — 11 is closer to the
+        # centroid (higher centroid_sim) so 11 is the removed one
+        (10, [1.0, 0.2, 0.0, 0.0], 0),
+        (11, [1.0, 0.1, 0.0, 0.0], 0),
+        # cell 0: orthogonal-ish survivor
+        (12, [0.5, 0.0, 1.0, 0.0], 0),
+        # cell 1: high-cos pair vs 10 would exist ACROSS cells — but
+        # SemDeDup is cell-local by design, so 20 survives
+        (20, [1.0, 0.2, 0.0, 0.001], 1),
+        # cell 1: exact tie on centroid_sim → larger id removed
+        (21, [0.0, 1.0, 0.3, 0.0], 1),
+        (22, [0.0, 1.0, 0.0, 0.3], 1),
+    ]
+    indexed = spark.createDataFrame(
+        rows, "vec_id INT, embedding ARRAY<DOUBLE>, cell INT"
+    )
+    return indexed, centroids
+
+
+def test_semantic_dedup_keeps_low_centroid_sim_member(spark):
+    from mcp_synaptic_spark.operators.similarity import semantic_dedup
+
+    indexed, centroids = _semantic_fixture(spark)
+    out = {r.vec_id: r for r in semantic_dedup(indexed, centroids, threshold=0.95).collect()}
+    assert len(out) == 6  # one row per input vector, always
+    assert not out[10].removed and out[11].removed  # 11 is centroid-closer
+    assert out[11].centroid_sim > out[10].centroid_sim
+    assert not out[12].removed
+    # cross-cell near-dup (10 vs 20) is invisible by design
+    assert not out[20].removed
+    # |cos(21, 22)| = 1/1.09 ≈ 0.917 < 0.95 → neither removed at 0.95
+    assert not out[21].removed and not out[22].removed
+
+
+def test_semantic_dedup_tie_removes_larger_id(spark):
+    from mcp_synaptic_spark.operators.similarity import semantic_dedup
+
+    indexed, centroids = _semantic_fixture(spark)
+    # at 0.9, (21, 22) pair triggers; both have centroid_sim
+    # 1/√1.09 — the rounded tie removes the larger id (22)
+    out = {r.vec_id: r for r in semantic_dedup(indexed, centroids, threshold=0.9).collect()}
+    assert out[21].centroid_sim == out[22].centroid_sim
+    assert not out[21].removed and out[22].removed
+
+
+def test_semantic_dedup_from_persisted_index(spark, sf_dir, tmp_path):
+    """End-to-end from the real build/probe split: write an IVF index, load
+    it, and run SemDeDup off the loaded frame + sidecar centroids — removed
+    count is deterministic and the removal set is consistent (a removed
+    vector's remover must itself exist)."""
+    import mcp_synaptic_spark.operators.similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    S.ivf_index_write(emb, path, n_cells=8, id_col="vec_id")
+    indexed, centroids = S.ivf_index_load(spark, path)
+    out = S.semantic_dedup(indexed, centroids, threshold=0.4)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    removed = [r for r in rows if r.removed]
+    assert removed, "threshold 0.4 must remove something on this corpus"
+    # survivors must cover every cell that had members
+    cells_all = {r.cell for r in rows}
+    cells_kept = {r.cell for r in rows if not r.removed}
+    assert cells_kept == cells_all, "a whole cell vanished — keep rule broken"

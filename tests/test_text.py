@@ -110,3 +110,45 @@ def test_assemble_context_no_truncation_when_tiny_leftover(spark):
     # only doc1 fits; leftover = 110−100−2 = 8 < 100 ⇒ no truncated tail
     assert out.context == "A" * 100
     assert out.n_docs == 1
+
+
+# --- repetition_stats (Gopher filters, arXiv:2112.11446 §A1.1) -------------
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    from mcp_synaptic_spark.operators.text_analysis import repetition_stats
+
+    docs = spark.createDataFrame([(1, "a a a a")], "doc_id INT, text STRING")
+    r = repetition_stats(docs).collect()[0]
+    assert r.n_words == 4
+    assert r.dup_word_frac == 0.75  # 1 distinct of 4
+    assert r.top_bigram == "a a" and r.top_bigram_count == 3
+    # 3 occurrences × 3 chars over 7 doc chars — uncapped by design
+    assert r.top_bigram_char_frac == round(9 / 7, 6)
+    assert r.dup_5gram_frac == 0.0  # only 4 words → no 5-grams
+
+
+def test_repetition_stats_short_and_empty_docs(spark):
+    from mcp_synaptic_spark.operators.text_analysis import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "   "), (3, "x y x y x y x y")], "doc_id INT, text STRING"
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert out[1].top_bigram is None and out[1].top_bigram_count == 0
+    assert out[1].top_bigram_char_frac == 0.0 and out[1].dup_word_frac == 0.0
+    assert out[2].n_words == 0 and out[2].dup_word_frac == 0.0
+    # overlapping 5-grams of a 2-periodic string: 4 total, 2 distinct
+    assert out[3].dup_5gram_frac == 0.5
+    # bigram tie "x y"×4 vs "y x"×3 — count wins before the lexicographic tie-break
+    assert out[3].top_bigram == "x y" and out[3].top_bigram_count == 4
+
+
+def test_repetition_stats_bigram_tie_breaks_lexicographically_largest(spark):
+    from mcp_synaptic_spark.operators.text_analysis import repetition_stats
+
+    # "a b" and "c d" both occur exactly twice; the oracle's ORDER BY
+    # cnt DESC, g DESC picks "c d" — the operator must agree
+    docs = spark.createDataFrame([(1, "a b q c d r a b s c d")], "doc_id INT, text STRING")
+    r = repetition_stats(docs).collect()[0]
+    assert (r.top_bigram, r.top_bigram_count) == ("c d", 2)
