@@ -70,5 +70,11 @@ def test_r7_pipeline_tier_registered_for_r8_rotation():
         "dedup_within_doc", "corpus_prep_pipeline", "source_cap", "source_mix",
         # late-r7 additions, same rotation obligation:
         "repetition_stats", "dedup_substring", "dedup_semantic",
+        # tail queries whose FILE (text_analysis.py) late-r7 appends touched —
+        # the pre-existing functions are byte-identical (appends-only diff)
+        # and all four are sf0.01-parity-green this round, but the r8 window
+        # must refresh their driver-graded evidence to keep the
+        # no-evidence-predates-code invariant clean at file granularity:
+        "token_stats", "quality_score", "lang_id", "lang_distribution",
     ):
         assert q in names and q in osql, q

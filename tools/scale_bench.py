@@ -170,6 +170,44 @@ def main() -> None:
         ).count(),
     )
 
+    # --- repetition / substring / semantic dedup at 10x ---------------------
+    # Replication ground truth: every doc with ≥10 words has 9 verbatim
+    # replicas, so EVERY one of its 10-word windows is cross-doc duplicated
+    # (dup_window_frac must be exactly 1.0 for all windowed docs); every
+    # vector has 9 identical twins that land in the SAME KMeans cell
+    # (deterministic assignment), cos 1.0 pairs, identical rounded
+    # centroid_sim → the lexicographic keep rule must keep exactly the
+    # min-id member of each clique, i.e. remove exactly n·(rep−1)/rep —
+    # unless distinct base vectors also exceed the threshold (none do at
+    # 0.9 on this corpus; the check is exact equality so a drift shows up).
+    from mcp_synaptic_spark.operators.dedup import substring_dup_stats
+    from mcp_synaptic_spark.operators.similarity import semantic_dedup
+    from mcp_synaptic_spark.operators.text_analysis import repetition_stats
+
+    timed(
+        "repetition_stats_10x",
+        lambda: repetition_stats(docs).agg(F.sum("n_words")).collect()[0][0],
+    )
+    sub = substring_dup_stats(docs, n=10).cache()
+    n_windowed = timed(
+        "dedup_substring_10x",
+        lambda: sub.where(F.col("n_windows") > 0).count(),
+    )
+    n_fully_dup = sub.where(
+        (F.col("n_windows") > 0) & (F.col("dup_window_frac") == 1.0)
+    ).count()
+    checks["substring_windowed_docs"] = n_windowed
+    checks["substring_all_windows_duplicated"] = bool(n_windowed == n_fully_dup)
+    sub.unpersist()
+
+    sem = semantic_dedup(indexed, centroids, threshold=0.9, id_col="vec_id").cache()
+    n_sem_removed = timed("dedup_semantic_10x", lambda: sem.where("removed").count())
+    checks["semantic_removed"] = n_sem_removed
+    checks["semantic_removes_exact_replicas"] = bool(
+        n_sem_removed == n_emb - n_emb // rep
+    )
+    sem.unpersist()
+
     # --- memory tier at 10x -------------------------------------------------
     from mcp_synaptic_spark.operators.memory import memory_stats, upsert_by_key
     from mcp_synaptic_spark.sources.memories import NOW_TS, memories_from_events
