@@ -251,3 +251,52 @@ def test_semantic_dedup_from_persisted_index(spark, sf_dir, tmp_path):
     cells_all = {r.cell for r in rows}
     cells_kept = {r.cell for r in rows if not r.removed}
     assert cells_kept == cells_all, "a whole cell vanished — keep rule broken"
+
+
+def test_semantic_dedup_collapse_equals_member_level(spark):
+    """The exact-duplicate pre-collapse rewrite must produce EXACTLY the
+    member-level pair pass's output — seeded random corpus with planted
+    identical cliques, near-dup groups across cliques, and a zero-vector
+    clique (whose guard-zeroed cosine pairs with nothing at positive
+    thresholds)."""
+    import random
+
+    from mcp_synaptic_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    dim = 8
+    rows = []
+    vid = 0
+    for cell in range(4):
+        for g in range(6):
+            vec = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+            # near-dup twin group: same direction, tiny perturbation
+            for m in range(rng.choice([1, 1, 2, 4])):
+                v = list(vec) if m == 0 else [x + rng.gauss(0.0, 1e-3) for x in vec]
+                rows.append((vid, v, cell))
+                vid += 1
+            # exact-duplicate clique of the base vector
+            for _ in range(rng.choice([0, 2, 5])):
+                rows.append((vid, list(vec), cell))
+                vid += 1
+    # zero-vector clique in one cell
+    for _ in range(3):
+        rows.append((vid, [0.0] * dim, 1))
+        vid += 1
+    indexed = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>, cell INT")
+    centroids = [[1.0 if i == c else 0.0 for i in range(dim)] for c in range(4)]
+    for th in (0.999, 0.9, 0.5):
+        fast = {
+            r.vec_id: (r.cell, r.centroid_sim, r.removed)
+            for r in semantic_dedup(indexed, centroids, threshold=th).collect()
+        }
+        slow = {
+            r.vec_id: (r.cell, r.centroid_sim, r.removed)
+            for r in semantic_dedup(
+                indexed, centroids, threshold=th, collapse_exact=False
+            ).collect()
+        }
+        assert fast == slow, f"collapse mismatch at threshold={th}"
+    # zero vectors never pair at positive thresholds: all three survive
+    out = {r.vec_id: r.removed for r in semantic_dedup(indexed, centroids, threshold=0.5).collect()}
+    assert not any(out[v] for v in range(vid - 3, vid))
