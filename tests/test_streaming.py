@@ -521,3 +521,37 @@ def test_streaming_exact_dedup_with_watermark_bounded_state(spark, sf_dir, tmp_p
     q.awaitTermination()
     expected = spark.read.parquet(src).select("text").distinct().count()
     assert spark.table("sdedup_wm").count() == expected
+
+
+def test_repetition_stats_streams_unchanged(spark, sf_dir, tmp_path):
+    """The narrow pipeline tier composes with Structured Streaming as-is:
+    repetition_stats (text_analysis.py) is a stateless projection, so the
+    SAME operator code runs under readStream → append mode with no
+    modification and yields the batch result. This pins the claim that the
+    zero-shuffle text operators are streaming-safe by construction."""
+    from mcp_synaptic_spark.operators.text_analysis import repetition_stats
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    batch_docs.write.parquet(src)
+
+    stream = spark.readStream.schema(batch_docs.schema).parquet(src)
+    q = (
+        repetition_stats(stream)
+        .writeStream.format("memory")
+        .queryName("repetition_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.n_words, r.dup_word_frac, r.top_bigram, r.top_bigram_count)
+        for r in spark.sql("SELECT * FROM repetition_stream_test").collect()
+    }
+    want = {
+        r.doc_id: (r.n_words, r.dup_word_frac, r.top_bigram, r.top_bigram_count)
+        for r in repetition_stats(batch_docs).collect()
+    }
+    assert got == want and len(want) > 0
