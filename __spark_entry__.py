@@ -2746,6 +2746,71 @@ FROM s GROUP BY source ORDER BY source
 """
 
 
+def _q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine decontamination (pipeline.py:semantic_decontaminate):
+    flag train vectors ≥0.35 cosine-similar to any eval vector (eval =
+    vec_id % 97 == 0, the same split the n-gram decontaminate query uses).
+    The semantic net catches paraphrased leakage invisible to verbatim
+    n-grams; threshold tuned to the synthetic corpus like dedup_embedding's
+    0.45."""
+    from mcp_synaptic_spark.operators.pipeline import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.where(F.col("vec_id") % 97 != 0),
+        emb.where(F.col("vec_id") % 97 == 0),
+        threshold=0.35,
+    )
+
+
+_ORACLE_DECONTAMINATE_SEMANTIC = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, v AS evec FROM e WHERE vec_id % 97 = 0),
+tr AS (SELECT vec_id, v AS tv FROM e WHERE vec_id % 97 != 0),
+m AS (
+  SELECT t.vec_id, s.eval_id, round({_cos('t.tv', 's.evec')}, 6) AS cosine
+  FROM tr t CROSS JOIN ev s
+  WHERE round({_cos('t.tv', 's.evec')}, 6) >= 0.35
+),
+r AS (
+  SELECT vec_id, eval_id, cosine,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, eval_id ASC) AS rn,
+         count(*) OVER (PARTITION BY vec_id) AS nm,
+         max(cosine) OVER (PARTITION BY vec_id) AS mc
+  FROM m
+)
+SELECT vec_id, CAST(nm AS BIGINT) AS n_matches, mc AS max_cosine, eval_id AS top_eval_id
+FROM r WHERE rn = 1
+"""
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (pipeline.py:pack_sequences): each doc's
+    window assignment in the GPT-style concatenate-then-chunk layout —
+    hash-sharded, id-ordered running token sums, 512-token windows."""
+    from mcp_synaptic_spark.operators.pipeline import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), window_tokens=512, n_shards=8)
+
+
+_ORACLE_PACK_SEQUENCES = r"""
+WITH b AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('pack-v1:' || doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS INT) AS shard,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, shard, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset
+  FROM b)
+SELECT doc_id, shard, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS seq_id
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2877,6 +2942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "dedup_substring": _q_dedup_substring,
         "dedup_semantic": _q_dedup_semantic,
+        "decontaminate_semantic": _q_decontaminate_semantic,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -2965,4 +3032,6 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _ORACLE_REPETITION,
         "dedup_substring": _ORACLE_DEDUP_SUBSTRING,
         **({"dedup_semantic": _ORACLE_DEDUP_SEMANTIC} if _ORACLE_DEDUP_SEMANTIC else {}),
+        "decontaminate_semantic": _ORACLE_DECONTAMINATE_SEMANTIC,
+        "pack_sequences": _ORACLE_PACK_SEQUENCES,
     }

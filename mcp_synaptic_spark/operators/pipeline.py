@@ -58,6 +58,8 @@ __all__ = [
     "dedup_lines",
     "cap_per_source",
     "weighted_source_sample",
+    "semantic_decontaminate",
+    "pack_sequences",
     "DEFAULT_PII_PATTERNS",
 ]
 
@@ -376,4 +378,124 @@ def pii_redact(
         cur = F.regexp_replace(cur, pat, f"[PII:{kind}]")
     return df.withColumn(out_col, cur).withColumn(
         count_col, reduce(lambda a, b: a + b, counts).cast("bigint")
+    )
+
+
+def semantic_decontaminate(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine benchmark decontamination: flag train items whose
+    embedding is ≥ threshold cosine-similar to ANY eval item — the semantic
+    complement of `ngram_decontaminate` (verbatim n-gram overlap misses
+    paraphrased eval leakage; embedding similarity is the standard second
+    net, cf. the contamination analyses in GPT-3 appendix C / PaLM §8 which
+    motivated similarity-based leakage checks).
+
+    Output: one row per CONTAMINATED train item —
+    (id, n_matches, max_cosine, top_eval_id) with top_eval_id = the argmax
+    eval item (ties → smallest eval id). Non-matching train items don't
+    appear (the caller anti-joins to drop, mirroring decontaminate's report
+    mode).
+
+    Scale: norms are precomputed per side (N rows), the cross join runs the
+    unrolled fixed-dim dot inside codegen, and rows are filtered to matches
+    BEFORE the per-train-id aggregate — the post-join shuffle carries only
+    contaminated (train_id, eval_id, cos) tuples. Eval benchmarks are small
+    (10³–10⁶ rows) so the optimizer broadcasts that side on stats; no
+    forced broadcast hint (heavy-overlap crawls can blow a hint up — the
+    round-7 review rule). The exact pairwise pass is the recall contract
+    (contamination screening wants NO false negatives); for an eval set too
+    large for N·M, pre-bucket both sides with the hyperplane-LSH tables of
+    `dedup.embedding_near_dup_pairs_lsh` and run this within buckets.
+    """
+    from ..functions.vector import as_double, dot_fixed, norm, probe_dim
+
+    if dim is None:
+        dim = probe_dim(train_emb, vec_col)
+    t = train_emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("tv"),
+        norm(as_double(F.col(vec_col))).alias("tn"),
+    )
+    e = eval_emb.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("ev"),
+        norm(as_double(F.col(vec_col))).alias("en"),
+    )
+    cos = F.when((F.col("tn") == 0.0) | (F.col("en") == 0.0), F.lit(0.0)).otherwise(
+        dot_fixed("tv", "ev", dim) / (F.col("tn") * F.col("en"))
+    )
+    matches = (
+        t.crossJoin(e)
+        .select("id", "eval_id", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+    return (
+        matches.groupBy("id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.max("cosine").alias("max_cosine"),
+            F.min_by("eval_id", F.struct((-F.col("cosine")).alias("nc"), F.col("eval_id"))).alias(
+                "top_eval_id"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "n_matches", "max_cosine", "top_eval_id")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    window_tokens: int = 2048,
+    n_shards: int = 64,
+    salt: str = "pack-v1",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-sequence packing assignment: map each document to the
+    fixed-size token window that will hold its FIRST token once its shard's
+    documents are concatenated in id order — the GPT-style
+    concatenate-then-chunk layout (documents straddle window boundaries by
+    design; the tokenizer consumer slices the stream, this operator decides
+    placement). Token count is the whitespace word count (the engine's
+    X12 proxy; swap in a tokenizer UDF column upstream for exact counts).
+
+    Determinism and scale come from the same trick as `hash_split`: a doc's
+    shard is a pure function of (salt, id), so packing is stable under
+    corpus repartitioning, and the only shuffle is the shard exchange. The
+    running sum is a per-shard ordered window — shards are the parallelism
+    unit (size n_shards ≈ cluster cores; one shard's stream serializes
+    through one task, exactly like a real tokenizer shard-writer).
+
+    Output: (id, shard, n_tokens, start_offset, seq_id) where start_offset
+    = tokens before this doc within its shard stream and seq_id =
+    start_offset DIV window_tokens (integer division, exact at any scale).
+    """
+    if window_tokens < 1 or n_shards < 1:
+        raise ValueError("window_tokens and n_shards must be >= 1")
+    toks = F.when(F.trim(F.col(content_col)) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col(content_col)), r"\s+"))
+    )
+    shard = F.pmod(_h_seeded(salt, F.col(id_col).cast("string")), F.lit(n_shards)).cast("int")
+    base = docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        toks.cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
+    ).withColumn(
+        "seq_id", F.expr(f"start_offset DIV {window_tokens}")
     )

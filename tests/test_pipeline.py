@@ -267,3 +267,84 @@ def test_weighted_source_sample_rejects_out_of_range(spark):
         P.weighted_source_sample(docs, {"a": 1.5})
     with pytest.raises(ValueError, match=r"\[0,1\]"):
         P.weighted_source_sample(docs, {}, default=-0.1)
+
+
+# --- semantic_decontaminate ------------------------------------------------
+
+
+def test_semantic_decontaminate_flags_near_copies_only(spark):
+    from mcp_synaptic_spark.operators.pipeline import semantic_decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, [0.99, 0.01, 0.0, 0.0]),   # near-copy of eval 100
+            (2, [0.0, 0.0, 1.0, 0.0]),     # orthogonal — clean
+            (3, [0.0, 0.0, 0.0, 0.0]),     # zero vector — guard-zeroed cosine
+        ],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    out = {r.vec_id: r for r in semantic_decontaminate(tr, ev, threshold=0.9).collect()}
+    assert set(out) == {1}
+    assert out[1].top_eval_id == 100 and out[1].n_matches == 1
+    assert out[1].max_cosine > 0.99
+
+
+def test_semantic_decontaminate_argmax_tie_breaks_min_eval_id(spark):
+    from mcp_synaptic_spark.operators.pipeline import semantic_decontaminate
+
+    # two IDENTICAL eval vectors → equal cosines; top_eval_id must be the
+    # smaller id, n_matches counts both
+    ev = spark.createDataFrame(
+        [(200, [1.0, 0.0]), (150, [1.0, 0.0])], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    tr = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id INT, embedding ARRAY<DOUBLE>")
+    r = semantic_decontaminate(tr, ev, threshold=0.5).collect()[0]
+    assert (r.n_matches, r.max_cosine, r.top_eval_id) == (2, 1.0, 150)
+
+
+# --- pack_sequences --------------------------------------------------------
+
+
+def test_pack_sequences_offsets_are_contiguous_per_shard(spark, sf_dir):
+    from mcp_synaptic_spark.operators.pipeline import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_sequences(docs, window_tokens=128, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(out) == docs.count() and len(by_shard) == 4
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        expect_off = 0
+        for r in rows:
+            assert r.start_offset == expect_off, (shard, r.doc_id)
+            assert r.seq_id == expect_off // 128
+            expect_off += r.n_tokens
+
+
+def test_pack_sequences_shard_is_growth_stable(spark):
+    from mcp_synaptic_spark.operators.pipeline import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i + 1)) for i in range(20)], "doc_id INT, text STRING"
+    )
+    before = {r.doc_id: r.shard for r in pack_sequences(docs, n_shards=4).collect()}
+    grown = docs.union(
+        spark.createDataFrame([(99, "new doc")], "doc_id INT, text STRING")
+    )
+    after = {r.doc_id: r.shard for r in pack_sequences(grown, n_shards=4).collect()}
+    assert all(after[i] == before[i] for i in before)  # hash-stable shards
+
+
+def test_pack_sequences_empty_doc_zero_tokens(spark):
+    from mcp_synaptic_spark.operators.pipeline import pack_sequences
+
+    docs = spark.createDataFrame([(1, "   "), (2, "a b c")], "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in pack_sequences(docs, n_shards=1).collect()}
+    assert out[1].n_tokens == 0
+    assert out[2].n_tokens == 3
