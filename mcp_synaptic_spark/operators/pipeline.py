@@ -389,6 +389,10 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    candidates: str = "exact",
+    n_planes: int | None = None,
+    n_tables: int = 6,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine benchmark decontamination: flag train items whose
     embedding is ≥ threshold cosine-similar to ANY eval item — the semantic
@@ -409,10 +413,18 @@ def semantic_decontaminate(
     contaminated (train_id, eval_id, cos) tuples. Eval benchmarks are small
     (10³–10⁶ rows) so the optimizer broadcasts that side on stats; no
     forced broadcast hint (heavy-overlap crawls can blow a hint up — the
-    round-7 review rule). The exact pairwise pass is the recall contract
-    (contamination screening wants NO false negatives); for an eval set too
-    large for N·M, pre-bucket both sides with the hyperplane-LSH tables of
-    `dedup.embedding_near_dup_pairs_lsh` and run this within buckets.
+    round-7 review rule). candidates="exact" (default) is the recall
+    contract — the N·M pairwise pass has NO false negatives, the property a
+    contamination screen exists for. candidates="lsh" is the implemented
+    scale path when the eval set is too large for N·M: both sides are
+    bucketed with the SAME L seeded hyperplane tables used by
+    `dedup.embedding_near_dup_pairs_lsh`, candidate (train, eval) pairs
+    come from an equi-join on (table, bucket), and only candidates get the
+    exact cosine verify — so flagged output ⊆ the exact pass, byte-identical
+    vectors are recalled with certainty (equal vectors share every bucket),
+    and a pair at cosine θ is recalled with prob 1 − (1 − p^k)^L,
+    p = 1 − acos(θ)/π — near-copy leakage (θ ≳ 0.9) keeps high recall at
+    the auto-sized k ≈ log2(N/16).
     """
     from ..functions.vector import as_double, dot_fixed, norm, probe_dim
 
@@ -431,9 +443,40 @@ def semantic_decontaminate(
     cos = F.when((F.col("tn") == 0.0) | (F.col("en") == 0.0), F.lit(0.0)).otherwise(
         dot_fixed("tv", "ev", dim) / (F.col("tn") * F.col("en"))
     )
+    if candidates == "exact":
+        pairs = t.crossJoin(e)
+    elif candidates == "lsh":
+        from ..util import release_scoped_caches, scoped_cache
+        from .similarity import _hyperplanes, auto_n_planes, hyperplane_bucket
+
+        release_scoped_caches()
+        # both sides are read twice (bucket generation + candidate re-join):
+        # cache the narrow (id, vec, norm) projections once
+        t = scoped_cache(t)
+        e = scoped_cache(e)
+        if n_planes is None:
+            n_planes = auto_n_planes(t.count())
+
+        def buckets(df, id_name, v_name):
+            arr = F.array(
+                *[
+                    hyperplane_bucket(v_name, _hyperplanes(dim, n_planes, seed + k))
+                    for k in range(n_tables)
+                ]
+            )
+            return df.select(id_name, F.posexplode(arr).alias("tbl", "bucket"))
+
+        cand = (
+            buckets(t, "id", "tv")
+            .join(buckets(e, "eval_id", "ev"), ["tbl", "bucket"])
+            .select("id", "eval_id")
+            .distinct()
+        )
+        pairs = cand.join(t, "id").join(e, "eval_id")
+    else:
+        raise ValueError(f"candidates must be 'exact' or 'lsh', got {candidates!r}")
     matches = (
-        t.crossJoin(e)
-        .select("id", "eval_id", F.round(cos, 6).alias("cosine"))
+        pairs.select("id", "eval_id", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
     return (

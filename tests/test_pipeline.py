@@ -348,3 +348,39 @@ def test_pack_sequences_empty_doc_zero_tokens(spark):
     out = {r.doc_id: r for r in pack_sequences(docs, n_shards=1).collect()}
     assert out[1].n_tokens == 0
     assert out[2].n_tokens == 3
+
+
+def test_semantic_decontaminate_lsh_subset_and_twin_recall(spark, sf_dir):
+    """The LSH candidate path must (a) flag a SUBSET of the exact pass at
+    the same threshold (verification is exact), (b) recall every byte-
+    identical twin with certainty (equal vectors share every bucket), and
+    (c) agree with the exact pass per-id on the rows it does flag."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.pipeline import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = emb.where(F.col("vec_id") % 7 == 0)
+    # plant exact twins of three eval vectors into train, with fresh ids
+    twins = ev.limit(3).select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    tr = emb.where(F.col("vec_id") % 7 != 0).select("vec_id", "embedding").union(twins)
+
+    exact = {
+        r.vec_id: (r.n_matches, r.max_cosine, r.top_eval_id)
+        for r in semantic_decontaminate(tr, ev, threshold=0.35).collect()
+    }
+    lsh = {
+        r.vec_id: (r.n_matches, r.max_cosine, r.top_eval_id)
+        for r in semantic_decontaminate(
+            tr, ev, threshold=0.35, candidates="lsh", n_planes=6
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    twin_ids = {r.vec_id for r in twins.collect()}
+    assert twin_ids <= set(lsh), "identical twins must always be recalled"
+    for vid, (nm, mc, te) in lsh.items():
+        # max_cosine/top_eval may differ only if LSH dropped a weaker match;
+        # the top match at twin cosine 1.0 is bucket-certain
+        assert mc <= exact[vid][1]
+        if vid in twin_ids:
+            assert mc == 1.0 and (nm, mc, te) == exact[vid]

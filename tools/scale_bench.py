@@ -208,6 +208,59 @@ def main() -> None:
     )
     sem.unpersist()
 
+    # --- semantic decontamination + sequence packing at 10x -----------------
+    # Ground truth: the replicated corpus spreads each base vector's 10
+    # copies across different vec_id % 97 classes, so eval items (% 97 == 0)
+    # have byte-identical twins sitting in train — every such twin MUST be
+    # flagged at any threshold ≤ 1.0 (cosine exactly 1.0). Packing must
+    # conserve tokens: per shard, the last doc's start_offset + n_tokens
+    # equals the shard's token sum.
+    from mcp_synaptic_spark.operators.pipeline import pack_sequences, semantic_decontaminate
+
+    tr_emb = emb.where(F.col("vec_id") % 97 != 0)
+    ev_emb = emb.where(F.col("vec_id") % 97 == 0)
+    flagged_sem = semantic_decontaminate(tr_emb, ev_emb, threshold=0.9).cache()
+    n_flagged_sem = timed("decontaminate_semantic_10x", lambda: flagged_sem.count())
+    checks["semantic_decontaminate_flagged"] = n_flagged_sem
+    # exact-twin recall: train vectors byte-equal to some eval vector
+    twins = (
+        tr_emb.select("vec_id", "embedding")
+        .join(ev_emb.select(F.col("embedding").alias("embedding")).distinct(), "embedding")
+        .select("vec_id")
+        .distinct()
+    )
+    n_twins = twins.count()
+    missed = twins.join(flagged_sem.select("vec_id"), "vec_id", "left_anti").count()
+    checks["semantic_decontaminate_twins"] = n_twins
+    checks["semantic_decontaminate_catches_all_twins"] = bool(missed == 0 and n_twins > 0)
+    flagged_sem.unpersist()
+
+    # LSH candidate path: flagged ⊆ exact at the same threshold, and byte-
+    # identical twins are bucket-certain — so at threshold 0.9 on THIS corpus
+    # (only exact twins clear 0.9) the LSH flag set must equal the exact one
+    flagged_lsh = semantic_decontaminate(
+        tr_emb, ev_emb, threshold=0.9, candidates="lsh"
+    ).cache()
+    n_flagged_lsh = timed("decontaminate_semantic_lsh_10x", lambda: flagged_lsh.count())
+    missed_lsh = twins.join(flagged_lsh.select("vec_id"), "vec_id", "left_anti").count()
+    checks["semantic_decontaminate_lsh_flagged"] = n_flagged_lsh
+    checks["semantic_decontaminate_lsh_catches_all_twins"] = bool(
+        missed_lsh == 0 and n_flagged_lsh == n_flagged_sem
+    )
+    flagged_lsh.unpersist()
+
+    packed = pack_sequences(docs, window_tokens=2048, n_shards=32).cache()
+    n_packed = timed("pack_sequences_10x", lambda: packed.count())
+    per_shard = packed.groupBy("shard").agg(
+        F.max(F.col("start_offset") + F.col("n_tokens")).alias("end_max"),
+        F.sum("n_tokens").alias("tok_sum"),
+    )
+    checks["pack_rows_ok"] = bool(n_packed == n_docs)
+    checks["pack_tokens_conserved"] = bool(
+        per_shard.where(F.col("end_max") != F.col("tok_sum")).count() == 0
+    )
+    packed.unpersist()
+
     # --- memory tier at 10x -------------------------------------------------
     from mcp_synaptic_spark.operators.memory import memory_stats, upsert_by_key
     from mcp_synaptic_spark.sources.memories import NOW_TS, memories_from_events
