@@ -547,23 +547,40 @@ def semantic_dedup(
     vector-keyed shuffles (groupBy + expansion join), linear in N.
     False = the literal member-level pair pass.
     """
+    from ..util import release_scoped_caches as _release_stale
+    from ..util import scoped_cache as _scoped_cache
+
     if dim is None:
         dim = len(centroids[0])
+    _release_stale()
     clamp6 = lambda c: F.round(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), c)), ROUND_DP)  # noqa: E731
-    cent = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    # centroid matrix as ONE parsed SQL literal — the 16x64 F.lit() version
+    # cost ~1-2 s of py4j round-trips per query construction (the note-9
+    # build-cost lesson); the parsed tree is identical
+    cent = F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c) + ")"
+            for c in centroids
+        ) + ")"
+    )
     # per-vector work (N rows): centroid sim via the HOF fold is fine; the
     # norm is precomputed HERE so the within-cell pair join below runs the
     # unrolled dot_fixed codegen path (the N²-within-cell hot loop) instead
     # of an interpreted per-element fold — same sequential fp64 order either
-    # way, so values match the oracle bit-for-bit.
-    base = indexed.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.col("cell").cast("int").alias("cell"),
-        norm(as_double(F.col(vec_col))).alias("nrm"),
-    ).withColumn(
-        "centroid_sim",
-        clamp6(cosine_similarity(F.col("v"), F.element_at(cent, F.col("cell") + 1))),
+    # way, so values match the oracle bit-for-bit. base is read by every
+    # branch of either path (reps/pairs/expansion join), so it is
+    # scope-cached — without the barrier each branch re-runs the projection
+    # including the centroid HOF (measured 2x on the bench corpus).
+    base = _scoped_cache(
+        indexed.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.col("cell").cast("int").alias("cell"),
+            norm(as_double(F.col(vec_col))).alias("nrm"),
+        ).withColumn(
+            "centroid_sim",
+            clamp6(cosine_similarity(F.col("v"), F.element_at(cent, F.col("cell") + 1))),
+        )
     )
     pair_cos = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(0.0)).otherwise(
         dot_fixed("va", "vb", dim) / (F.col("na") * F.col("nb"))
@@ -600,11 +617,13 @@ def semantic_dedup(
     # One representative per identical vector value per cell. min() of the
     # per-member centroid_sim is deterministic (identical inputs produce the
     # identical value; min only defends the aggregation contract).
-    reps = base.groupBy("cell", "v").agg(
-        F.min("id").alias("rid"),
-        F.min("nrm").alias("rnrm"),
-        F.min("centroid_sim").alias("rsim"),
-        F.count("*").alias("nm"),
+    reps = _scoped_cache(
+        base.groupBy("cell", "v").agg(
+            F.min("id").alias("rid"),
+            F.min("nrm").alias("rnrm"),
+            F.min("centroid_sim").alias("rsim"),
+            F.count("*").alias("nm"),
+        )
     )
     a = reps.select(
         F.col("cell"), F.col("rid").alias("id_a"), F.col("v").alias("va"),
