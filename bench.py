@@ -80,6 +80,11 @@ def main() -> None:
         "dedup_apply_clusters", "decontaminate", "train_test_split",
         "pii_redact", "stratified_sample", "dedup_within_doc",
         "corpus_prep_pipeline", "source_cap", "source_mix",
+        # late-r7 tier (repetition/substring/semantic dedup, semantic
+        # decontamination, packing) — also excluded so the comparable total
+        # still sums exactly the BENCH_r06 query set
+        "repetition_stats", "dedup_substring", "dedup_semantic",
+        "decontaminate_semantic", "pack_sequences",
     }
     comparable = round(sum(v for k, v in timings.items() if k not in ADDED_R7), 3)
     # the run's noise regime, recorded in-band: median/max pass-to-pass
