@@ -1852,6 +1852,55 @@ FROM documents doc LEFT JOIN per p USING (doc_id)
 """
 
 
+def _q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of windowed substring dedup
+    (dedup.py:substring_dedup_apply): drop every duplicated 10-word span
+    except its canonical (min doc_id, pos) occurrence; verbatim later
+    copies collapse to empty text."""
+    return D.substring_dedup_apply(_t(spark, sf_dir, "documents"), n=10)
+
+
+# DuckDB's parallel UNNESTs in one SELECT zip element-wise, giving
+# (value, position) pairs without a WITH ORDINALITY clause
+_ORACLE_DEDUP_SUBSTRING_APPLY = r"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(w) >= 10 THEN list_transform(range(len(w) - 9),
+      i -> array_to_string(w[i+1:i+10], ' ')) ELSE [] END) AS win,
+    unnest(CASE WHEN len(w) >= 10 THEN range(len(w) - 9) ELSE [] END) AS pos
+  FROM base
+), dup AS (
+  SELECT win FROM wins GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+), ranked AS (
+  SELECT w.doc_id, w.pos,
+         row_number() OVER (PARTITION BY w.win ORDER BY w.doc_id ASC, w.pos ASC) AS rn
+  FROM wins w JOIN dup d USING (win)
+), covered AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + 10)) AS widx
+  FROM ranked WHERE rn > 1
+), wp AS (
+  SELECT doc_id, unnest(w) AS word, unnest(range(len(w))) AS pos FROM base
+), kept AS (
+  SELECT p.doc_id, p.word, p.pos
+  FROM wp p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.pos = c.widx
+  WHERE c.widx IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_words_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+  coalesce(r.clean_text, '') AS clean_text,
+  coalesce(r.n_words_kept, 0) AS n_words_kept,
+  CAST(len(b.w) - coalesce(r.n_words_kept, 0) AS BIGINT) AS n_words_dropped
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.lang_id(_t(spark, sf_dir, "documents"))
 
@@ -2944,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "decontaminate_semantic": _q_decontaminate_semantic,
         "pack_sequences": _q_pack_sequences,
+        "dedup_substring_apply": _q_dedup_substring_apply,
     }
 
 
@@ -3034,4 +3084,5 @@ def oracle_sql() -> dict[str, str]:
         **({"dedup_semantic": _ORACLE_DEDUP_SEMANTIC} if _ORACLE_DEDUP_SEMANTIC else {}),
         "decontaminate_semantic": _ORACLE_DECONTAMINATE_SEMANTIC,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
+        "dedup_substring_apply": _ORACLE_DEDUP_SUBSTRING_APPLY,
     }

@@ -585,3 +585,98 @@ def substring_dup_stats(
             ).alias("dup_window_frac"),
         )
     )
+
+
+def substring_dedup_apply(
+    docs: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Remove cross-document duplicated n-word spans, keeping one canonical
+    copy — the REMOVAL half of Lee et al. 2022's ExactSubstr dedup
+    (arXiv:2107.06499 §4.1) at window granularity, where
+    `substring_dup_stats` is the reporting half.
+
+    Policy (deterministic, oracle-portable): for every window string that
+    occurs in ≥2 documents, the occurrence with the smallest (doc_id, pos)
+    is the KEEPER; a word is dropped iff it lies inside any non-keeper
+    occurrence of a duplicated window. A doc that is a verbatim later copy
+    of another therefore collapses to empty text, while the first copy
+    survives whole — exactly the paper's train-set behavior. Output is one
+    row per input doc: (id, clean_text, n_words_kept, n_words_dropped);
+    clean_text is whitespace-normalized (single spaces), surviving words
+    keep their original order. Windows shorter than n words are invisible
+    (the length floor); `max_df` excludes boilerplate windows from dedup
+    entirely (they stay in every doc), mirroring substring_dup_stats.
+
+    Scale: all joins are keyed on the 8-byte window hash or on
+    (doc_id, position) ints — word STRINGS shuffle exactly once, in the
+    final per-doc rebuild (sorted-struct collect over each doc's surviving
+    words, bounded by doc length). The keeper choice is a min-struct
+    aggregate per hash, not a global sort. Same collision caveat as
+    substring_dup_stats: the oracle groups by window text.
+    """
+    if n < 1:
+        raise ValueError(f"window size n must be >= 1, got {n}")
+    _release_stale()
+    w = F.expr(
+        f"IF(trim(`{content_col}`) = '', CAST(array() AS ARRAY<STRING>), "
+        f"split(trim(`{content_col}`), '\\\\s+'))"
+    )
+    # (id, w) is read by both the window pass and the word-position pass
+    base = _scoped_cache(
+        _ensure_parallelism(docs).select(F.col(id_col).alias("id"), w.alias("w"))
+    )
+    occ = base.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"IF(size(w) >= {n}, "
+                f"transform(sequence(1, size(w) - {n - 1}), i -> xxhash64(array_join(slice(w, i, {n}), ' '))), "
+                "CAST(array() AS ARRAY<BIGINT>))"
+            )
+        ).alias("pos", "h"),
+    )
+    per_hash = occ.groupBy("h").agg(
+        F.count_distinct("id").alias("df"),
+        F.min(F.struct("id", "pos")).alias("keeper"),
+    )
+    dup = per_hash.where(F.col("df") >= 2)
+    if max_df is not None:
+        dup = dup.where(F.col("df") <= max_df)
+    nonkeep = (
+        occ.join(dup, "h")
+        .where(~((F.col("id") == F.col("keeper.id")) & (F.col("pos") == F.col("keeper.pos"))))
+        .select("id", "pos")
+    )
+    covered = nonkeep.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("widx")
+    ).distinct()
+    word_pos = base.select("id", F.posexplode("w").alias("pos", "word"))
+    kept = word_pos.join(
+        covered,
+        (word_pos["id"] == covered["id"]) & (word_pos["pos"] == covered["widx"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))), lambda s: s["word"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_words_kept"),
+    )
+    totals = base.select("id", F.size("w").alias("_nw"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_words_kept", F.lit(0)).alias("n_words_kept"),
+            (F.col("_nw") - F.coalesce("n_words_kept", F.lit(0))).alias("n_words_dropped"),
+        )
+    )

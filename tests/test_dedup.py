@@ -298,3 +298,58 @@ def test_substring_dup_stats_max_df_drops_boilerplate(spark):
     assert all(r.n_windows == 0 and r.n_dup_windows == 0 for r in out.values())
     uncapped = {r.doc_id: r for r in substring_dup_stats(docs, n=10).collect()}
     assert all(r.n_dup_windows == 1 for r in uncapped.values())
+
+
+def test_substring_dedup_apply_keeps_canonical_drops_copies(spark):
+    from mcp_synaptic_spark.operators.dedup import substring_dedup_apply
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),  # canonical (min doc_id, pos) — intact
+            (2, "head " + shared),         # later occurrence — span dropped
+            (3, shared),                   # verbatim copy — collapses to empty
+            (4, "short doc"),              # < n words — untouched
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r.doc_id: r for r in substring_dedup_apply(docs, n=10).collect()}
+    assert out[1].clean_text == shared + " tail1 tail2" and out[1].n_words_dropped == 0
+    assert out[2].clean_text == "head" and out[2].n_words_dropped == 10
+    assert out[3].clean_text == "" and out[3].n_words_kept == 0
+    assert out[4].clean_text == "short doc" and out[4].n_words_dropped == 0
+
+
+def test_substring_dedup_apply_within_doc_second_occurrence_dropped(spark):
+    from mcp_synaptic_spark.operators.dedup import substring_dedup_apply
+
+    ten = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, ten), (2, ten + " mid " + ten)], "doc_id INT, text STRING"
+    )
+    out = {r.doc_id: r for r in substring_dedup_apply(docs, n=10).collect()}
+    # doc 1 holds the canonical copy; BOTH of doc 2's occurrences (and the
+    # windows straddling "mid") are non-keepers — doc 2 empties entirely
+    # because even "mid" sits inside a duplicated straddling window? No:
+    # straddling windows ("...t9 mid t0...") are unique to doc 2 (df=1),
+    # so "mid" survives.
+    assert out[1].n_words_dropped == 0
+    assert out[2].clean_text == "mid" and out[2].n_words_dropped == 20
+
+
+def test_substring_dedup_apply_conserves_words_against_stats(spark, sf_dir):
+    """Cross-check the two halves: per doc, words dropped by apply can be
+    nonzero only if stats reported duplicated windows, and fully-duplicated
+    docs (dup_window_frac == 1, non-keeper for every window) lose all words
+    unless they hold a keeper occurrence."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.dedup import substring_dedup_apply, substring_dup_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = {r.doc_id: r for r in substring_dup_stats(docs, n=10).collect()}
+    applied = {r.doc_id: r for r in substring_dedup_apply(docs, n=10).collect()}
+    assert set(stats) == set(applied)
+    for did, a in applied.items():
+        if a.n_words_dropped > 0:
+            assert stats[did].n_dup_windows > 0, did
