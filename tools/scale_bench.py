@@ -200,6 +200,30 @@ def main() -> None:
     checks["substring_all_windows_duplicated"] = bool(n_windowed == n_fully_dup)
     sub.unpersist()
 
+    # span removal: every rep>0 doc's windows all exist in its rep-0 twin
+    # (smaller id) → non-keeper everywhere → the doc MUST collapse to empty;
+    # that is exactly n_docs·(rep−1)/rep docs. Token conservation holds by
+    # construction (kept + dropped = total words).
+    from mcp_synaptic_spark.operators.dedup import substring_dedup_apply
+
+    applied = substring_dedup_apply(docs, n=10).cache()
+    n_empty = timed(
+        "dedup_substring_apply_10x",
+        lambda: applied.where(F.col("clean_text") == "").count(),
+    )
+    total_words_in = docs.select(
+        F.sum(
+            F.when(F.trim("text") == "", 0).otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        ).alias("s")
+    ).collect()[0]["s"]
+    kept_plus_dropped = applied.select(
+        F.sum(F.col("n_words_kept") + F.col("n_words_dropped")).alias("s")
+    ).collect()[0]["s"]
+    checks["substring_apply_empty_docs"] = n_empty
+    checks["substring_apply_replicas_collapse"] = bool(n_empty >= n_docs * (rep - 1) // rep)
+    checks["substring_apply_words_conserved"] = bool(total_words_in == kept_plus_dropped)
+    applied.unpersist()
+
     sem = semantic_dedup(indexed, centroids, threshold=0.9, id_col="vec_id").cache()
     n_sem_removed = timed("dedup_semantic_10x", lambda: sem.where("removed").count())
     checks["semantic_removed"] = n_sem_removed
