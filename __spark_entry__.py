@@ -1927,6 +1927,64 @@ FROM scored
 """
 
 
+#: quality-gate thresholds (Gopher-family rule set tuned to this corpus:
+#: ~70% keep at sf0.01 — every rule fires on a real subset)
+_GATE_RULES = (
+    ("too_short", "n_words < 20"),
+    ("low_quality", "quality_score < 0.5"),
+    ("word_repetition", "dup_word_frac > 0.7"),
+    ("bigram_repetition", "top_bigram_char_frac > 0.2"),
+    ("non_english", "predicted_lang != 'en'"),
+)
+
+
+def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed per-doc keep/drop gate over the filter tier — the decision a
+    pretraining pipeline actually materializes (Gopher §A1 applies exactly
+    this kind of rule list): length floor, composite quality, word/bigram
+    repetition, language. Reuses the graded operators verbatim and joins on
+    doc_id (composition is the point, as with corpus_prep_pipeline); at
+    production scale the three narrow projections fuse into one pass since
+    each is a pure per-row expression over the same input. ``reasons`` is a
+    comma-joined, fixed-order list of fired rules ('' = keep)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = TA.quality_score(docs).select("doc_id", "quality_score")
+    r = TA.repetition_stats(docs).select(
+        "doc_id", "n_words", "dup_word_frac", "top_bigram_char_frac"
+    )
+    lg = TA.lang_id(docs).select("doc_id", "predicted_lang")
+    j = r.join(q, "doc_id").join(lg, "doc_id")
+    reasons = F.concat_ws(
+        ",", *[F.when(F.expr(cond), F.lit(name)) for name, cond in _GATE_RULES]
+    )
+    return j.select(
+        "doc_id", (reasons == F.lit("")).alias("keep"), reasons.alias("reasons")
+    )
+
+
+def _mk_oracle_quality_gate() -> str:
+    """Composes the repetition/quality/lang oracle bodies as subquery CTEs
+    (DuckDB allows WITH inside a parenthesized subquery) and applies the
+    identical rule list."""
+    cases = ", ".join(
+        f"CASE WHEN {cond} THEN '{name}' END" for name, cond in _GATE_RULES
+    )
+    return f"""
+WITH rep AS (SELECT * FROM ({_ORACLE_REPETITION})),
+qual AS (SELECT * FROM ({_ORACLE_QUALITY})),
+lang AS (SELECT * FROM ({_ORACLE_LANG_ID})),
+j AS (
+  SELECT r.doc_id, r.n_words, r.dup_word_frac, r.top_bigram_char_frac,
+         q.quality_score, l.predicted_lang
+  FROM rep r JOIN qual q USING (doc_id) JOIN lang l USING (doc_id)
+),
+flagged AS (
+  SELECT doc_id, concat_ws(',', {cases}) AS reasons FROM j
+)
+SELECT doc_id, (reasons = '') AS keep, reasons FROM flagged
+"""
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -2994,6 +3052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_semantic": _q_decontaminate_semantic,
         "pack_sequences": _q_pack_sequences,
         "dedup_substring_apply": _q_dedup_substring_apply,
+        "quality_gate": _q_quality_gate,
     }
 
 
@@ -3085,4 +3144,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_semantic": _ORACLE_DECONTAMINATE_SEMANTIC,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "dedup_substring_apply": _ORACLE_DEDUP_SUBSTRING_APPLY,
+        "quality_gate": _mk_oracle_quality_gate(),
     }

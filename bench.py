@@ -85,6 +85,7 @@ def main() -> None:
         # still sums exactly the BENCH_r06 query set
         "repetition_stats", "dedup_substring", "dedup_semantic",
         "decontaminate_semantic", "pack_sequences", "dedup_substring_apply",
+        "quality_gate",
     }
     comparable = round(sum(v for k, v in timings.items() if k not in ADDED_R7), 3)
     # the run's noise regime, recorded in-band: median/max pass-to-pass

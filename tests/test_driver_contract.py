@@ -71,6 +71,7 @@ def test_r7_pipeline_tier_registered_for_r8_rotation():
         # late-r7 additions, same rotation obligation:
         "repetition_stats", "dedup_substring", "dedup_semantic",
         "decontaminate_semantic", "pack_sequences", "dedup_substring_apply",
+        "quality_gate",
         # tail queries whose FILE (text_analysis.py) late-r7 appends touched —
         # the pre-existing functions are byte-identical (appends-only diff)
         # and all four are sf0.01-parity-green this round, but the r8 window

@@ -232,3 +232,120 @@ def test_stratified_sample_exact_hits_ceil_per_stratum(spark, rows, frac):
     for r in out:
         got[r.lang] = got.get(r.lang, 0) + 1
     assert got == {lang: math.ceil(frac * n) for lang, n in totals.items()}
+
+
+_WORDS = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=3), min_size=0, max_size=30
+)
+
+
+def _py_repetition(words: list[str]) -> tuple[float, str | None, int, float]:
+    """Pure-Python model of repetition_stats' gram metrics."""
+    nw = len(words)
+    dup_word = 0.0 if nw == 0 else round(1.0 - len(set(words)) / nw, 6)
+    g2 = [f"{words[i]} {words[i+1]}" for i in range(nw - 1)]
+    if g2:
+        from collections import Counter
+
+        cnt = Counter(g2)
+        best_c = max(cnt.values())
+        best_g = max(g for g, c in cnt.items() if c == best_c)  # lexicographically largest
+    else:
+        best_c, best_g = 0, None
+    g5 = [" ".join(words[i : i + 5]) for i in range(nw - 4)]
+    dup5 = 0.0 if not g5 else round(1.0 - len(set(g5)) / len(g5), 6)
+    return dup_word, best_g, best_c, dup5
+
+
+@PROP
+@given(st.lists(_WORDS, min_size=1, max_size=15))
+def test_repetition_stats_matches_model(spark, docs):
+    from mcp_synaptic_spark.operators.text_analysis import repetition_stats
+
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+    out = {
+        r.doc_id: (r.dup_word_frac, r.top_bigram, r.top_bigram_count, r.dup_5gram_frac)
+        for r in repetition_stats(
+            spark.createDataFrame(rows, "doc_id INT, text STRING")
+        ).collect()
+    }
+    for i, w in enumerate(docs):
+        assert out[i] == _py_repetition(w), (i, w)
+
+
+@PROP
+@given(st.lists(_WORDS, min_size=1, max_size=10))
+def test_substring_stats_and_apply_agree_with_model(spark, docs):
+    """Model windowed substring dedup in pure Python (n=3 keeps examples
+    interesting at hypothesis sizes) and check BOTH halves against it."""
+    from mcp_synaptic_spark.operators.dedup import substring_dedup_apply, substring_dup_stats
+
+    n = 3
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    # model: windows per doc, df per window string, keeper per dup window
+    wins = {
+        i: [" ".join(w[p : p + n]) for p in range(len(w) - n + 1)] for i, w in enumerate(docs)
+    }
+    from collections import defaultdict
+
+    docs_per_win = defaultdict(set)
+    for i, ws in wins.items():
+        for s in ws:
+            docs_per_win[s].add(i)
+    dup_wins = {s for s, d in docs_per_win.items() if len(d) >= 2}
+    keeper: dict[str, tuple[int, int]] = {}
+    for i in sorted(wins):
+        for p, s in enumerate(wins[i]):
+            if s in dup_wins and s not in keeper:
+                keeper[s] = (i, p)
+
+    stats = {r.doc_id: r for r in substring_dup_stats(df, n=n).collect()}
+    for i, w in enumerate(docs):
+        exp_total = len(wins[i])
+        exp_dup = sum(1 for s in wins[i] if s in dup_wins)
+        assert (stats[i].n_windows, stats[i].n_dup_windows) == (exp_total, exp_dup), (i, w)
+
+    applied = {r.doc_id: r for r in substring_dedup_apply(df, n=n).collect()}
+    for i, w in enumerate(docs):
+        covered = set()
+        for p, s in enumerate(wins[i]):
+            if s in dup_wins and keeper[s] != (i, p):
+                covered.update(range(p, p + n))
+        kept = [wd for p, wd in enumerate(w) if p not in covered]
+        a = applied[i]
+        assert a.clean_text == " ".join(kept), (i, w)
+        assert (a.n_words_kept, a.n_words_dropped) == (len(kept), len(w) - len(kept))
+
+
+@PROP
+@given(
+    st.lists(st.integers(0, 100), min_size=1, max_size=40, unique=True),
+    st.integers(1, 20),
+)
+def test_pack_sequences_matches_model(spark, ids, window):
+    from mcp_synaptic_spark.operators.pipeline import pack_sequences
+
+    rows = [(i, "w " * ((i % 7) + 1)) for i in ids]
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(
+            spark.createDataFrame(rows, "doc_id INT, text STRING"),
+            window_tokens=window,
+            n_shards=3,
+        ).collect()
+    }
+    # model: group by reported shard (a pure id hash), order by id, cumsum
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for i in ids:
+        by_shard[out[i].shard].append(i)
+    for shard, members in by_shard.items():
+        off = 0
+        for i in sorted(members):
+            ntok = (i % 7) + 1
+            assert out[i].n_tokens == ntok
+            assert out[i].start_offset == off and out[i].seq_id == off // window, (i, shard)
+            off += ntok

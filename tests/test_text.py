@@ -152,3 +152,40 @@ def test_repetition_stats_bigram_tie_breaks_lexicographically_largest(spark):
     docs = spark.createDataFrame([(1, "a b q c d r a b s c d")], "doc_id INT, text STRING")
     r = repetition_stats(docs).collect()[0]
     assert (r.top_bigram, r.top_bigram_count) == ("c d", 2)
+
+
+def test_quality_gate_rules_fire_individually(spark):
+    """Each gate rule trips on a crafted doc; a healthy doc passes clean.
+    (The gate itself is an entry-level composition — __spark_entry__._q_quality_gate —
+    so this drives it through the contract surface.)"""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+    import tempfile
+
+    healthy = (
+        "the quick brown fox jumps over the lazy dog and then the small "
+        "bird sings of the morning light in a calm wood for a long while"
+    )
+    rows = [
+        (1, healthy),                               # keep
+        (2, "the of and in it"),                    # too_short (5 words)
+        (3, "the " + "za " * 30 + "end"),           # word_repetition (za dup)
+        (4, ("the big cat " * 12).strip()),         # bigram_repetition
+        (5, "der und ist der und ist " + " ".join(f"w{i}" for i in range(20))),  # non_english
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id INT, text STRING"
+        ).withColumn("lang", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("en")) \
+         .withColumn("source", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("s")) \
+         .withColumn("n_chars", __import__("pyspark.sql.functions", fromlist=["length"]).length("text")) \
+         .write.parquet(f"{tmp}/documents.parquet")
+        out = {r.doc_id: r for r in entry._q_quality_gate(spark, tmp).collect()}
+    assert out[1].keep and out[1].reasons == ""
+    assert not out[2].keep and "too_short" in out[2].reasons
+    assert not out[3].keep and "word_repetition" in out[3].reasons
+    assert not out[4].keep and "bigram_repetition" in out[4].reasons
+    assert not out[5].keep and "non_english" in out[5].reasons
