@@ -384,3 +384,20 @@ def test_semantic_decontaminate_lsh_subset_and_twin_recall(spark, sf_dir):
         assert mc <= exact[vid][1]
         if vid in twin_ids:
             assert mc == 1.0 and (nm, mc, te) == exact[vid]
+
+
+def test_pack_sequences_single_shard_exchange(spark):
+    """The packing plan's ONLY exchange is the shard hash partition — no
+    global sort (the classic packing scale-trap) and no extra shuffles."""
+    d = _docs(spark, [(1, "a b c"), (2, "d e")])
+    plan = P.pack_sequences(d, n_shards=2)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # a global sort would use this
+
+
+def test_repetition_stats_is_a_zero_shuffle_projection(spark):
+    from mcp_synaptic_spark.operators.text_analysis import repetition_stats
+
+    d = _docs(spark, [(1, "a b a b")])
+    plan = repetition_stats(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
