@@ -35,11 +35,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    # write-path queries (table-create + commit ETL per call) are graded for
-    # correctness but excluded from the read-path wall-clock total — their
-    # scale numbers live in tools/scale_bench.py / BENCH_SCALE_r07.json
-    SKIP = {"memory_upsert_txn"}
-    qs = {k: v for k, v in qs.items() if k not in SKIP}
+    # benchmark-set pins live in bench_sets.json (r8, VERDICT r7 #8: data,
+    # not code — the driver and builder read the same file, and additions in
+    # later rounds can't silently shift the comparable total):
+    # - skip_write_path: table-create + commit ETL per call — graded for
+    #   correctness, excluded from the read-path wall clock (scale numbers
+    #   in tools/scale_bench.py)
+    # - comparable_queries: the exact BENCH_r06 query set
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_sets.json")) as f:
+        sets = json.load(f)
+    qs = {k: v for k, v in qs.items() if k not in set(sets["skip_write_path"])}
     # warm-up: prime JVM, codegen cache, and the parquet footer reads
     next(iter(qs.values()))(spark, sf_dir).collect()
     # build-once indexes are ETL, not read-path work: materialize the IVF and
@@ -72,22 +77,11 @@ def main() -> None:
             timings[name] = min(timings[name], round(time.perf_counter() - t0, 3))
 
     total = round(sum(timings.values()), 3)
-    # round-over-round comparability: the r7 pipeline tier added 8 queries,
-    # which inflates the total without regressing anything pre-existing.
-    # comparable_total sums ONLY the queries that existed in BENCH_r06.
-    ADDED_R7 = {
-        "dedup_simhash_capped", "memory_upsert_txn", "dedup_clusters",
-        "dedup_apply_clusters", "decontaminate", "train_test_split",
-        "pii_redact", "stratified_sample", "dedup_within_doc",
-        "corpus_prep_pipeline", "source_cap", "source_mix",
-        # late-r7 tier (repetition/substring/semantic dedup, semantic
-        # decontamination, packing) — also excluded so the comparable total
-        # still sums exactly the BENCH_r06 query set
-        "repetition_stats", "dedup_substring", "dedup_semantic",
-        "decontaminate_semantic", "pack_sequences", "dedup_substring_apply",
-        "quality_gate",
-    }
-    comparable = round(sum(v for k, v in timings.items() if k not in ADDED_R7), 3)
+    # round-over-round comparability: later rounds add queries, which
+    # inflates the total without regressing anything pre-existing.
+    # comparable_total sums ONLY the pinned BENCH_r06 set from bench_sets.json.
+    comparable_set = set(sets["comparable_queries"])
+    comparable = round(sum(v for k, v in timings.items() if k in comparable_set), 3)
     # the run's noise regime, recorded in-band: median/max pass-to-pass
     # spread across queries. ~1.1-1.3 = quiet box; >2 = the contended regime
     # of PLANS.md notes 15/16 where absolute numbers track machine state.

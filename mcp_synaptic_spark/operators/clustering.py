@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from ..util import scoped_cache as _scoped_cache
 
-__all__ = ["connected_components", "dedup_corpus"]
+__all__ = ["connected_components", "connected_components_twostar", "dedup_corpus"]
 
 
 def connected_components(
@@ -55,6 +55,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    algorithm: str = "hashmin",
 ) -> DataFrame:
     """Connected components of an undirected pair graph.
 
@@ -66,9 +67,20 @@ def connected_components(
     Raises RuntimeError if min-label propagation has not converged after
     `max_iters` rounds (diameter > max_iters ⇒ the pair graph is not the
     clique-like near-dup shape this operator is tuned for; raise the limit or
-    switch to the large-star/small-star variant described in the module
-    docstring).
+    pass algorithm="twostar" for the large-star/small-star variant, whose
+    round count is O(log n) independent of diameter).
+
+    ``algorithm``: "hashmin" (default — cheapest per round on the tiny-
+    diameter clique graphs near-dup pairs produce) or "twostar"
+    (connected_components_twostar — identical output, property-tested
+    equivalent on random graphs).
     """
+    if algorithm == "twostar":
+        return connected_components_twostar(
+            pairs, id_a=id_a, id_b=id_b, max_iters=max_iters
+        )
+    if algorithm != "hashmin":
+        raise ValueError(f"algorithm must be 'hashmin' or 'twostar', got {algorithm!r}")
     # NOTE: no _release_stale() here — this operator composes on top of a
     # pair generator (minhash_lsh_pairs etc.) whose scoped caches are live
     # inside `pairs`; releasing them now would force the edge materialization
@@ -122,6 +134,107 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds; "
         "graph diameter exceeds the near-dup assumption (see module docstring)"
+    )
+
+
+def connected_components_twostar(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the diameter-independent twin of `connected_components`.
+
+    Same contract as the HashMin variant: input (id_a, id_b) edge rows,
+    output (id, component) for every vertex appearing in some pair, with
+    component = the minimum reachable vertex id. HashMin's round count is
+    the graph DIAMETER — ideal for the clique-like graphs near-dup pair
+    generators emit, quadratic-time on an adversarial length-n chain. The
+    two-star alternation contracts chains exponentially, converging in
+    O(log n) rounds on ANY topology, at the price of two edge-set rewrites
+    per round instead of one label join.
+
+    Per round, both operations are one groupBy-min + one equi-join over
+    (long, long) edges — no vertex labels, no documents:
+    - large-star: every node u points each LARGER neighbor at
+      m(u) = min(N(u) ∪ {u});
+    - small-star: with edges oriented high→low, every node u points its
+      not-larger neighbors (and itself) at its minimum neighbor.
+    Both preserve connectivity and never raise the minimum reachable id
+    (proof in the paper); the fixpoint is a star forest centered at each
+    component's minimum. Lineage is truncated per round with
+    localCheckpoint, and convergence is an exact edge-set comparison
+    (count + exceptAll on the checkpointed sets — two tiny jobs).
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    edges = sym.localCheckpoint()
+    n_edges = edges.count()
+    if n_edges == 0:
+        # vertices that appear only in self-pairs are their own component
+        return (
+            pairs.select(F.col(id_a).alias("id"))
+            .union(pairs.select(F.col(id_b)))
+            .distinct()
+            .withColumn("component", F.col("id"))
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        s = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                    F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+                )
+            ).alias("d")
+        ).select("d.a", "d.b")
+        mins = s.groupBy("a").agg(F.least(F.min("b"), F.col("a")).alias("m"))
+        return (
+            s.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # input is high→low oriented already (both ops emit x > y)
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        nbr = (
+            e.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        own = mins.select("u", F.col("m").alias("v"))
+        return nbr.union(own).where(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(max_iters):
+        nxt = small_star(large_star(edges)).localCheckpoint()
+        n_nxt = nxt.count()
+        if n_nxt == n_edges and nxt.exceptAll(edges).limit(1).count() == 0:
+            break
+        edges, n_edges = nxt, n_nxt
+    else:
+        raise RuntimeError(
+            f"connected_components_twostar did not converge in {max_iters} rounds"
+        )
+    # fixpoint is a star forest (child u → root v = component min); roots and
+    # self-pair-only vertices label themselves
+    vertices = (
+        pairs.select(F.col(id_a).alias("id")).union(pairs.select(F.col(id_b))).distinct()
+    )
+    return (
+        vertices.join(edges.withColumnRenamed("u", "id"), "id", "left")
+        .select("id", F.coalesce("v", F.col("id")).alias("component"))
     )
 
 

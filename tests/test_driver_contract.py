@@ -1,7 +1,8 @@
 """Guards on the driver contract surface (__spark_entry__.py): the grading
-window, oracle completeness, and column-name agreement are invariants the
-correctness gate depends on — a refactor that silently drops an oracle or
-rotates a stale query out of the window should fail HERE, not in the next
+window, oracle completeness, column-name agreement, and the evidence ledger
+are invariants the correctness gate depends on — a refactor that silently
+drops an oracle, rotates a stale query out of the window, or edits an
+operator file behind a tail query's back should fail HERE, not in the next
 round's verdict."""
 
 from __future__ import annotations
@@ -24,30 +25,39 @@ def test_every_query_has_an_oracle():
 
 
 def test_graded_window_holds_the_round_targets():
-    """The driver grades the FIRST 50 dict entries only. Queries whose
-    operator files changed this round (or whose oracles are new) must sit in
-    the window so their green rows postdate the code."""
+    """The driver grades the FIRST 50 dict entries only. The r8 window must
+    hold (a) the entire 21-query rotation obligation the r7 contract test
+    pinned (the never-driver-graded pipeline tier + the text_analysis
+    refreshes), (b) every query whose operator files r8 touches, (c) the
+    r8-new queries (graded in their birth round)."""
     names = list(entry.queries())
-    assert len(names) >= 67
+    assert len(names) >= 88
     window = set(names[:50])
-    # r7 targets: the whole r6 tail (r5-dated evidence) + every query whose
-    # operator file r7 touches (vector/dedup/similarity/expiry/memory).
-    r6_tail = (
-        "assemble_context", "doc_add", "doc_get", "doc_update", "doc_delete",
-        "doc_stats", "tpch_q3", "tpch_q5", "tpch_q6", "top_orders_per_customer",
-        "orders_semi_join", "customers_anti_join", "orders_rollup", "parse_ttl",
-        "time_until_expiry", "fingerprint", "search_by_metadata",
+    r7_pipeline_tier = (
+        "dedup_clusters", "dedup_apply_clusters", "decontaminate",
+        "train_test_split", "pii_redact", "stratified_sample",
+        "dedup_within_doc", "corpus_prep_pipeline", "source_cap", "source_mix",
+        "repetition_stats", "dedup_substring", "dedup_substring_apply",
+        "dedup_semantic", "decontaminate_semantic", "pack_sequences",
+        "quality_gate",
+        "token_stats", "quality_score", "lang_id", "lang_distribution",
     )
-    r7_touched = (
-        "pairwise_similarity", "rag_search", "batch_topk",      # vector.py
-        "dedup_embedding_lsh", "dedup_simhash", "ann_lsh_topk", # dedup.py skew caps
-        "ann_mllib_lsh", "ann_ivf_topk",                        # similarity.py index
-        "doc_change_feed",                                      # expiry.py
-        "memory_upsert", "memory_delete",                       # memory.py txn round
-        "memory_upsert_txn",                                    # ACID query new in r7
-        "dedup_simhash_capped",                                 # max_bucket dial, new r7
+    r8_touched = (
+        # dedup.py: embedding auto-switch + substring-apply aliasing
+        "dedup_exact", "dedup_keep_first", "dedup_minhash", "dedup_simhash",
+        "dedup_simhash_capped", "dedup_embedding", "dedup_embedding_lsh",
+        "dedup_ngram_jaccard",
+        # similarity.py rides with the dedup/semantic tier
+        "ann_lsh_topk", "ann_mllib_lsh", "ann_ivf_topk",
+        # text_analysis.py → fingerprint
+        "fingerprint",
+        # state/txn.py checkpoints
+        "memory_upsert_txn",
+        # streaming/expiry.py zone-map sweep pruning
+        "doc_change_feed",
     )
-    for must_grade in r6_tail + r7_touched:
+    r8_new = ("dedup_clusters_twostar", "memory_upsert_ckpt")
+    for must_grade in r7_pipeline_tier + r8_touched + r8_new:
         assert must_grade in window, f"{must_grade} rotated out of the graded window"
 
 
@@ -56,27 +66,37 @@ def test_oracles_are_nonempty_sql():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 
-def test_r7_pipeline_tier_registered_for_r8_rotation():
-    """The six r7-new pipeline-tier queries are tail-positioned this round
-    (the r7 window is fully owned by the ordered r6-tail rotation); they are
-    parity-verified locally and MUST be moved into the first 50 when the r8
-    window is rotated. This test pins their presence + oracles so the
-    rotation can't silently drop them."""
-    names = list(entry.queries())
-    osql = entry.oracle_sql()
-    for q in (
-        "dedup_clusters", "dedup_apply_clusters", "decontaminate",
-        "train_test_split", "pii_redact", "stratified_sample",
-        "dedup_within_doc", "corpus_prep_pipeline", "source_cap", "source_mix",
-        # late-r7 additions, same rotation obligation:
-        "repetition_stats", "dedup_substring", "dedup_semantic",
-        "decontaminate_semantic", "pack_sequences", "dedup_substring_apply",
-        "quality_gate",
-        # tail queries whose FILE (text_analysis.py) late-r7 appends touched —
-        # the pre-existing functions are byte-identical (appends-only diff)
-        # and all four are sf0.01-parity-green this round, but the r8 window
-        # must refresh their driver-graded evidence to keep the
-        # no-evidence-predates-code invariant clean at file granularity:
-        "token_stats", "quality_score", "lang_id", "lang_distribution",
-    ):
-        assert q in names and q in osql, q
+def test_bench_sets_pin_is_consistent():
+    """bench_sets.json (r8: the comparable set as data, not code) must refer
+    only to real queries, and the comparable set must stay disjoint from the
+    write-path skip list."""
+    import json
+
+    with open("/root/repo/bench_sets.json") as f:
+        sets = json.load(f)
+    qs = set(entry.queries())
+    comparable = set(sets["comparable_queries"])
+    skip = set(sets["skip_write_path"])
+    assert comparable <= qs, comparable - qs
+    assert skip <= qs, skip - qs
+    assert not (comparable & skip)
+    # the pinned set is the BENCH_r06 surface: 67 queries, frozen
+    assert len(comparable) == 67
+
+
+def test_evidence_ledger_is_complete_and_fresh():
+    """The machine-checkable replacement (r8, VERDICT r7 #3) for the manual
+    'green-and-files-unchanged-since' audit: every query has a ledger row in
+    EVIDENCE.json, and no query OUTSIDE the current grading window has an
+    operator file that drifted past its recorded grading round. An edit that
+    invalidates tail evidence fails here until the query is rotated into the
+    window and `python tools/evidence.py update <round>` is re-run."""
+    from tools.evidence import QUERY_FILES, check
+
+    qs = entry.queries()
+    assert set(QUERY_FILES) == set(qs), (
+        f"ledger mapping out of sync: missing={set(qs) - set(QUERY_FILES)}, "
+        f"orphans={set(QUERY_FILES) - set(qs)}"
+    )
+    violations = check()
+    assert violations == [], "\n".join(violations)

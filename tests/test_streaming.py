@@ -555,3 +555,42 @@ def test_repetition_stats_streams_unchanged(spark, sf_dir, tmp_path):
         for r in repetition_stats(batch_docs).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_quality_gate_equals_batch(spark, sf_dir, tmp_path):
+    """The on-arrival corpus filter (VERDICT r7 #6): text_analysis.quality_gate
+    is a pure projection chain, so it composes with readStream unchanged —
+    the gate decisions for documents arriving as a stream must equal the
+    batch gate over the same corpus, rule for rule."""
+    from mcp_synaptic_spark.operators.text_analysis import quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        quality_gate(stream)
+        .writeStream.format("memory")
+        .queryName("gate_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.keep, r.reasons)
+        for r in spark.sql("SELECT * FROM gate_test").collect()
+    }
+    want = {r.doc_id: (r.keep, r.reasons) for r in quality_gate(docs).collect()}
+    assert got == want and len(want) > 0
+    # both keep and drop must occur on the real corpus; multiple distinct
+    # rules fire even at sf0.001 (the every-rule-fires property holds at
+    # sf0.01 and is pinned by the graded quality_gate query there)
+    kept = {k for k, (keep, _) in want.items() if keep}
+    assert kept and len(kept) < len(want)
+    from mcp_synaptic_spark.operators.text_analysis import GATE_RULES
+
+    fired = {name for _, (_, rs) in want.items() for name in rs.split(",") if name}
+    assert len(fired) >= 2 and fired <= {name for name, _ in GATE_RULES}

@@ -350,3 +350,127 @@ def test_compact_merges_live_dirs_preserving_state(spark, tmp_path):
     t.upsert(_rows(spark, ("k0", None, "updated")))
     got = {r.key: r.payload for r in t.read().collect()}
     assert got["k0"] == "updated" and len(got) == len(before)
+
+
+# --- r8: checkpoint compaction + zone-map pruning ---------------------------
+
+def test_checkpoint_written_and_log_cleaned(spark, tmp_path):
+    """Every `checkpoint_interval` commits the winner writes a checkpoint +
+    _last_checkpoint hint; clean_log() then truncates older commit files and
+    read()/version() still serve the exact state (from the checkpoint)."""
+    path = str(tmp_path / "t")
+    t = TxnTable.create(
+        spark, path, _rows(spark, ("a", None, "1")), checkpoint_interval=2
+    )
+    for i in range(4):  # versions 1..4; checkpoints at 2 and 4
+        t.upsert(_rows(spark, (f"k{i}", None, str(i))))
+    log = os.listdir(os.path.join(path, "_txn"))
+    assert "000002.checkpoint.json" in log and "000004.checkpoint.json" in log
+    assert "_last_checkpoint" in log
+    cleaned = t.clean_log()
+    assert cleaned == [0, 1, 2, 3]
+    left = sorted(n for n in os.listdir(os.path.join(path, "_txn")) if n.endswith(".json"))
+    assert "000004.json" in left and "000000.json" not in left
+    assert t.version() == 4
+    got = {r.key: r.payload for r in t.read().collect()}
+    assert got == {"a": "1", "k0": "0", "k1": "1", "k2": "2", "k3": "3"}
+    # a version cleaned WITHOUT a checkpoint is outside retention
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="retention"):
+        t.read(version=1)
+    # the checkpointed version v2 had its commit file cleaned too — reading
+    # it exercises the checkpoint fallback
+    assert not os.path.exists(os.path.join(path, "_txn", "000002.json"))
+    assert {r.key for r in t.read(version=2).collect()} == {"a", "k0", "k1"}
+
+
+def test_clean_log_never_passes_undrained_events(spark, tmp_path):
+    """Exactly-once survives compaction: a version with undrained events (and
+    everything after it) stays in the log until drained."""
+    past = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    path = str(tmp_path / "t")
+    t = TxnTable.create(
+        spark, path, _rows(spark, ("live", None, "1"), ("dead", past, "2")),
+        checkpoint_interval=1,
+    )
+    cond = F.col("expires_at").isNotNull()
+    t.delete_where(cond, events_of=lambda m: m.select("key"))  # v1 + events
+    for i in range(2):
+        t.upsert(_rows(spark, (f"k{i}", None, str(i))))  # v2, v3 (ckpt each)
+    assert t.clean_log() == [0]  # stops AT v1: events not yet drained
+    drain_events(t, str(tmp_path / "events"))
+    assert t.clean_log() == [1, 2]
+    assert {r.key for r in t.read().collect()} == {"live", "k0", "k1"}
+
+
+def test_threaded_writers_with_checkpoints_no_lost_updates(spark, tmp_path):
+    """The r7 race test re-run on a checkpointing table: concurrent winners
+    write checkpoints mid-race; no update lost, state exact after cleaning."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    t = TxnTable.create(
+        spark, path, _rows(spark, ("seed", None, "0")), checkpoint_interval=2
+    )
+
+    def w(i):
+        TxnTable(spark, path, checkpoint_interval=2).upsert(
+            _rows(spark, (f"k{i}", None, str(i)))
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(w, range(6)))
+    t.clean_log()
+    got = {r.key: r.payload for r in t.read().collect()}
+    assert got == {"seed": "0", **{f"k{i}": str(i) for i in range(6)}}
+    assert t.version() == 6
+
+
+def test_delete_where_zone_map_skips_future_dirs(spark, tmp_path):
+    """expires_at stats prune the sweep: a directory whose minimum expiry is
+    in the future is neither scanned nor rewritten."""
+    from mcp_synaptic_spark.state.txn import expired_skipper
+
+    future = datetime(2030, 1, 1, tzinfo=timezone.utc)
+    past = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    path = str(tmp_path / "t")
+    t = TxnTable.create(
+        spark, path, _rows(spark, ("f1", future, "1"), ("f2", future, "2")),
+        stat_cols=("expires_at",),
+    )
+    t.upsert(_rows(spark, ("p1", past, "3"), ("x", None, "4")))
+    now = datetime(2026, 1, 1)
+    commit = t._read_commit(t.version())
+    skip = expired_skipper("expires_at", now)
+    skipped = [d["dir"] for d in commit["live"] if skip(d)]
+    assert len(skipped) == 1  # exactly the all-future directory
+    scanned = []
+    orig = t._read_dirs
+
+    def spy(dirs):
+        scanned.extend(dirs)
+        return orig(dirs)
+
+    t._read_dirs = spy
+    cond = F.col("expires_at").isNotNull() & (F.col("expires_at") <= F.lit(now))
+    _, n = t.delete_where(cond, skip_dir=skip)
+    t._read_dirs = orig
+    assert n == 1  # only p1 deleted
+    assert skipped[0] not in scanned, "future-only dir must not be scanned"
+    assert {r.key for r in t.read().collect()} == {"f1", "f2", "x"}
+
+
+def test_sweep_once_txn_uses_stats_and_agrees(spark, tmp_path):
+    """sweep_once_txn on a stat-recording table: same sweep result as the
+    r7-graded path, with the future-only directory pruned by zone map."""
+    future = datetime(2030, 1, 1, tzinfo=timezone.utc)
+    past = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    path = str(tmp_path / "t")
+    t = TxnTable.create(
+        spark, path, _rows(spark, ("f1", future, "1")), stat_cols=("expires_at",)
+    )
+    t.upsert(_rows(spark, ("dead", past, "2"), ("live", None, "3")))
+    n = sweep_once_txn(t, str(tmp_path / "events"))
+    assert n == 1
+    assert {r.key for r in t.read().collect()} == {"f1", "live"}

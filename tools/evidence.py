@@ -1,0 +1,238 @@
+"""Machine-checkable evidence ledger for the driver correctness gate.
+
+The driver grades only the FIRST 50 `queries()` entries per round, so every
+other query's correctness claim is "green in round R AND its operator files
+unchanged since". Until r8 that second clause was verified by hand with git
+archaeology every round (VERDICT r7 What's-wrong #3). This tool makes it a
+pytest invariant:
+
+- `EVIDENCE.json` maps each query to the round whose grading window last
+  held it and the sha256 of each of its OPERATOR FILES at that time (the
+  same file granularity the judges audit; the entry file and shared session
+  plumbing are excluded because they change every round by design and the
+  driver re-smokes them each round).
+- `update(round)` refreshes the ledger: every query currently inside the
+  50-slot window gets stamped with `round` + current hashes; tail entries
+  are left untouched. Run it when the round's window is final.
+- `check()` returns violations: any query OUTSIDE the window whose files
+  have drifted from its ledger hashes (its evidence predates its code), or
+  any query/oracle with no ledger row. `tests/test_driver_contract.py`
+  asserts the list is empty, so "graded-green and unchanged-since" fails
+  the suite the moment an edit invalidates tail evidence — the fix is to
+  rotate the query into the window and re-run `update`.
+
+Usage:
+    python tools/evidence.py update <round>
+    python tools/evidence.py check
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER = os.path.join(REPO, "EVIDENCE.json")
+WINDOW = 50
+
+_PKG = "mcp_synaptic_spark"
+MEM = (f"{_PKG}/operators/memory.py", f"{_PKG}/sources/memories.py", f"{_PKG}/functions/ttl.py")
+TTLF = (f"{_PKG}/functions/ttl.py", f"{_PKG}/sources/memories.py")
+RAG = (f"{_PKG}/operators/rag.py", f"{_PKG}/functions/vector.py")
+DEDUP = (f"{_PKG}/operators/dedup.py", f"{_PKG}/functions/text.py")
+SIM = (f"{_PKG}/operators/similarity.py", f"{_PKG}/functions/vector.py")
+CLUST = (f"{_PKG}/operators/clustering.py",) + DEDUP
+PIPE = (f"{_PKG}/operators/pipeline.py", f"{_PKG}/functions/text.py")
+TXT = (f"{_PKG}/operators/text_analysis.py", f"{_PKG}/functions/text.py")
+TBL = (f"{_PKG}/sources/tables.py",)
+DOCS = (f"{_PKG}/operators/documents.py",)
+EMB = (f"{_PKG}/sources/embedders.py",)
+RETR = (f"{_PKG}/operators/retrieval.py",)
+MM = (f"{_PKG}/operators/multimodal.py",)
+
+#: query -> operator files whose content its correctness evidence covers.
+#: Entry-file-only queries (TPC-H suite etc.) list their table loader.
+QUERY_FILES: dict[str, tuple[str, ...]] = {
+    "assemble_context": RETR + RAG,
+    "doc_add": DOCS + EMB,
+    "doc_get": DOCS,
+    "doc_update": DOCS + EMB,
+    "doc_delete": DOCS,
+    "doc_stats": TBL + (f"{_PKG}/functions/text.py",),
+    "tpch_q1": TBL,
+    "tpch_q3": TBL,
+    "tpch_q5": TBL,
+    "tpch_q6": TBL,
+    "top_orders_per_customer": TBL,
+    "orders_semi_join": TBL,
+    "customers_anti_join": TBL,
+    "orders_rollup": TBL,
+    "orders_page": TBL,
+    "props_keys": TBL,
+    "events_json": TBL,
+    "max_score": TBL,
+    "parse_ttl": TTLF,
+    "time_until_expiry": TTLF,
+    "ts_parse_multi": TTLF,
+    "fingerprint": TXT,
+    "token_stats": TXT,
+    "quality_score": TXT,
+    "lang_id": TXT,
+    "lang_distribution": TXT,
+    "repetition_stats": TXT,
+    "quality_gate": TXT,
+    "sanitize": (f"{_PKG}/functions/text.py",),
+    "search_by_metadata": RETR,
+    "doc_summary": RETR,
+    "pairwise_similarity": RAG,
+    "rag_search": RAG,
+    "rag_search_filtered": RAG,
+    "find_similar": RAG,
+    "batch_topk": RAG,
+    "knn_classify": RAG,
+    "dedup_exact": DEDUP,
+    "dedup_keep_first": DEDUP,
+    "dedup_minhash": DEDUP,
+    "dedup_simhash": DEDUP,
+    "dedup_simhash_capped": DEDUP,
+    "dedup_ngram_jaccard": DEDUP,
+    "dedup_embedding": DEDUP + SIM,
+    "dedup_embedding_lsh": DEDUP + SIM,
+    "dedup_substring": DEDUP,
+    "dedup_substring_apply": DEDUP,
+    "ann_lsh_topk": SIM,
+    "ann_mllib_lsh": SIM,
+    "ann_ivf_topk": SIM,
+    "dedup_semantic": SIM + DEDUP,
+    "doc_change_feed": (f"{_PKG}/streaming/expiry.py",) + DOCS,
+    "filter_tags_created": MEM,
+    "memory_list": MEM,
+    "memory_list_expired": MEM,
+    "memory_list_by_keys": MEM,
+    "memory_stats": MEM,
+    "memory_stats_by_type": MEM,
+    "cleanup_expired_count": MEM,
+    "memories_live_count": MEM,
+    "memory_upsert": MEM,
+    "memory_touch": MEM,
+    "memory_delete": MEM,
+    "memory_exists": MEM,
+    "memory_update": MEM,
+    "memory_report": MEM + (f"{_PKG}/functions/text.py",),
+    "memory_upsert_txn": MEM + (f"{_PKG}/state/txn.py",),
+    "memory_upsert_ckpt": MEM + (f"{_PKG}/state/txn.py",),
+    "memory_access_replay": (f"{_PKG}/streaming/access_log.py",) + MEM,
+    "events_hourly": (f"{_PKG}/streaming/windows.py",),
+    "events_sliding": (f"{_PKG}/streaming/windows.py",),
+    "events_sessions": (f"{_PKG}/streaming/windows.py",),
+    "embed_texts": EMB,
+    "multimodal_features": MM,
+    "frame_sample": MM,
+    "dedup_clusters": CLUST,
+    "dedup_clusters_twostar": CLUST,
+    "dedup_apply_clusters": CLUST,
+    "decontaminate": PIPE,
+    "train_test_split": PIPE,
+    "pii_redact": PIPE,
+    "stratified_sample": PIPE,
+    "dedup_within_doc": PIPE,
+    "source_cap": PIPE,
+    "source_mix": PIPE,
+    "pack_sequences": PIPE,
+    "decontaminate_semantic": PIPE + SIM,
+    "corpus_prep_pipeline": PIPE + DEDUP + CLUST,
+}
+
+#: last driver-graded round for queries that are OUTSIDE the r8 window at
+#: ledger bootstrap (everything else in the r8 tail is green in r7). Used
+#: only when a query has no ledger row yet.
+_BACKFILL_ROUND = {"max_score": 6, "memory_access_replay": 6, "multimodal_features": 6}
+
+
+def _sha(relpath: str) -> str:
+    with open(os.path.join(REPO, relpath), "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _window_names() -> tuple[list[str], set[str]]:
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    return names, set(names[:WINDOW])
+
+
+def _load() -> dict:
+    if os.path.exists(LEDGER):
+        with open(LEDGER) as f:
+            return json.load(f)
+    return {}
+
+
+def update(round_n: int) -> dict:
+    names, window = _window_names()
+    ledger = _load()
+    for q in names:
+        files = QUERY_FILES.get(q)
+        if files is None:
+            raise KeyError(f"query {q!r} has no QUERY_FILES entry — add one")
+        if q in window:
+            ledger[q] = {
+                "window_round": round_n,
+                "files": {f: _sha(f) for f in files},
+            }
+        elif q not in ledger:
+            ledger[q] = {
+                "window_round": _BACKFILL_ROUND.get(q, round_n - 1),
+                "files": {f: _sha(f) for f in files},
+            }
+    # drop rows for queries that no longer exist
+    for q in [q for q in ledger if q not in names]:
+        del ledger[q]
+    with open(LEDGER, "w") as f:
+        json.dump(dict(sorted(ledger.items())), f, indent=1, sort_keys=True)
+        f.write("\n")
+    return ledger
+
+
+def check() -> list[str]:
+    names, window = _window_names()
+    ledger = _load()
+    violations = []
+    for q in names:
+        if QUERY_FILES.get(q) is None:
+            violations.append(f"{q}: no QUERY_FILES mapping")
+            continue
+        row = ledger.get(q)
+        if row is None:
+            violations.append(f"{q}: no EVIDENCE.json row (run tools/evidence.py update)")
+            continue
+        if q in window:
+            continue  # being (re)graded this round — hashes refresh at update
+        for f, h in row["files"].items():
+            if not os.path.exists(os.path.join(REPO, f)):
+                violations.append(f"{q}: evidence file {f} is gone")
+            elif _sha(f) != h:
+                violations.append(
+                    f"{q}: {f} changed since its round-{row['window_round']} "
+                    "grading — rotate the query into the window"
+                )
+    return violations
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "check"
+    if cmd == "update":
+        update(int(sys.argv[2]))
+        print(f"EVIDENCE.json updated for round {sys.argv[2]}")
+    elif cmd == "check":
+        v = check()
+        for line in v:
+            print("VIOLATION:", line)
+        print(f"{len(v)} violations")
+        sys.exit(1 if v else 0)
+    else:
+        raise SystemExit(f"unknown command {cmd!r}")
