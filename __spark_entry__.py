@@ -2069,6 +2069,73 @@ ORDER BY doc_id ASC LIMIT 10
 """
 
 
+#: BM25 constants shared by the Spark query and its oracle twin
+_BM25_TERMS = ("dup", "hash", "join", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword top-k (retrieval.py:bm25_search) — new r8: the lexical
+    ranker of a hybrid retrieval stack, beside the embedding-based
+    rag_search. Query mixes a rare term ('dup', df≈26 at sf0.01 — high idf)
+    with common ones, so the ranking exercises both idf extremes."""
+    return RT.bm25_search(
+        _t(spark, sf_dir, "documents"), " ".join(_BM25_TERMS), k=10,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+def _mk_oracle_bm25() -> str:
+    """Mirrors the zero-shuffle Spark form exactly: per-term tf as list
+    expressions, df/avgdl from one aggregate, and the score as a FIXED
+    left-to-right sum over sorted terms (identical fp addition order)."""
+    k1, b = _BM25_K1, _BM25_B
+    tf_cols = ",\n    ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contrib = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN "
+        f"ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) "
+        f"* tf_{i} * ({k1} + 1) / (tf_{i} + {k1} * (1 - {b} + {b} * dl / avgdl)) "
+        f"ELSE 0.0 END)"
+        for i in range(len(_BM25_TERMS))
+    )
+    matched = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, len(toks) AS dl,
+    {tf_cols}
+  FROM d
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, {df_cols}
+  FROM per_doc
+)
+SELECT doc_id,
+  round({contrib}, 6) AS bm25,
+  CAST({matched} AS INT) AS n_terms_matched
+FROM per_doc CROSS JOIN stats
+WHERE {matched} > 0
+ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
+
+_ORACLE_BM25 = _mk_oracle_bm25()
+
+
 def _q_assemble_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     docs = _t(spark, sf_dir, "documents")
@@ -3029,17 +3096,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r8 ----------------------------------------------------
         "dedup_clusters_twostar": _q_dedup_clusters_twostar,
         "memory_upsert_ckpt": _q_memory_upsert_ckpt,
+        "bm25_search": _q_bm25_search,
+        # --- retrieval.py touched in r8 (bm25 append) — its tail queries
+        # rotate in so no evidence predates the file (ledger-enforced)
+        "assemble_context": _q_assemble_context,
+        "search_by_metadata": _q_search_by_metadata,
         # --- oldest-evidence refreshes (r6-dated rows retire) -------------
         "orders_page": _q_orders_page,
         "memory_report": _q_memory_report,
         "ts_parse_multi": _q_ts_parse_multi,
-        "frame_sample": _q_frame_sample,
         "sanitize": _q_sanitize,
         "doc_summary": _q_doc_summary,
         "events_hourly": _q_events_hourly,
         "events_json": _q_events_json,
-        "events_sliding": _q_events_sliding,
-        "events_sessions": _q_events_sessions,
         "props_keys": _q_props_keys,
         "embed_texts": _q_embed_texts,
         # expiry.py touched in r8 (sweep zone-map pruning) — its graded query
@@ -3049,9 +3118,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail: every entry below is green in CORRECTNESS_r07 (or r6 with
         # files verifiably unchanged — EVIDENCE.json enforces both)
         "max_score": _q_max_score,
+        "events_sessions": _q_events_sessions,
+        "events_sliding": _q_events_sliding,
+        "frame_sample": _q_frame_sample,
         "memory_access_replay": _q_memory_access_replay,
         "multimodal_features": _q_multimodal_features,
-        "assemble_context": _q_assemble_context,
         "doc_add": _q_doc_add,
         "doc_get": _q_doc_get,
         "doc_update": _q_doc_update,
@@ -3067,7 +3138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": _q_orders_rollup,
         "parse_ttl": _q_parse_ttl,
         "time_until_expiry": _q_time_until_expiry,
-        "search_by_metadata": _q_search_by_metadata,
         "pairwise_similarity": _q_pairwise_similarity,
         "rag_search": _q_rag_search,
         "rag_search_filtered": _q_rag_search_filtered,
@@ -3149,6 +3219,7 @@ def oracle_sql() -> dict[str, str]:
         "sanitize": _ORACLE_SANITIZE,
         "doc_summary": _ORACLE_DOC_SUMMARY,
         "search_by_metadata": _ORACLE_SEARCH_BY_METADATA,
+        "bm25_search": _ORACLE_BM25,
         "assemble_context": _ORACLE_ASSEMBLE_CONTEXT,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_keep_first": _ORACLE_DEDUP_KEEP_FIRST,

@@ -118,3 +118,98 @@ def assemble_context(
         F.count("*").cast("int").alias("n_docs"),
     )
     return assembled.withColumn("n_chars", F.length("context"))
+
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    *,
+    k: int = 10,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword search over the corpus — the lexical complement of the
+    embedding-based rag_search (Q13). The reference retrieves by vector
+    similarity only (rag/retrieval.py:46-136); production RAG stacks pair
+    that with a term-frequency ranker for hybrid retrieval, so this is part
+    of the beyond-reference retrieval tier. Formula: Lucene's BM25
+    (Robertson idf, ln(1 + (N - df + 0.5)/(df + 0.5))), summed over the
+    distinct query terms in sorted order.
+
+    Scale shape — ZERO data shuffles for a keyword-sized query:
+    - Because |Q| is small and fixed per call, per-term tf is an ARRAY
+      EXPRESSION over each doc's token list (size(filter(toks, t = term))),
+      not an exploded postings table: one narrow projection per doc, no
+      (doc, term) shuffle, no Generate fan-out.
+    - df per term, corpus size, and avgdl all come from ONE 1-row aggregate
+      over that projection, broadcast back (the accepted 1-row-broadcast
+      pattern); scoring is then a pure per-row expression with the sum over
+      terms in FIXED index order — deterministic fp addition, same order as
+      the oracle.
+    - top-k compiles to TakeOrderedAndProject (per-partition heaps, no
+      global sort) — the rag_search shape. Net: two column-pruned corpus
+      scans (stats + scoring; cache the projection to make it one) and a
+      k-row result. Ties break on ascending id for cross-engine
+      determinism.
+    """
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("bm25_search requires a non-empty query")
+    toks = F.expr(
+        f"IF(trim(lower(`{content_col}`)) = '', CAST(array() AS ARRAY<STRING>), "
+        f"split(trim(lower(`{content_col}`)), '\\\\s+'))"
+    )
+    # project toks ONCE, then derive counts (HOF lambdas have no CSE — the
+    # PLANS note-1 lesson; a single-projection form would re-split per term)
+    def esc(t: str) -> str:
+        return t.replace("\\", "\\\\").replace("'", "\\'")
+
+    per_doc = docs.select(F.col(id_col).alias("id"), toks.alias("toks")).select(
+        "id",
+        F.size("toks").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, t -> t = '{esc(t)}'))").alias(f"_tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("double")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    idf = [
+        F.log(1.0 + (F.col("n_docs") - F.col(f"_df_{i}") + 0.5) / (F.col(f"_df_{i}") + 0.5))
+        for i in range(len(terms))
+    ]
+    tf = [F.col(f"_tf_{i}").cast("double") for i in range(len(terms))]
+    contrib = [
+        F.when(
+            tf[i] > 0,
+            idf[i] * tf[i] * (k1 + 1) / (tf[i] + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(terms))
+    ]
+    score = contrib[0]
+    for c in contrib[1:]:  # fixed left-to-right order — oracle mirrors it
+        score = score + c
+    n_matched = None
+    for i in range(len(terms)):
+        m = (tf[i] > 0).cast("int")
+        n_matched = m if n_matched is None else n_matched + m
+    return (
+        scored.where(n_matched > 0)
+        .select(
+            F.col("id").alias(id_col),
+            F.round(score, 6).alias("bm25"),
+            n_matched.alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(k)
+    )

@@ -65,3 +65,65 @@ def test_batch_topk_per_query(spark):
         assert len(rows) == 2
         assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2]
         assert sorted(rows, key=lambda r: r.rank)[0].id == q  # self is nearest
+
+
+# --- bm25_search (r8, retrieval.py) -----------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """idf: the doc matching the corpus-rare term must beat docs matching
+    only the everywhere-term, at equal tf and length."""
+    from mcp_synaptic_spark.operators.retrieval import bm25_search
+
+    d = _docs(spark, [
+        (1, "common rare pad1 pad2"),
+        (2, "common other pad1 pad2"),
+        (3, "common other pad3 pad4"),
+        (4, "common other pad5 pad6"),
+    ])
+    out = bm25_search(d, "rare common", k=4).collect()
+    assert out[0].doc_id == 1 and out[0].n_terms_matched == 2
+    assert all(r.bm25 <= out[0].bm25 for r in out)
+
+
+def test_bm25_tf_saturates_and_length_normalizes(spark):
+    from mcp_synaptic_spark.operators.retrieval import bm25_search
+
+    d = _docs(spark, [
+        (1, "term x"),                       # tf=1, short
+        (2, "term term term term term x"),   # tf=5, longer
+        (3, "x y"),
+    ])
+    out = {r.doc_id: r.bm25 for r in bm25_search(d, "term", k=3).collect()}
+    assert 3 not in out                      # non-matching doc absent
+    assert out[2] > out[1] > 0               # higher tf wins, but...
+    assert out[2] < 5 * out[1]               # ...sub-linearly (saturation)
+
+
+def test_bm25_ties_break_on_doc_id(spark):
+    from mcp_synaptic_spark.operators.retrieval import bm25_search
+
+    d = _docs(spark, [(9, "a b"), (3, "a b"), (5, "a b")])
+    out = [r.doc_id for r in bm25_search(d, "a", k=3).collect()]
+    assert out == [3, 5, 9]
+
+
+def test_bm25_empty_query_raises(spark):
+    import pytest
+
+    from mcp_synaptic_spark.operators.retrieval import bm25_search
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_search(_docs(spark, [(1, "a")]), "   ")
+
+
+def test_bm25_case_insensitive_and_dedups_query_terms(spark):
+    from mcp_synaptic_spark.operators.retrieval import bm25_search
+
+    d = _docs(spark, [(1, "Alpha beta"), (2, "gamma beta")])
+    a = {r.doc_id: r.bm25 for r in bm25_search(d, "ALPHA alpha", k=2).collect()}
+    b = {r.doc_id: r.bm25 for r in bm25_search(d, "alpha", k=2).collect()}
+    assert a == b and set(a) == {1}

@@ -88,6 +88,7 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "sanitize": (f"{_PKG}/functions/text.py",),
     "search_by_metadata": RETR,
     "doc_summary": RETR,
+    "bm25_search": RETR,
     "pairwise_similarity": RAG,
     "rag_search": RAG,
     "rag_search_filtered": RAG,
