@@ -1485,6 +1485,43 @@ def _check_centroids_committed(sf_dir: str, centroids) -> None:
         )
 
 
+def _q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 storage tier + ADC search (similarity.py:quantize_embeddings /
+    ann_quantized_topk) — new r8: per-vector 8-bit scalar quantization (the
+    FAISS/Milvus SQ8 layout, 4× smaller scans than float32), searched with
+    an exact float query against dequantized codes. Fully deterministic
+    (floor-based codes, fixed fold order), so the oracle reproduces
+    quantize→dequantize→cosine→top-k bit-for-bit in SQL — a hash-verified
+    row, not rows-only."""
+    from mcp_synaptic_spark.operators.similarity import ann_quantized_topk, quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ann_quantized_topk(quantize_embeddings(emb), qrow, k=10)
+
+
+_ORACLE_ANN_QUANTIZED = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+st AS (
+  SELECT vec_id, v, list_aggregate(v, 'min') AS vmin,
+         (list_aggregate(v, 'max') - list_aggregate(v, 'min')) / 255.0 AS scale
+  FROM p
+),
+dq AS (
+  SELECT vec_id,
+    CASE WHEN scale = 0 THEN list_transform(v, x -> vmin + 0.0 * scale)
+         ELSE list_transform(v, x -> vmin + floor((x - vmin) / scale + 0.5) * scale)
+    END AS dv
+  FROM st
+),
+s AS (SELECT d.vec_id, round({_cos('d.dv', 'q.qv')}, 6) AS qcos FROM dq d, q)
+SELECT vec_id, qcos,
+       CAST(row_number() OVER (ORDER BY qcos DESC, vec_id ASC) AS INT) AS rank
+FROM s ORDER BY qcos DESC, vec_id ASC LIMIT 10
+"""
+
+
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer top-k (similarity.py tier 3): probe the persisted
     cell-partitioned index — nprobe-cell partition-pruned scan + exact
@@ -3091,6 +3128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_mllib_lsh": _q_ann_mllib_lsh,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_quantized_topk": _q_ann_quantized_topk,  # SQ8 + ADC, new r8
         # --- state/txn.py touched in r8 (checkpoint compaction) -----------
         "memory_upsert_txn": _q_memory_upsert_txn,
         # --- new in r8 ----------------------------------------------------
@@ -3107,7 +3145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_parse_multi": _q_ts_parse_multi,
         "sanitize": _q_sanitize,
         "doc_summary": _q_doc_summary,
-        "events_hourly": _q_events_hourly,
         "events_json": _q_events_json,
         "props_keys": _q_props_keys,
         "embed_texts": _q_embed_texts,
@@ -3119,6 +3156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # files verifiably unchanged — EVIDENCE.json enforces both)
         "max_score": _q_max_score,
         "events_sessions": _q_events_sessions,
+        "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
         "frame_sample": _q_frame_sample,
         "memory_access_replay": _q_memory_access_replay,
@@ -3173,6 +3211,7 @@ def oracle_sql() -> dict[str, str]:
         "memory_list_by_keys": _ORACLE_MEMORY_LIST_BY_KEYS,
         "ann_lsh_topk": _ORACLE_ANN_LSH,
         **({"ann_ivf_topk": _ORACLE_ANN_IVF} if _ORACLE_ANN_IVF else {}),
+        "ann_quantized_topk": _ORACLE_ANN_QUANTIZED,
         "memory_stats": _ORACLE_MEMORY_STATS,
         "memory_stats_by_type": _ORACLE_MEMORY_STATS_BY_TYPE,
         "cleanup_expired_count": _ORACLE_CLEANUP_EXPIRED,

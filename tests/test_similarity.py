@@ -300,3 +300,65 @@ def test_semantic_dedup_collapse_equals_member_level(spark):
     # zero vectors never pair at positive thresholds: all three survive
     out = {r.vec_id: r.removed for r in semantic_dedup(indexed, centroids, threshold=0.5).collect()}
     assert not any(out[v] for v in range(vid - 3, vid))
+
+
+# --- SQ8 scalar quantization + ADC search (r8) ------------------------------
+
+def test_quantize_codes_bounded_and_roundtrip_error(spark, sf_dir):
+    """Codes live in [0,255]; per-element reconstruction error is bounded by
+    scale/2 (the defining property of round-to-nearest scalar quantization)."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.similarity import dequantize_expr, quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_embeddings(emb)
+    bad = q.where(
+        F.exists("qvec", lambda x: (x < 0) | (x > 255))
+    ).count()
+    assert bad == 0
+    joined = q.join(emb, "vec_id").select(
+        "vec_id", "scale",
+        F.zip_with(
+            dequantize_expr(), F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"),
+            lambda a, b: F.abs(a - b),
+        ).alias("err"),
+    )
+    viol = joined.where(
+        F.exists("err", lambda e: e > F.col("scale") / 2 + 1e-12)
+    ).count()
+    assert viol == 0
+
+
+def test_quantize_constant_vector_is_exact(spark):
+    from mcp_synaptic_spark.operators.similarity import dequantize_expr, quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [2.5] * 4), (2, [0.0] * 4)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    q = quantize_embeddings(emb)
+    rows = {r.vec_id: r for r in q.select("vec_id", "qvec", "vmin", "scale").collect()}
+    assert rows[1].qvec == [0, 0, 0, 0] and rows[1].scale == 0.0 and rows[1].vmin == 2.5
+    dq = {r.vec_id: r.dv for r in q.select("vec_id", dequantize_expr().alias("dv")).collect()}
+    assert dq[1] == [2.5] * 4 and dq[2] == [0.0] * 4
+
+
+def test_ann_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """ADC over SQ8 codes must agree with exact float top-k almost
+    everywhere at 8 bits (quantization noise ~1e-2 on unit-ish vectors):
+    require >= 8/10 overlap and identical top-3 on the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators import rag as R
+    from mcp_synaptic_spark.operators.similarity import ann_quantized_topk, quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    approx = [r.vec_id for r in ann_quantized_topk(quantize_embeddings(emb), qrow, k=10).collect()]
+    exact_df = R.rag_search(
+        emb.crossJoin(F.broadcast(qrow)), F.col("qv"), id_col="vec_id",
+        threshold=0.0, limit=10,
+    )
+    exact = [r.vec_id for r in exact_df.select("vec_id").collect()]
+    assert len(set(approx) & set(exact)) >= 8
+    assert approx[:3] == exact[:3]
