@@ -2122,7 +2122,7 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mk_oracle_bm25() -> str:
+def _mk_oracle_bm25(limit: int = 10) -> str:
     """Mirrors the zero-shuffle Spark form exactly: per-term tf as list
     expressions, df/avgdl from one aggregate, and the score as a FIXED
     left-to-right sum over sorted terms (identical fp addition order)."""
@@ -2166,11 +2166,64 @@ SELECT doc_id,
   CAST({matched} AS INT) AS n_terms_matched
 FROM per_doc CROSS JOIN stats
 WHERE {matched} > 0
-ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+ORDER BY bm25 DESC, doc_id ASC LIMIT {limit}
 """
 
 
 _ORACLE_BM25 = _mk_oracle_bm25()
+
+
+def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (retrieval.py:
+    hybrid_search_rrf, Cormack et al. SIGIR'09) — new r8: bm25_search's
+    lexical top-20 fused with rag_search's vector top-20 (doc_id aligns
+    with vec_id, the doc_get J2 convention), k0=60. Both input lists are
+    ≤20 rows, so the fusion join is trivially broadcast-sized at any
+    corpus scale; the cost is the two rankers, both already graded."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = RT.bm25_search(docs, " ".join(_BM25_TERMS), k=20, k1=_BM25_K1, b=_BM25_B).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    sem = R.rag_search(
+        _with_query_vec(emb, 0), F.col("qv"), id_col="vec_id", threshold=0.0, limit=20,
+        max_results=20,
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    return RT.hybrid_search_rrf(lex, sem, k=10)
+
+
+_ORACLE_HYBRID = f"""
+WITH lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS ra
+  FROM ({_mk_oracle_bm25(20)})
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         round(greatest(0.0, least(1.0, {_cos('e.embedding::DOUBLE[]', 'q.qv')})), 6) AS score
+  FROM embeddings e, q
+),
+sem AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS INT) AS rb
+  FROM (SELECT * FROM scored WHERE score >= 0.0
+        ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 20)
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60 + ra), 0.0) + coalesce(1.0 / (60 + rb), 0.0), 6) AS rrf,
+         ra IS NOT NULL AS in_lexical,
+         rb IS NOT NULL AS in_semantic
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rrf, in_lexical, in_semantic,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10)
+"""
 
 
 def _q_assemble_context(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3135,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_twostar": _q_dedup_clusters_twostar,
         "memory_upsert_ckpt": _q_memory_upsert_ckpt,
         "bm25_search": _q_bm25_search,
+        "hybrid_search": _q_hybrid_search,  # RRF fusion, new r8
         # --- retrieval.py touched in r8 (bm25 append) — its tail queries
         # rotate in so no evidence predates the file (ledger-enforced)
         "assemble_context": _q_assemble_context,
@@ -3143,7 +3197,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_page": _q_orders_page,
         "memory_report": _q_memory_report,
         "ts_parse_multi": _q_ts_parse_multi,
-        "sanitize": _q_sanitize,
         "doc_summary": _q_doc_summary,
         "events_json": _q_events_json,
         "props_keys": _q_props_keys,
@@ -3155,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail: every entry below is green in CORRECTNESS_r07 (or r6 with
         # files verifiably unchanged — EVIDENCE.json enforces both)
         "max_score": _q_max_score,
+        "sanitize": _q_sanitize,
         "events_sessions": _q_events_sessions,
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
@@ -3259,6 +3313,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_summary": _ORACLE_DOC_SUMMARY,
         "search_by_metadata": _ORACLE_SEARCH_BY_METADATA,
         "bm25_search": _ORACLE_BM25,
+        "hybrid_search": _ORACLE_HYBRID,
         "assemble_context": _ORACLE_ASSEMBLE_CONTEXT,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_keep_first": _ORACLE_DEDUP_KEEP_FIRST,

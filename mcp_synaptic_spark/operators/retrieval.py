@@ -213,3 +213,47 @@ def bm25_search(
         .orderBy(F.desc("bm25"), F.col(id_col))
         .limit(k)
     )
+
+
+def hybrid_search_rrf(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of two
+    ranked result lists — the standard way production RAG stacks combine a
+    lexical ranker (bm25_search) with a vector ranker (rag_search) without
+    score calibration: rrf(d) = Σ_lists 1/(k0 + rank_list(d)), k0 = 60 per
+    the paper. Deterministic given the inputs, so the composed query is
+    fully hash-oracle-able.
+
+    Inputs are (id, rank) frames of ≤ top-n rows each (the two rankers'
+    outputs — already tiny), so the fusion join is broadcast-sized whatever
+    the corpus size; ties break on ascending id. Output: (id, rrf,
+    in_lexical, in_semantic, rank).
+    """
+    a = lexical.select(F.col(id_col).alias("id"), F.col(rank_col).alias("_ra"))
+    b = semantic.select(F.col(id_col).alias("id"), F.col(rank_col).alias("_rb"))
+    fused = a.join(b, "id", "full_outer").select(
+        "id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k0) + F.col("_ra")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k0) + F.col("_rb")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        F.col("_ra").isNotNull().alias("in_lexical"),
+        F.col("_rb").isNotNull().alias("in_semantic"),
+    )
+    w = Window.orderBy(F.desc("rrf"), F.col("id").asc())
+    return (
+        fused.orderBy(F.desc("rrf"), F.col("id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("id").alias(id_col), "rrf", "in_lexical", "in_semantic", "rank"
+        )
+    )

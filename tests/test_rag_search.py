@@ -127,3 +127,29 @@ def test_bm25_case_insensitive_and_dedups_query_terms(spark):
     a = {r.doc_id: r.bm25 for r in bm25_search(d, "ALPHA alpha", k=2).collect()}
     b = {r.doc_id: r.bm25 for r in bm25_search(d, "alpha", k=2).collect()}
     assert a == b and set(a) == {1}
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF math, full-outer membership flags, and tie-break: a doc in both
+    lists beats a doc holding rank 1 in only one list (1/61+1/62 > 1/61)."""
+    from mcp_synaptic_spark.operators.retrieval import hybrid_search_rrf
+
+    lex = spark.createDataFrame([(10, 1), (20, 2)], "doc_id LONG, rank INT")
+    sem = spark.createDataFrame([(20, 1), (30, 2)], "doc_id LONG, rank INT")
+    out = {r.doc_id: r for r in hybrid_search_rrf(lex, sem, k=3).collect()}
+    assert set(out) == {10, 20, 30}
+    assert out[20].rank == 1 and out[20].in_lexical and out[20].in_semantic
+    assert round(1 / 62 + 1 / 61, 6) == out[20].rrf
+    assert out[10].in_lexical and not out[10].in_semantic
+    assert not out[30].in_lexical and out[30].in_semantic
+    # 10 (lex rank 1) vs 30 (sem rank 2): 1/61 > 1/62
+    assert out[10].rank == 2 and out[30].rank == 3
+
+
+def test_hybrid_rrf_equal_scores_tie_break_on_id(spark):
+    from mcp_synaptic_spark.operators.retrieval import hybrid_search_rrf
+
+    lex = spark.createDataFrame([(7, 1), (3, 2)], "doc_id LONG, rank INT")
+    sem = spark.createDataFrame([(3, 1), (7, 2)], "doc_id LONG, rank INT")
+    out = [r.doc_id for r in hybrid_search_rrf(lex, sem, k=2).collect()]
+    assert out == [3, 7]  # identical rrf; ascending id wins

@@ -62,7 +62,7 @@ def build_corpus(spark, rep: int):
 
 def main() -> None:
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE_r07.json"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE_r08.json"
     spark = get_spark("scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -386,6 +386,107 @@ def main() -> None:
     timed(
         "source_mix_10x",
         lambda: weighted_source_sample(docs, {"src0": 0.5, "src1": 0.0}).count(),
+    )
+
+    # --- r8: auto-switch defaults route to the scale path at 10x ------------
+    # dedup_embedding's default must pick LSH here (N² = 4e8 > ceiling) and
+    # still find every replicated pair (byte-identical vectors are
+    # bucket-certain); timing must be LSH-like, not the N² cliff.
+    from mcp_synaptic_spark.operators.dedup import embedding_near_dup_pairs
+
+    n_auto = timed(
+        "dedup_embedding_auto_10x",
+        lambda: embedding_near_dup_pairs(emb, threshold=0.9, dim=64).count(),
+    )
+    checks["embedding_auto_routes_lsh_recall"] = bool(n_auto == pairs_goal)
+
+    flagged_auto = semantic_decontaminate(tr_emb, ev_emb, threshold=0.9).cache()
+    n_flagged_auto = timed(
+        "decontaminate_semantic_auto_10x", lambda: flagged_auto.count()
+    )
+    # auto must resolve to the LSH candidate path at this shape (4.1M pairs
+    # > SEMANTIC_EXACT_MAX_PAIRS) and lose none of the byte-identical twins
+    missed_auto = twins.join(flagged_auto.select("vec_id"), "vec_id", "left_anti").count()
+    checks["semantic_decontaminate_auto_catches_all_twins"] = bool(
+        missed_auto == 0 and n_flagged_auto == n_flagged_lsh
+    )
+    flagged_auto.unpersist()
+
+    # --- r8: two-star CC equivalence on the real 10x pair graph -------------
+    from mcp_synaptic_spark.operators.clustering import connected_components_twostar
+
+    ts_comp = timed(
+        "cc_twostar_10x",
+        lambda: connected_components_twostar(
+            minhash_lsh_pairs(docs, threshold=0.5, max_bucket=200)
+        ).cache(),
+    )
+    hm_comp = connected_components(
+        minhash_lsh_pairs(docs, threshold=0.5, max_bucket=200)
+    )
+    n_label_mismatch = (
+        ts_comp.join(hm_comp.withColumnRenamed("component", "hm"), "id")
+        .where(F.col("component") != F.col("hm"))
+        .limit(1)
+        .count()
+    )
+    checks["cc_twostar_equals_hashmin"] = bool(
+        n_label_mismatch == 0 and ts_comp.count() == cc_vertices
+    )
+    ts_comp.unpersist()
+
+    # --- r8: SQ8 + ADC at 10x ------------------------------------------------
+    # Ground truth: the query vector (vec_id 0) has `rep` byte-identical
+    # replicas in the corpus; all must land at the top with qcos == 1.0
+    # (codes of identical vectors are identical, so ADC scores them 1.0).
+    from mcp_synaptic_spark.operators.similarity import (
+        ann_quantized_topk,
+        quantize_embeddings,
+    )
+
+    qrow = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qtop = timed(
+        "ann_quantized_topk_10x",
+        lambda: ann_quantized_topk(quantize_embeddings(emb), qrow, k=rep).collect(),
+    )
+    checks["sq8_replicas_score_one"] = bool(
+        len(qtop) == rep and all(r.qcos == 1.0 for r in qtop)
+    )
+
+    # --- r8: BM25 scale invariance -------------------------------------------
+    # 10x replication multiplies N and every df by rep while tf/dl are
+    # unchanged, so idf — and every doc score — is IDENTICAL to the base
+    # corpus. The top score at 10x must equal the base top score exactly.
+    from mcp_synaptic_spark.operators.retrieval import bm25_search
+
+    bm_query = "dup hash join vector"
+    top10x = timed(
+        "bm25_search_10x", lambda: bm25_search(docs, bm_query, k=1).collect()
+    )
+    top_base = bm25_search(load_table(spark, SF_DIR, "documents"), bm_query, k=1).collect()
+    checks["bm25_score_scale_invariant"] = bool(
+        top10x and top10x[0].bm25 == top_base[0].bm25
+    )
+
+    # --- r8: txn checkpoint lifecycle at 1M rows -----------------------------
+    from mcp_synaptic_spark.state.txn import TxnTable
+
+    txn_root = f"{SCRATCH}/txn_ckpt"
+    shutil.rmtree(txn_root, ignore_errors=True)
+
+    def txn_ckpt_run():
+        t = TxnTable.create(spark, txn_root, big_mem, checkpoint_interval=2)
+        for i in range(4):
+            t.upsert(
+                big_mem.limit(1000).withColumn("metadata", F.lit(f"u{i}"))
+            )
+        cleaned = t.clean_log()
+        t.vacuum(keep_from_version=t.version())
+        return t.read().count(), len(cleaned), t.version()
+
+    n_after, n_cleaned, v_final = timed("txn_ckpt_1m", txn_ckpt_run)
+    checks["txn_ckpt_state_ok"] = bool(
+        n_after == n_mem and v_final == 4 and n_cleaned >= 3
     )
 
     total = round(sum(timings.values()), 3)
