@@ -2747,6 +2747,53 @@ WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> cid)
 """
 
 
+#: chunking constants shared by the Spark query and the oracle twin
+_CHUNK_WORDS, _CHUNK_OVERLAP = 40, 10
+_CHUNK_STRIDE = _CHUNK_WORDS - _CHUNK_OVERLAP
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingestion chunking (pipeline.py:chunk_documents) — new r8:
+    overlapping word-window chunks with integer-arithmetic layout (no
+    fp-ceil), zero shuffles. The 10–99-word synthetic docs exercise the
+    single-chunk, exact-boundary, and short-tail cases."""
+    from mcp_synaptic_spark.operators.pipeline import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_words=_CHUNK_WORDS,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+_ORACLE_CHUNK_DOCUMENTS = f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id, w,
+    CASE WHEN len(w) = 0 THEN 0
+         WHEN len(w) <= {_CHUNK_WORDS} THEN 1
+         ELSE 1 + (len(w) - {_CHUNK_WORDS} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}
+    END AS n_chunks
+  FROM d
+),
+c AS (
+  SELECT doc_id, w, unnest(generate_series(0, CAST(n_chunks AS INT) - 1)) AS chunk_idx
+  FROM b WHERE n_chunks > 0
+)
+SELECT doc_id,
+  CAST(chunk_idx AS INT) AS chunk_idx,
+  array_to_string(w[chunk_idx * {_CHUNK_STRIDE} + 1 : chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_WORDS}], ' ') AS chunk_text,
+  CAST(len(w[chunk_idx * {_CHUNK_STRIDE} + 1 : chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_WORDS}]) AS INT) AS n_chunk_words,
+  CAST(chunk_idx * {_CHUNK_STRIDE} AS INT) AS start_word
+FROM c
+"""
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-leakage guard: train docs (id%97≠0) sharing any word-4-gram with
     the held-out eval slice (id%97=0). n=4 because the synthetic docs are
@@ -3189,6 +3236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_upsert_ckpt": _q_memory_upsert_ckpt,
         "bm25_search": _q_bm25_search,
         "hybrid_search": _q_hybrid_search,  # RRF fusion, new r8
+        "chunk_documents": _q_chunk_documents,  # RAG chunking, new r8
         # --- retrieval.py touched in r8 (bm25 append) — its tail queries
         # rotate in so no evidence predates the file (ledger-enforced)
         "assemble_context": _q_assemble_context,
@@ -3196,7 +3244,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oldest-evidence refreshes (r6-dated rows retire) -------------
         "orders_page": _q_orders_page,
         "memory_report": _q_memory_report,
-        "ts_parse_multi": _q_ts_parse_multi,
         "doc_summary": _q_doc_summary,
         "events_json": _q_events_json,
         "props_keys": _q_props_keys,
@@ -3209,6 +3256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # files verifiably unchanged — EVIDENCE.json enforces both)
         "max_score": _q_max_score,
         "sanitize": _q_sanitize,
+        "ts_parse_multi": _q_ts_parse_multi,
         "events_sessions": _q_events_sessions,
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
@@ -3314,6 +3362,7 @@ def oracle_sql() -> dict[str, str]:
         "search_by_metadata": _ORACLE_SEARCH_BY_METADATA,
         "bm25_search": _ORACLE_BM25,
         "hybrid_search": _ORACLE_HYBRID,
+        "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
         "assemble_context": _ORACLE_ASSEMBLE_CONTEXT,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_keep_first": _ORACLE_DEDUP_KEEP_FIRST,

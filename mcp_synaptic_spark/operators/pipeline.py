@@ -60,6 +60,7 @@ __all__ = [
     "weighted_source_sample",
     "semantic_decontaminate",
     "pack_sequences",
+    "chunk_documents",
     "DEFAULT_PII_PATTERNS",
 ]
 
@@ -561,4 +562,68 @@ def pack_sequences(
         (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
     ).withColumn(
         "seq_id", F.expr(f"start_offset DIV {window_tokens}")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_words: int = 100,
+    overlap: int = 20,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks — the standard
+    RAG ingestion step between raw documents and embedding (the reference
+    embeds whole documents, rag/operations.py; production stacks chunk
+    first so retrieval granularity matches context budgets). Sibling of
+    `pack_sequences`: packing concatenates docs up to a window, chunking
+    splits docs down to one.
+
+    Deterministic layout: stride = chunk_words − overlap; chunk i covers
+    words [i·stride, i·stride + chunk_words) clamped to the doc; a doc with
+    ≤ chunk_words words is exactly one chunk; empty docs produce no chunks.
+    n_chunks = 1 + ⌈(n_words − chunk_words)/stride⌉ in INTEGER arithmetic
+    ((nw − c + s − 1) div s + 1) so the oracle twin needs no fp-ceil
+    agreement.
+
+    Scale: one narrow projection + one posexplode per doc — zero shuffles,
+    embarrassingly parallel, composes with readStream (append-only per-row
+    fan-out). Output: (id, chunk_idx, chunk_text, n_chunk_words,
+    start_word); (id, chunk_idx) is the stable chunk identity for the
+    downstream embed step.
+    """
+    if chunk_words < 1:
+        raise ValueError(f"chunk_words must be >= 1, got {chunk_words}")
+    if not 0 <= overlap < chunk_words:
+        raise ValueError(
+            f"overlap must be in [0, chunk_words), got {overlap} for chunk_words={chunk_words}"
+        )
+    stride = chunk_words - overlap
+    w = F.expr(
+        f"IF(trim(`{content_col}`) = '', CAST(array() AS ARRAY<STRING>), "
+        f"split(trim(`{content_col}`), '\\\\s+'))"
+    )
+    base = docs.select(F.col(id_col).alias("id"), w.alias("w")).select(
+        "id",
+        "w",
+        F.expr(
+            f"CASE WHEN size(w) = 0 THEN 0 "
+            f"WHEN size(w) <= {chunk_words} THEN 1 "
+            f"ELSE 1 + (size(w) - {chunk_words} + {stride} - 1) DIV {stride} END"
+        ).alias("n_chunks"),
+    )
+    chunks = base.where(F.col("n_chunks") > 0).select(
+        "id",
+        "w",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    piece = F.expr(f"slice(w, chunk_idx * {stride} + 1, {chunk_words})")
+    return chunks.select(
+        F.col("id").alias(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_chunk_words"),
+        start.cast("int").alias("start_word"),
     )

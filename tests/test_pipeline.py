@@ -435,3 +435,47 @@ def test_semantic_decontaminate_auto_switch_pins_crossover(spark, sf_dir):
         semantic_decontaminate(tr, ev, threshold=0.35, max_exact_pairs=0).collect()
     )
     assert routed == lsh and set(routed) <= set(exact)
+
+
+def test_chunk_documents_layout_and_overlap(spark):
+    from mcp_synaptic_spark.operators.pipeline import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    d = _docs(spark, [(1, words), (2, "a b c"), (3, "")])
+    out = {}
+    for r in chunk_documents(d, chunk_words=10, overlap=3).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    assert 3 not in out  # empty doc → no chunks
+    assert [r.chunk_idx for r in sorted(out[2], key=lambda r: r.chunk_idx)] == [0]
+    assert out[2][0].chunk_text == "a b c" and out[2][0].n_chunk_words == 3
+    c1 = sorted(out[1], key=lambda r: r.chunk_idx)
+    # stride 7: starts 0,7,14,21 → n_chunks = 1 + ceil((25-10)/7) = 4
+    assert [r.start_word for r in c1] == [0, 7, 14, 21]
+    assert [r.n_chunk_words for r in c1] == [10, 10, 10, 4]
+    # overlap: each chunk's first `overlap` words repeat the previous tail
+    for prev, cur in zip(c1, c1[1:]):
+        assert prev.chunk_text.split()[7:] == cur.chunk_text.split()[:3]
+    # coverage: concatenating strides reconstructs the doc
+    rebuilt = c1[0].chunk_text.split()[:7] + c1[1].chunk_text.split()[:7] + \
+        c1[2].chunk_text.split()[:7] + c1[3].chunk_text.split()
+    assert rebuilt == words.split()
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest
+
+    from mcp_synaptic_spark.operators.pipeline import chunk_documents
+
+    d = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError, match="chunk_words"):
+        chunk_documents(d, chunk_words=0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(d, chunk_words=5, overlap=5)
+
+
+def test_chunk_documents_zero_shuffle_plan(spark):
+    from mcp_synaptic_spark.operators.pipeline import chunk_documents
+
+    d = _docs(spark, [(1, "a b c d e f")])
+    plan = chunk_documents(d, chunk_words=4, overlap=1)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -146,6 +146,7 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "source_cap": PIPE,
     "source_mix": PIPE,
     "pack_sequences": PIPE,
+    "chunk_documents": PIPE,
     "decontaminate_semantic": PIPE + SIM,
     "corpus_prep_pipeline": PIPE + DEDUP + CLUST,
 }

@@ -437,8 +437,10 @@ def main() -> None:
 
     # --- r8: SQ8 + ADC at 10x ------------------------------------------------
     # Ground truth: the query vector (vec_id 0) has `rep` byte-identical
-    # replicas in the corpus; all must land at the top with qcos == 1.0
-    # (codes of identical vectors are identical, so ADC scores them 1.0).
+    # replicas in the corpus. Identical vectors get identical codes, so ADC
+    # must rank exactly those `rep` ids on top with ONE shared score; the
+    # score is cosine(dequantized, exact) < 1.0 by the quantization error,
+    # which 8 bits bounds near 1 (≥ 0.999 on this corpus).
     from mcp_synaptic_spark.operators.similarity import (
         ann_quantized_topk,
         quantize_embeddings,
@@ -449,14 +451,20 @@ def main() -> None:
         "ann_quantized_topk_10x",
         lambda: ann_quantized_topk(quantize_embeddings(emb), qrow, k=rep).collect(),
     )
-    checks["sq8_replicas_score_one"] = bool(
-        len(qtop) == rep and all(r.qcos == 1.0 for r in qtop)
+    checks["sq8_replicas_rank_top_with_shared_score"] = bool(
+        len(qtop) == rep
+        and {r.vec_id for r in qtop} == {i * 10_000_000 for i in range(rep)}
+        and len({r.qcos for r in qtop}) == 1
+        and qtop[0].qcos >= 0.999
     )
 
-    # --- r8: BM25 scale invariance -------------------------------------------
+    # --- r8: BM25 scale near-invariance --------------------------------------
     # 10x replication multiplies N and every df by rep while tf/dl are
-    # unchanged, so idf — and every doc score — is IDENTICAL to the base
-    # corpus. The top score at 10x must equal the base top score exactly.
+    # unchanged, so the idf RATIO (N - df)/df is preserved and every doc
+    # score is invariant up to the +0.5 smoothing terms (which do not
+    # scale); with df in the hundreds the residual is O(1e-3). The 10x top
+    # score must match the base top score within that bound — a strong
+    # whole-pipeline check (tokenization, df, dl, fold order all agree).
     from mcp_synaptic_spark.operators.retrieval import bm25_search
 
     bm_query = "dup hash join vector"
@@ -464,8 +472,8 @@ def main() -> None:
         "bm25_search_10x", lambda: bm25_search(docs, bm_query, k=1).collect()
     )
     top_base = bm25_search(load_table(spark, SF_DIR, "documents"), bm_query, k=1).collect()
-    checks["bm25_score_scale_invariant"] = bool(
-        top10x and top10x[0].bm25 == top_base[0].bm25
+    checks["bm25_score_scale_invariant_1e2"] = bool(
+        top10x and abs(top10x[0].bm25 - top_base[0].bm25) < 1e-2
     )
 
     # --- r8: txn checkpoint lifecycle at 1M rows -----------------------------
