@@ -1661,6 +1661,77 @@ SELECT * FROM ranked WHERE rank <= 5
 
 _ORACLE_ANN_IVF = _mk_oracle_ann_ivf()
 
+
+def _q_ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 (similarity.py:ivf_quantized_topk) — new r8: the composed
+    billion-scale layout (FAISS IVF+SQ8): the persisted coarse quantizer
+    prunes to nprobe cells using the EXACT query vector, the in-cell
+    re-rank reads 4×-smaller SQ8 codes with asymmetric distance. Fully
+    deterministic, so the oracle recomputes probe + quantize + dequantize +
+    re-rank from the committed fixtures."""
+    from mcp_synaptic_spark.operators.similarity import ivf_quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    indexed, centroids = _ivf_index(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_quantized_topk(queries, indexed, centroids, k=5, nprobe=4, id_col="vec_id")
+
+
+def _mk_oracle_ann_ivf_sq8() -> str | None:
+    """SQL twin of ivf_quantized_topk: the ann_ivf probe verbatim, but the
+    re-rank scores the DEQUANTIZED corpus vector (same floor-code recipe as
+    the ann_quantized_topk oracle)."""
+    ctes = _ivf_fixture_ctes()
+    if ctes is None:
+        return None
+    cent_sql, cellmap_sql = ctes
+    cos_probe = _cos("q.qvec", "c.c")
+    cos_score = _cos("a.dv", "p.qvec")
+    return f"""
+WITH {cent_sql},
+{cellmap_sql},
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+st AS (
+  SELECT vec_id, v, list_aggregate(v, 'min') AS vmin,
+         (list_aggregate(v, 'max') - list_aggregate(v, 'min')) / 255.0 AS scale
+  FROM base
+),
+dq AS (
+  SELECT vec_id,
+    CASE WHEN scale = 0 THEN list_transform(v, x -> vmin + 0.0 * scale)
+         ELSE list_transform(v, x -> vmin + floor((x - vmin) / scale + 0.5) * scale)
+    END AS dv
+  FROM st
+),
+assigned AS (
+  SELECT d.vec_id, d.dv, m.cell FROM dq d JOIN cellmap m USING (vec_id)
+),
+q AS (SELECT vec_id AS qid, v AS qvec FROM base WHERE vec_id % 500 = 0),
+probes AS (
+  SELECT qid, qvec, cell FROM (
+    SELECT q.qid, q.qvec, c.cell,
+           row_number() OVER (PARTITION BY q.qid ORDER BY (1.0 - {cos_probe}) ASC, c.cell ASC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.qid, a.vec_id,
+         round(greatest(0.0, least(1.0, {cos_score})), 6) AS score
+  FROM assigned a JOIN probes p USING (cell)
+),
+ranked AS (
+  SELECT qid, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
+_ORACLE_ANN_IVF_SQ8 = _mk_oracle_ann_ivf_sq8()
+
 #: SemDeDup pair threshold — tuned to the synthetic embeddings the same way
 #: the dedup_embedding queries sit at 0.45: the corpus' max pairwise cosine
 #: is ~0.51, so 0.4 yields a real removal set (26 of 500 at sf0.01) while a
@@ -3229,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mllib_lsh": _q_ann_mllib_lsh,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_quantized_topk": _q_ann_quantized_topk,  # SQ8 + ADC, new r8
+        "ann_ivf_sq8_topk": _q_ann_ivf_sq8_topk,  # IVF-SQ8 composition, new r8
         # --- state/txn.py touched in r8 (checkpoint compaction) -----------
         "memory_upsert_txn": _q_memory_upsert_txn,
         # --- new in r8 ----------------------------------------------------
@@ -3247,15 +3319,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_summary": _q_doc_summary,
         "events_json": _q_events_json,
         "props_keys": _q_props_keys,
-        "embed_texts": _q_embed_texts,
+        "max_score": _q_max_score,
         # expiry.py touched in r8 (sweep zone-map pruning) — its graded query
         # rides the window so the green row postdates the code
         "doc_change_feed": _q_doc_change_feed,
         # ---- entry 50 ends here ------------------------------------------
         # tail: every entry below is green in CORRECTNESS_r07 (or r6 with
         # files verifiably unchanged — EVIDENCE.json enforces both)
-        "max_score": _q_max_score,
         "sanitize": _q_sanitize,
+        "embed_texts": _q_embed_texts,
         "ts_parse_multi": _q_ts_parse_multi,
         "events_sessions": _q_events_sessions,
         "events_hourly": _q_events_hourly,
@@ -3314,6 +3386,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ORACLE_ANN_LSH,
         **({"ann_ivf_topk": _ORACLE_ANN_IVF} if _ORACLE_ANN_IVF else {}),
         "ann_quantized_topk": _ORACLE_ANN_QUANTIZED,
+        **({"ann_ivf_sq8_topk": _ORACLE_ANN_IVF_SQ8} if _ORACLE_ANN_IVF_SQ8 else {}),
         "memory_stats": _ORACLE_MEMORY_STATS,
         "memory_stats_by_type": _ORACLE_MEMORY_STATS_BY_TYPE,
         "cleanup_expired_count": _ORACLE_CLEANUP_EXPIRED,

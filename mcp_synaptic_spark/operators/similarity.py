@@ -680,6 +680,7 @@ def quantize_embeddings(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-vector 8-bit scalar quantization: each float vector becomes
     (qvec ∈ [0,255]^d, vmin, scale) with x̂ᵢ = vmin + qᵢ·scale — the
@@ -702,8 +703,9 @@ def quantize_embeddings(
     the plumbing here keeps ints for expression-level simplicity.
     """
     v = as_double(F.col(vec_col))
-    staged = emb.select(F.col(id_col).alias("id"), v.alias("v")).select(
+    staged = emb.select(F.col(id_col).alias("id"), *keep_cols, v.alias("v")).select(
         "id",
+        *keep_cols,
         "v",
         F.array_min("v").alias("vmin"),
         ((F.array_max("v") - F.array_min("v")) / F.lit(255.0)).alias("scale"),
@@ -715,7 +717,7 @@ def quantize_embeddings(
         F.expr("transform(v, x -> 0)"),
     ).otherwise(F.expr("transform(v, x -> CAST(floor((x - vmin) / scale + 0.5) AS INT))"))
     return staged.select(
-        F.col("id").alias(id_col), qvec.alias("qvec"), "vmin", "scale"
+        F.col("id").alias(id_col), *keep_cols, qvec.alias("qvec"), "vmin", "scale"
     )
 
 
@@ -758,3 +760,56 @@ def ann_quantized_topk(
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def ivf_quantized_topk(
+    queries: DataFrame,
+    indexed_corpus: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe over SQ8-quantized codes — the composed billion-scale
+    layout (FAISS IVF-SQ8): the coarse quantizer prunes the scan to nprobe
+    cells (partition pruning when cells are the parquet partitions) and the
+    in-cell re-rank reads 4×-smaller codes with asymmetric distance (exact
+    float query vs dequantized corpus). Identical probe logic to ivf_topk —
+    cell choice uses the EXACT query vector, so pruning quality is
+    unaffected by quantization; only the re-rank pays the (bounded) code
+    error. Output: (qid, id, score, rank), score = clamped cosine vs the
+    dequantized vector at the shared 6-dp rounding.
+    """
+    # the code column is renamed away from quantize's default "qvec" — the
+    # conventional QUERY vector column shares that name (ambiguous post-join)
+    qemb = quantize_embeddings(
+        indexed_corpus, id_col=id_col, vec_col=vec_col, keep_cols=("cell",)
+    ).withColumnRenamed("qvec", "_codes")
+    cent = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    qcells = (
+        queries.select(query_id_col, query_vec_col)
+        .select(query_id_col, query_vec_col, F.posexplode(cent).alias("cell", "cellvec"))
+        .withColumn(
+            "cdist", F.lit(1.0) - cosine_similarity(F.col(query_vec_col), F.col("cellvec"))
+        )
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("cdist").asc(), F.col("cell").asc())
+    probes = (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select(query_id_col, query_vec_col, "cell")
+    )
+    sim = cosine_similarity(dequantize_expr("_codes"), F.col(query_vec_col))
+    scored = qemb.join(F.broadcast(probes), "cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), sim)), ROUND_DP).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -362,3 +362,38 @@ def test_ann_quantized_topk_recall_vs_exact(spark, sf_dir):
     exact = [r.vec_id for r in exact_df.select("vec_id").collect()]
     assert len(set(approx) & set(exact)) >= 8
     assert approx[:3] == exact[:3]
+
+
+def test_ivf_sq8_probe_matches_float_probe_cells_and_recall(spark, sf_dir):
+    """IVF-SQ8: cell probing uses the EXACT query vector, so the probed
+    cells — and hence the candidate set — are identical to float ivf_topk;
+    only in-cell scores shift by the bounded code error. Require identical
+    candidate membership per query and identical top-1."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.similarity import (
+        ivf_build,
+        ivf_quantized_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    indexed, centroids = ivf_build(emb, n_cells=8, id_col="vec_id", seed=7)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = ivf_topk(queries, indexed, centroids, k=5, nprobe=2, id_col="vec_id")
+    sq8 = ivf_quantized_topk(queries, indexed, centroids, k=5, nprobe=2, id_col="vec_id")
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.qid, []).append((r.rank, r.vec_id))
+    qz = {}
+    for r in sq8.collect():
+        qz.setdefault(r.qid, []).append((r.rank, r.vec_id))
+    assert set(ex) == set(qz) and len(ex) > 0
+    for qid in ex:
+        ids_e = {v for _, v in ex[qid]}
+        ids_q = {v for _, v in qz[qid]}
+        # same candidate cells → heavy overlap; top-1 (self, cosine ~1) identical
+        assert len(ids_e & ids_q) >= 4, qid
+        assert min(ex[qid])[1] == min(qz[qid])[1] == qid

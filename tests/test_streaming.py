@@ -594,3 +594,35 @@ def test_streaming_quality_gate_equals_batch(spark, sf_dir, tmp_path):
 
     fired = {name for _, (_, rs) in want.items() for name in rs.split(",") if name}
     assert len(fired) >= 2 and fired <= {name for name, _ in GATE_RULES}
+
+
+def test_streaming_chunk_documents_equals_batch(spark, sf_dir, tmp_path):
+    """chunk_documents is a projection + per-doc explode, so it composes
+    with readStream unchanged — chunks for documents arriving as a stream
+    must equal the batch chunking of the same corpus."""
+    from mcp_synaptic_spark.operators.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_chunk_src")
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        chunk_documents(stream, chunk_words=40, overlap=10)
+        .writeStream.format("memory")
+        .queryName("chunk_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_chunk_words, r.start_word)
+        for r in spark.sql("SELECT * FROM chunk_test").collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_chunk_words, r.start_word)
+        for r in chunk_documents(docs, chunk_words=40, overlap=10).collect()
+    }
+    assert got == want and len(want) > 0

@@ -111,6 +111,7 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "ann_ivf_topk": SIM,
     "dedup_semantic": SIM + DEDUP,
     "ann_quantized_topk": SIM,
+    "ann_ivf_sq8_topk": SIM,
     "doc_change_feed": (f"{_PKG}/streaming/expiry.py",) + DOCS,
     "filter_tags_created": MEM,
     "memory_list": MEM,
