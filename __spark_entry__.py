@@ -2550,6 +2550,113 @@ SELECT * FROM ver WHERE jaccard >= 0.5
 """
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion screen (dedup.py:dedup_incremental) — new r8:
+    a synthetic arrival batch (verbatim copies of the %83 slice at +1e6
+    ids; word-REVERSED texts of the %89 slice at +2e6 ids) screened
+    against the full corpus. The copies must come back exact_dup with the
+    original as match; reversed docs exercise the near/admitted boundary
+    (reversal destroys word-3-grams but the small shared vocabulary keeps
+    some bucket collisions — exactly the screen's real workload)."""
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.where(F.col("doc_id") % 83 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    rev = docs.where(F.col("doc_id") % 89 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.trim(F.col("text")), r"\s+")), " ").alias("text"),
+    )
+    # first word dropped: loses only the shingles containing it → high
+    # jaccard vs the source → the near_dup verdict on a real doc
+    mut = docs.where(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.expr(
+            "array_join(slice(split(trim(text), '\\\\s+'), 2, "
+            "size(split(trim(text), '\\\\s+'))), ' ')"
+        ).alias("text"),
+    )
+    return D.dedup_incremental(docs, dup.unionAll(rev).unionAll(mut), threshold=0.5)
+
+
+_ORACLE_DEDUP_INCREMENTAL = f"""
+WITH batch AS (
+  SELECT doc_id + 1000000 AS bid, text FROM documents WHERE doc_id % 83 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS bid,
+         array_to_string(list_reverse(regexp_split_to_array(trim(text), '\\s+')), ' ') AS text
+  FROM documents WHERE doc_id % 89 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS bid,
+         array_to_string(
+           regexp_split_to_array(trim(text), '\\s+')[2:length(regexp_split_to_array(trim(text), '\\s+'))],
+           ' ') AS text
+  FROM documents WHERE doc_id % 97 = 0
+),
+exact AS (
+  SELECT b.bid, min(c.doc_id) AS exact_match
+  FROM batch b JOIN documents c ON md5(c.text) = md5(b.text)
+  GROUP BY b.bid
+),
+{_SHINGLES_CTE.strip()},
+bw AS (SELECT bid, regexp_split_to_array(trim(text), '\\s+') AS w FROM batch),
+bsh AS (
+  SELECT bid,
+    CASE WHEN length(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, length(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+    END AS shingles
+  FROM bw),
+cex AS (SELECT id, unnest(shingles) AS s FROM sh),
+chashed AS (
+  SELECT id, g.i,
+         min(('0x' || substr(md5(g.i::VARCHAR || ':' || s), 1, 15))::BIGINT) AS mh
+  FROM cex CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+  GROUP BY id, g.i
+),
+cbands AS (
+  SELECT id, i // 2 AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS band_key
+  FROM chashed GROUP BY id, i // 2
+),
+bex AS (SELECT bid, unnest(shingles) AS s FROM bsh),
+bhashed AS (
+  SELECT bid, g.i,
+         min(('0x' || substr(md5(g.i::VARCHAR || ':' || s), 1, 15))::BIGINT) AS mh
+  FROM bex CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+  GROUP BY bid, g.i
+),
+bbands AS (
+  SELECT bid, i // 2 AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS band_key
+  FROM bhashed GROUP BY bid, i // 2
+),
+cand AS (
+  SELECT DISTINCT b.bid, c.id AS cid
+  FROM bbands b JOIN cbands c USING (band, band_key)
+),
+ver AS (
+  SELECT bid, cid,
+    round(length(list_intersect(sb.shingles, sc.shingles))::DOUBLE /
+      (length(sb.shingles) + length(sc.shingles) - length(list_intersect(sb.shingles, sc.shingles))), 6) AS jaccard
+  FROM cand JOIN bsh sb USING (bid) JOIN sh sc ON sc.id = cand.cid
+  WHERE round(length(list_intersect(sb.shingles, sc.shingles))::DOUBLE /
+      (length(sb.shingles) + length(sc.shingles) - length(list_intersect(sb.shingles, sc.shingles))), 6) >= 0.5
+),
+near AS (
+  SELECT bid, jaccard AS near_jaccard, cid AS near_match FROM (
+    SELECT bid, cid, jaccard,
+           row_number() OVER (PARTITION BY bid ORDER BY jaccard DESC, cid ASC) AS rn
+    FROM ver
+  ) WHERE rn = 1
+)
+SELECT b.bid AS doc_id,
+  CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+       WHEN n.near_match IS NOT NULL THEN 'near_dup'
+       ELSE 'admitted' END AS verdict,
+  coalesce(e.exact_match, n.near_match) AS match_id,
+  CASE WHEN e.exact_match IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE n.near_jaccard END AS jaccard
+FROM batch b LEFT JOIN exact e ON e.bid = b.bid LEFT JOIN near n ON n.bid = b.bid
+"""
+
+
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
     return D.ngram_jaccard_pairs(docs, threshold=0.3)
@@ -3369,6 +3476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_delete": _q_memory_delete,
         "memory_exists": _q_memory_exists,
         "memory_update": _q_memory_update,
+        # --- new late-r8 (dedup.py): tail-positioned because the r8 window
+        # is exactly full with rotation obligations; parity-verified locally
+        # at sf0.01+sf0.001 and PINNED for the r9 window
+        # (tests/test_driver_contract.py + EVIDENCE.json window_round=null)
+        "dedup_incremental": _q_dedup_incremental,
     }
 
 
@@ -3441,6 +3553,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_first": _ORACLE_DEDUP_KEEP_FIRST,
         "dedup_minhash": _ORACLE_DEDUP_MINHASH,
         "dedup_ngram_jaccard": _ORACLE_DEDUP_NGRAM,
+        "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "dedup_simhash_capped": _ORACLE_DEDUP_SIMHASH_CAPPED,
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,

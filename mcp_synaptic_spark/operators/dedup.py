@@ -710,3 +710,117 @@ def substring_dedup_apply(
             (F.col("_nw") - F.coalesce("n_words_kept", F.lit(0))).alias("n_words_dropped"),
         )
     )
+
+
+def dedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Admit/reject a NEW ingestion batch against an EXISTING corpus — the
+    production dedup shape: a 100 TB corpus is deduped once, and every
+    incoming crawl batch is screened against it incrementally rather than
+    re-running corpus×corpus (the reference's content_hash uniqueness check,
+    models/rag.py:35-38, is the exact-only special case of this).
+
+    Verdict per batch document (exact wins over near):
+    - ``exact_dup``  content_hash equals some corpus doc's; match_id = the
+      minimum such corpus id, jaccard reported as 1.0.
+    - ``near_dup``   shares a MinHash band bucket with a corpus doc AND
+      exact shingle-Jaccard ≥ threshold; match_id = the argmax-jaccard
+      corpus doc (ties → smaller id).
+    - ``admitted``   neither. Batch-INTERNAL duplicates are out of scope by
+      design — run the batch through exact_dedup/minhash_lsh_pairs first
+      (composition, not duplication).
+
+    Scale shape: the corpus side computes exactly what the batch screen
+    needs — content hashes and (band, band_key) bucket keys + shingle sets
+    (all of which a production deployment PERSISTS as the dedup index and
+    appends to on admit) — and is probed by broadcast joins on the batch
+    side (a crawl batch is millions of rows; the corpus is billions), so
+    the corpus is scanned but never shuffled: candidates carry (batch_id,
+    corpus_id) longs, and corpus shingle sets are re-read only for the
+    candidate subset. `max_bucket` bounds degenerate-bucket fan-out as in
+    minhash_lsh_pairs.
+
+    Output: (id_col, verdict, match_id, jaccard), one row per batch doc.
+    """
+    rows = num_hashes // bands
+    _release_stale()
+    # --- exact tier: content-hash probe ------------------------------------
+    from ..functions.text import content_hash
+
+    b_hash = batch.select(F.col(id_col).alias("bid"), content_hash(F.col(content_col)).alias("ch"))
+    c_hash = corpus.select(F.col(id_col).alias("cid"), content_hash(F.col(content_col)).alias("ch"))
+    exact = (
+        c_hash.join(F.broadcast(b_hash), "ch")
+        .groupBy("bid")
+        .agg(F.min("cid").alias("exact_match"))
+    )
+
+    # --- near tier: batch buckets probe corpus buckets ---------------------
+    c_sh = _scoped_cache(shingle_sets(_ensure_parallelism(corpus), content_col, id_col, shingle_n))
+    b_sh = _scoped_cache(shingle_sets(batch, content_col, id_col, shingle_n))
+
+    def _buckets(sh_df):
+        sig = minhash_signatures(sh_df, num_hashes)
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "-", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig.select("id", F.explode(band_structs).alias("bk")).select(
+            "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+        )
+
+    c_buckets = _cap_bucket_occupancy(_buckets(c_sh), ["band", "band_key"], max_bucket)
+    b_buckets = _buckets(b_sh).withColumnRenamed("id", "bid")
+    candidates = (
+        c_buckets.join(F.broadcast(b_buckets), ["band", "band_key"])
+        .select(F.col("bid"), F.col("id").alias("cid"))
+        .distinct()
+    )
+    near = (
+        candidates.join(b_sh.select(F.col("id").alias("bid"), F.col("shingles").alias("sh_b")), "bid")
+        .join(c_sh.select(F.col("id").alias("cid"), F.col("shingles").alias("sh_c")), "cid")
+        .select("bid", "cid", F.round(_jaccard(F.col("sh_b"), F.col("sh_c")), 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .groupBy("bid")
+        .agg(
+            F.max("jaccard").alias("near_jaccard"),
+            F.min_by("cid", F.struct((-F.col("jaccard")).alias("nj"), F.col("cid"))).alias(
+                "near_match"
+            ),
+        )
+    )
+    verdict = (
+        F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("admitted"))
+    )
+    return (
+        batch.select(F.col(id_col).alias("bid"))
+        .join(exact, "bid", "left")
+        .join(near, "bid", "left")
+        .select(
+            F.col("bid").alias(id_col),
+            verdict.alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+            F.when(F.col("exact_match").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("near_jaccard"))
+            .alias("jaccard"),
+        )
+    )

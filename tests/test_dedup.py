@@ -391,3 +391,46 @@ def test_embedding_auto_switch_pins_crossover(spark, sf_dir):
         for r in embedding_near_dup_pairs_lsh(emb, threshold=0.4).collect()
     }
     assert routed == twin and routed <= exact
+
+
+def test_dedup_incremental_verdicts(spark):
+    """Incremental screen: exact copy → exact_dup (min corpus match), one
+    word changed → near_dup with the argmax-jaccard corpus match, unrelated
+    text → admitted."""
+    from mcp_synaptic_spark.operators.dedup import dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # corpus-internal dup
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, "alpha beta gamma delta epsilon zeta eta theta"),        # exact
+            (102, "alpha beta gamma delta epsilon zeta eta NINE"),         # near
+            (103, "red orange yellow green blue indigo violet ultraviolet"),  # novel
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in dedup_incremental(corpus, batch, threshold=0.3).collect()}
+    assert out[101].verdict == "exact_dup" and out[101].match_id == 1 and out[101].jaccard == 1.0
+    assert out[102].verdict == "near_dup" and out[102].match_id in (1, 2)
+    assert 0.3 <= out[102].jaccard < 1.0
+    assert out[103].verdict == "admitted" and out[103].match_id is None and out[103].jaccard is None
+
+
+def test_dedup_incremental_is_screen_only_not_batch_internal(spark):
+    """Two identical batch docs both get the same verdict vs the corpus —
+    batch-internal dedup is deliberately out of scope (composition)."""
+    from mcp_synaptic_spark.operators.dedup import dedup_incremental
+
+    corpus = spark.createDataFrame([(1, "x y z q r s")], "doc_id LONG, text STRING")
+    batch = spark.createDataFrame(
+        [(10, "fresh words entirely new here now"), (11, "fresh words entirely new here now")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r.verdict for r in dedup_incremental(corpus, batch).collect()}
+    assert out == {10: "admitted", 11: "admitted"}

@@ -55,8 +55,20 @@ def test_graded_window_holds_the_round_targets():
         "memory_upsert_txn",
         # streaming/expiry.py zone-map sweep pruning
         "doc_change_feed",
+        # retrieval.py touched (bm25/hybrid appends) — its r7-green tail
+        # queries ride the window
+        "assemble_context", "search_by_metadata", "doc_summary",
+        # tables.py changed in r7 while these sat in the tail with r6 rows —
+        # their refresh is an r8 obligation, not a nicety
+        "orders_page", "props_keys", "events_json", "max_score",
+        # memory.py changed in r7 — same refresh obligation
+        "memory_report",
     )
-    r8_new = ("dedup_clusters_twostar", "memory_upsert_ckpt")
+    r8_new = (
+        "dedup_clusters_twostar", "memory_upsert_ckpt", "bm25_search",
+        "hybrid_search", "ann_quantized_topk", "chunk_documents",
+        "ann_ivf_sq8_topk",
+    )
     for must_grade in r7_pipeline_tier + r8_touched + r8_new:
         assert must_grade in window, f"{must_grade} rotated out of the graded window"
 
@@ -64,6 +76,25 @@ def test_graded_window_holds_the_round_targets():
 def test_oracles_are_nonempty_sql():
     for name, sql in entry.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_late_r8_tail_queries_registered_for_r9_rotation():
+    """Queries born AFTER the r8 window filled (tail-positioned, parity-
+    verified locally, EVIDENCE.json window_round=null) MUST move into the
+    first 50 when the r9 window rotates. This pin stops the rotation from
+    silently dropping them — the single-query version of the r7 pipeline
+    tier's obligation."""
+    import json
+
+    names = list(entry.queries())
+    osql = entry.oracle_sql()
+    with open("/root/repo/EVIDENCE.json") as f:
+        ledger = json.load(f)
+    for q in ("dedup_incremental",):
+        assert q in names and q in osql, q
+        assert ledger[q]["window_round"] is None, (
+            f"{q} claims grading evidence it does not have"
+        )
 
 
 def test_bench_sets_pin_is_consistent():

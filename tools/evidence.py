@@ -106,6 +106,7 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "dedup_embedding_lsh": DEDUP + SIM,
     "dedup_substring": DEDUP,
     "dedup_substring_apply": DEDUP,
+    "dedup_incremental": DEDUP,
     "ann_lsh_topk": SIM,
     "ann_mllib_lsh": SIM,
     "ann_ivf_topk": SIM,
@@ -190,8 +191,13 @@ def update(round_n: int) -> dict:
                 "files": {f: _sha(f) for f in files},
             }
         elif q not in ledger:
+            # a query born OUTSIDE the window has no grading evidence yet:
+            # null round = "pending first grading" (check() skips drift —
+            # there is nothing to invalidate; the contract test pins the
+            # next-round rotation). The _BACKFILL_ROUND map covered the r8
+            # bootstrap's known history.
             ledger[q] = {
-                "window_round": _BACKFILL_ROUND.get(q, round_n - 1),
+                "window_round": _BACKFILL_ROUND.get(q),
                 "files": {f: _sha(f) for f in files},
             }
     # drop rows for queries that no longer exist
@@ -217,6 +223,8 @@ def check() -> list[str]:
             continue
         if q in window:
             continue  # being (re)graded this round — hashes refresh at update
+        if row.get("window_round") is None:
+            continue  # never graded yet — nothing to invalidate (pinned for next round)
         for f, h in row["files"].items():
             if not os.path.exists(os.path.join(REPO, f)):
                 violations.append(f"{q}: evidence file {f} is gone")
