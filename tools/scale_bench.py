@@ -476,6 +476,31 @@ def main() -> None:
         top10x and abs(top10x[0].bm25 - top_base[0].bm25) < 1e-2
     )
 
+    # --- r8: incremental ingestion screen at 10x -----------------------------
+    # Ground truth: a batch of re-labeled copies of base docs must come back
+    # 100% exact_dup against the replicated corpus; word-reversed texts are
+    # the novel/near mixture (whatever the truth is, the screen must agree
+    # with itself — every verdict row exists and copies are never admitted).
+    from mcp_synaptic_spark.operators.dedup import dedup_incremental
+
+    base_docs = load_table(spark, SF_DIR, "documents")
+    inc_batch = base_docs.limit(1000).select(
+        (F.col("doc_id") + 500_000_000).alias("doc_id"), "text"
+    ).unionAll(
+        base_docs.limit(1000).select(
+            (F.col("doc_id") + 600_000_000).alias("doc_id"),
+            F.array_join(F.reverse(F.split(F.trim(F.col("text")), r"\s+")), " ").alias("text"),
+        )
+    )
+    inc = dedup_incremental(docs, inc_batch, threshold=0.5, max_bucket=200).cache()
+    timed("dedup_incremental_10x", lambda: inc.count())
+    n_copies_admitted = inc.where(
+        (F.col("doc_id") < 600_000_000) & (F.col("verdict") != "exact_dup")
+    ).count()
+    checks["incremental_copies_all_exact_dup"] = bool(n_copies_admitted == 0)
+    checks["incremental_batch_rows"] = inc.count()
+    inc.unpersist()
+
     # --- r8: txn checkpoint lifecycle at 1M rows -----------------------------
     from mcp_synaptic_spark.state.txn import TxnTable
 
