@@ -201,3 +201,108 @@ def test_local_embedder_without_library_raises_importerror(spark):
         pass
     with _pytest.raises(Exception, match="sentence-transformers"):
         plan.collect()
+
+
+# --- r8: REAL-transport end-to-end run (loopback HTTP server) ---------------
+#
+# Every prior round's api_embedder evidence was transport-injected (no
+# socket). These tests run the DEFAULT transport — real urllib through a
+# real TCP connection — against an in-process OpenAI-shaped server, so the
+# full production request path (serialization, headers, HTTP status
+# handling, retry/backoff, Arrow-batch boundaries) executes end-to-end.
+# Still not a remote vendor API (none reachable here), but the engine-side
+# stack is no longer untested.
+
+class _EmbedHandler:
+    """OpenAI /v1/embeddings lookalike: deterministic per-text vectors via
+    the same recipe as hash_embedder, optional fail-first-N for retries."""
+
+    def __init__(self, fail_first: int = 0, dim: int = 8):
+        self.fail_first = fail_first
+        self.dim = dim
+        self.requests_seen = 0
+
+    def make_server(self):
+        import http.server
+        import json
+
+        from mcp_synaptic_spark.sources.embedders import _hash_vector
+
+        state = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 (http.server API)
+                state.requests_seen += 1
+                if state.requests_seen <= state.fail_first:
+                    self.send_response(500)
+                    self.end_headers()
+                    return
+                n = int(self.headers["Content-Length"])
+                body = json.loads(self.rfile.read(n))
+                data = [
+                    {"embedding": _hash_vector(t, state.dim)} for t in body["input"]
+                ]
+                payload = json.dumps({"data": data}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a):  # silence per-request stderr noise
+                pass
+
+        import socketserver
+
+        class TS(socketserver.ThreadingMixIn, http.server.HTTPServer):
+            daemon_threads = True
+
+        return TS(("127.0.0.1", 0), H)
+
+
+def _serve(handler):
+    import threading
+
+    srv = handler.make_server()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}/v1/embeddings"
+
+
+def test_api_embedder_real_http_end_to_end(spark):
+    from mcp_synaptic_spark.sources.embedders import _hash_vector, api_embedder
+
+    handler = _EmbedHandler(dim=8)
+    srv, url = _serve(handler)
+    try:
+        docs = spark.createDataFrame(
+            [(1, "hello world"), (2, ""), (3, "spark graft")],
+            "doc_id LONG, text STRING",
+        )
+        out = {
+            r.doc_id: r.embedding
+            for r in api_embedder(docs, endpoint=url, dim=8).collect()
+        }
+    finally:
+        srv.shutdown()
+    assert out[2] is None  # F8 empty-text guard survives the real path
+    for did, text in ((1, "hello world"), (3, "spark graft")):
+        want = _hash_vector(text, 8)
+        assert out[did] == pytest.approx(want, abs=1e-6)
+    assert handler.requests_seen >= 1
+
+
+def test_api_embedder_real_http_retries_then_succeeds(spark):
+    from mcp_synaptic_spark.sources.embedders import _hash_vector, api_embedder
+
+    handler = _EmbedHandler(fail_first=1, dim=8)
+    srv, url = _serve(handler)
+    try:
+        docs = spark.createDataFrame([(1, "retry me")], "doc_id LONG, text STRING").coalesce(1)
+        out = api_embedder(
+            docs, endpoint=url, dim=8, backoff_seconds=0.05
+        ).collect()
+    finally:
+        srv.shutdown()
+    assert handler.requests_seen >= 2  # a real 500 then a real success
+    assert out[0].embedding == pytest.approx(_hash_vector("retry me", 8), abs=1e-6)
