@@ -626,3 +626,49 @@ def test_streaming_chunk_documents_equals_batch(spark, sf_dir, tmp_path):
         for r in chunk_documents(docs, chunk_words=40, overlap=10).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_incremental_dedup_screen_foreachbatch(spark, sf_dir, tmp_path):
+    """On-arrival admission gate: dedup_incremental is a batch-vs-static
+    screen, so its streaming form is foreachBatch (one screen per
+    micro-batch against the static corpus — multi-aggregation plans don't
+    stream directly, and per-micro-batch screening is the semantics an
+    ingestion gate wants anyway). Stream verdicts must equal the batch
+    screen of the same arrivals."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.dedup import dedup_incremental
+
+    corpus = load_table(spark, sf_dir, "documents")
+    arrivals = corpus.limit(5).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+    ).unionAll(
+        spark.createDataFrame(
+            [(990_001, "totally novel arrival text here")], "doc_id LONG, text STRING"
+        )
+    )
+    src = str(tmp_path / "arrivals")
+    arrivals.write.parquet(src)
+
+    results = []
+
+    def screen(batch_df, _batch_id):
+        results.extend(dedup_incremental(corpus, batch_df).collect())
+
+    stream = spark.readStream.schema(arrivals.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(screen)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id: (r.verdict, r.match_id) for r in results}
+    want = {
+        r.doc_id: (r.verdict, r.match_id)
+        for r in dedup_incremental(corpus, arrivals).collect()
+    }
+    assert got == want and len(want) == 6
+    assert got[990_001][0] == "admitted"
+    assert sum(1 for v, _ in got.values() if v == "exact_dup") == 5
