@@ -669,6 +669,45 @@ def _q_memory_upsert_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_memory_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation graded end-to-end (state/txn.py) — new late-r8:
+    create (v0) → the standard upsert batch (v1) → READ VERSION 0. The
+    time-travel read must reproduce the ORIGINAL pre-upsert state exactly
+    (the oracle is the plain memories derivation with no update applied):
+    a v0 reader is unaffected by the later commit — the property optimistic
+    concurrency promises and `read(version=...)` serves from the immutable
+    live-set listing."""
+    import shutil
+    import tempfile
+
+    from mcp_synaptic_spark.state.txn import TxnTable
+
+    mem = _memories(spark, sf_dir)
+    updates = (
+        mem.where(F.col("key").endswith("7"))
+        .withColumn("data", F.lit('{"updated": true}'))
+        .withColumn("updated_at", now_col())
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_txn_snap_" + sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxnTable.create(spark, path, mem)
+    t.upsert(updates)  # v1 — must NOT leak into the v0 snapshot below
+    return t.read(version=0).where(
+        F.col("key").endswith("7") | F.col("key").endswith("1")
+    ).select("key", "data", "updated_at")
+
+
+#: the pre-upsert state: the same slice memory_upsert grades, WITHOUT the
+#: update applied — exactly what a version-0 reader must see
+_ORACLE_MEMORY_SNAPSHOT = f"""
+WITH {MEMORIES_CTE_SQL.strip()}
+SELECT key, data, updated_at FROM memories_derived
+WHERE key LIKE '%7' OR key LIKE '%1'
+"""
+
+
 def _q_memory_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2/X10 — touch two keys; emit them plus an untouched control row.
 
@@ -3481,6 +3520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # at sf0.01+sf0.001 and PINNED for the r9 window
         # (tests/test_driver_contract.py + EVIDENCE.json window_round=null)
         "dedup_incremental": _q_dedup_incremental,
+        "memory_snapshot_read": _q_memory_snapshot_read,
     }
 
 
@@ -3509,6 +3549,8 @@ def oracle_sql() -> dict[str, str]:
         "memory_upsert_txn": _ORACLE_MEMORY_UPSERT,
         # ...and so must the checkpoint/compaction/clean lifecycle (r8)
         "memory_upsert_ckpt": _ORACLE_MEMORY_UPSERT,
+        # time travel: a v0 reader sees the pre-upsert state, exactly
+        "memory_snapshot_read": _ORACLE_MEMORY_SNAPSHOT,
         "memory_touch": _ORACLE_MEMORY_TOUCH,
         "memory_delete": _ORACLE_MEMORY_DELETE,
         "memory_exists": _ORACLE_MEMORY_EXISTS,

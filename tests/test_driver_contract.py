@@ -90,7 +90,7 @@ def test_late_r8_tail_queries_registered_for_r9_rotation():
     osql = entry.oracle_sql()
     with open("/root/repo/EVIDENCE.json") as f:
         ledger = json.load(f)
-    for q in ("dedup_incremental",):
+    for q in ("dedup_incremental", "memory_snapshot_read"):
         assert q in names and q in osql, q
         assert ledger[q]["window_round"] is None, (
             f"{q} claims grading evidence it does not have"

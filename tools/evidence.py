@@ -130,6 +130,7 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "memory_report": MEM + (f"{_PKG}/functions/text.py",),
     "memory_upsert_txn": MEM + (f"{_PKG}/state/txn.py",),
     "memory_upsert_ckpt": MEM + (f"{_PKG}/state/txn.py",),
+    "memory_snapshot_read": MEM + (f"{_PKG}/state/txn.py",),
     "memory_access_replay": (f"{_PKG}/streaming/access_log.py",) + MEM,
     "events_hourly": (f"{_PKG}/streaming/windows.py",),
     "events_sliding": (f"{_PKG}/streaming/windows.py",),
