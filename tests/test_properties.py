@@ -349,3 +349,116 @@ def test_pack_sequences_matches_model(spark, ids, window):
             assert out[i].n_tokens == ntok
             assert out[i].start_offset == off and out[i].seq_id == off // window, (i, shard)
             off += ntok
+
+
+@PROP
+@given(
+    st.lists(st.integers(1, 60), min_size=1, max_size=12),
+    st.integers(2, 12),
+    st.integers(0, 6),
+)
+def test_chunk_documents_matches_model(spark, word_counts, chunk, over):
+    """Chunk layout vs a pure-Python model: stride arithmetic, tail chunk,
+    single-chunk docs, and exact text reconstruction per chunk."""
+    from mcp_synaptic_spark.operators.pipeline import chunk_documents
+
+    over = min(over, chunk - 1)
+    stride = chunk - over
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(nw))) for i, nw in enumerate(word_counts)]
+    out = {}
+    for r in chunk_documents(
+        spark.createDataFrame(rows, "doc_id LONG, text STRING"),
+        chunk_words=chunk,
+        overlap=over,
+    ).collect():
+        out[(r.doc_id, r.chunk_idx)] = r
+    for i, nw in enumerate(word_counts):
+        words = [f"d{i}w{j}" for j in range(nw)]
+        n_chunks = 1 if nw <= chunk else 1 + -(-(nw - chunk) // stride)
+        got_idx = sorted(ci for (d, ci) in out if d == i)
+        assert got_idx == list(range(n_chunks)), (i, nw)
+        for ci in range(n_chunks):
+            piece = words[ci * stride : ci * stride + chunk]
+            r = out[(i, ci)]
+            assert r.chunk_text == " ".join(piece)
+            assert r.n_chunk_words == len(piece) and r.start_word == ci * stride
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=8),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=3, unique=True),
+)
+def test_bm25_matches_model(spark, docs_tokens, query_terms):
+    """BM25 scores vs a pure-Python model with the identical formula and
+    term-index summation order."""
+    import math
+
+    from mcp_synaptic_spark.operators.retrieval import bm25_search
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    terms = sorted(set(query_terms))
+    out = {
+        r.doc_id: (r.bm25, r.n_terms_matched)
+        for r in bm25_search(
+            spark.createDataFrame(rows, "doc_id LONG, text STRING"),
+            " ".join(terms),
+            k=len(rows),
+        ).collect()
+    }
+    n_docs = float(len(docs_tokens))
+    avgdl = sum(len(t) for t in docs_tokens) / n_docs
+    df = {t: float(sum(1 for toks in docs_tokens if t in toks)) for t in terms}
+    for i, toks in enumerate(docs_tokens):
+        score, matched = 0.0, 0
+        for t in terms:
+            tf = float(toks.count(t))
+            if tf > 0:
+                matched += 1
+                idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                score += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(toks) / avgdl))
+        if matched == 0:
+            assert i not in out
+        else:
+            got = out[i]
+            assert got[1] == matched
+            assert abs(got[0] - round(score, 6)) <= 1e-6, (i, got, score)
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, allow_infinity=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_quantize_matches_model(spark, vecs):
+    """SQ8 codes vs a pure-Python model: same floor-round recipe, code
+    bounds, and constant-vector edge."""
+    import math
+
+    from mcp_synaptic_spark.operators.similarity import quantize_embeddings
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    out = {
+        r.vec_id: r
+        for r in quantize_embeddings(
+            spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+        ).collect()
+    }
+    for i, v in rows:
+        vmin, vmax = min(v), max(v)
+        scale = (vmax - vmin) / 255.0
+        want = [0] * len(v) if scale == 0 else [int(math.floor((x - vmin) / scale + 0.5)) for x in v]
+        r = out[i]
+        assert r.qvec == want and r.vmin == vmin
+        assert all(0 <= q <= 255 for q in r.qvec)

@@ -67,3 +67,72 @@ def test_csv_roundtrip_and_complex_column_refusal(spark, sf_dir, tmp_path):
         spark, str(tmp_path / "emb_csv"), "vec_id bigint, embedding string, label int"
     ).withColumn("embedding", F.from_json("embedding", "array<float>"))
     assert _collect_sorted(raw, "vec_id") == _collect_sorted(emb, "vec_id")
+
+
+def test_orc_roundtrip_documents_and_embeddings(spark, sf_dir, tmp_path):
+    """ORC interchange: full-fidelity round-trip for strings, ints, and
+    float-array columns (the other columnar lake format, built into Spark)."""
+    from mcp_synaptic_spark.sources.tables import load_table, read_orc, write_orc
+
+    for name, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        src = load_table(spark, sf_dir, name)
+        path = str(tmp_path / f"{name}_orc")
+        write_orc(src, path)
+        back = read_orc(spark, path)
+        assert back.schema == src.schema
+
+        def canon(rows):  # float lists are unhashable — tuple-ize nested
+            return {
+                tuple(tuple(v) if isinstance(v, list) else v for v in r) for r in rows
+            }
+
+        assert canon(src.collect()) == canon(back.collect())
+
+
+def test_orc_pushes_filters_to_scan(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.sources.tables import load_table, read_orc, write_orc
+
+    path = str(tmp_path / "docs_orc")
+    write_orc(load_table(spark, sf_dir, "documents"), path)
+    plan = (
+        read_orc(spark, path)
+        .where(F.col("doc_id") == 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
+    """Hive partitioning by `source`: an equality filter must read ONLY the
+    matching partition's files (pruning before I/O — the S1 layout lever)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.sources.tables import (
+        load_table,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_source")
+    write_partitioned(docs, path, partition_by="source")
+    parts = [d for d in os.listdir(path) if d.startswith("source=")]
+    assert len(parts) > 1, "corpus must span several sources for this test"
+
+    back = read_partitioned(spark, path)
+    one = back.where(F.col("source") == "src0")
+    # partition pruning is visible in the file-scan metadata: the selected
+    # scan reads strictly fewer files than the full table
+    full_files = back._jdf.queryExecution().executedPlan().toString()
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "source" in plan.split("PartitionFilters")[1][:200]
+    # semantics: identical rows to the unpartitioned filter
+    want = sorted(r.doc_id for r in docs.where(F.col("source") == "src0").collect())
+    got = sorted(r.doc_id for r in one.collect())
+    assert got == want and len(got) > 0
