@@ -575,8 +575,9 @@ def chunk_documents(
 ) -> DataFrame:
     """Split documents into overlapping word-window chunks — the standard
     RAG ingestion step between raw documents and embedding (the reference
-    embeds whole documents, rag/operations.py; production stacks chunk
-    first so retrieval granularity matches context budgets). Sibling of
+    embeds each document WHOLE, reference rag/database/documents.py:22-49;
+    production stacks chunk first so retrieval granularity matches context
+    budgets). Sibling of
     `pack_sequences`: packing concatenates docs up to a window, chunking
     splits docs down to one.
 
