@@ -72,7 +72,8 @@ def test_csv_roundtrip_and_complex_column_refusal(spark, sf_dir, tmp_path):
 def test_orc_roundtrip_documents_and_embeddings(spark, sf_dir, tmp_path):
     """ORC interchange: full-fidelity round-trip for strings, ints, and
     float-array columns (the other columnar lake format, built into Spark)."""
-    from mcp_synaptic_spark.sources.tables import load_table, read_orc, write_orc
+    from mcp_synaptic_spark.sources.layouts import read_orc, write_orc
+    from mcp_synaptic_spark.sources.tables import load_table
 
     for name, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
         src = load_table(spark, sf_dir, name)
@@ -92,7 +93,8 @@ def test_orc_roundtrip_documents_and_embeddings(spark, sf_dir, tmp_path):
 def test_orc_pushes_filters_to_scan(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
-    from mcp_synaptic_spark.sources.tables import load_table, read_orc, write_orc
+    from mcp_synaptic_spark.sources.layouts import read_orc, write_orc
+    from mcp_synaptic_spark.sources.tables import load_table
 
     path = str(tmp_path / "docs_orc")
     write_orc(load_table(spark, sf_dir, "documents"), path)
@@ -113,11 +115,8 @@ def test_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from mcp_synaptic_spark.sources.tables import (
-        load_table,
-        read_partitioned,
-        write_partitioned,
-    )
+    from mcp_synaptic_spark.sources.layouts import read_partitioned, write_partitioned
+    from mcp_synaptic_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     path = str(tmp_path / "docs_by_source")
