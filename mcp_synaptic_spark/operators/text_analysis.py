@@ -157,7 +157,11 @@ GATE_RULES = (
 
 
 def quality_gate(
-    docs: DataFrame, *, rules=GATE_RULES, content_col: str = "text"
+    docs: DataFrame,
+    *,
+    rules=GATE_RULES,
+    content_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-doc keep/drop decision over the filter tier — the row a
     pretraining pipeline materializes. ``reasons`` is a comma-joined,
@@ -175,11 +179,20 @@ def quality_gate(
     (stream-stream self-joins keep unbounded state). This form is an
     embarrassingly-parallel scan, so it runs unchanged on a streaming
     DataFrame: the on-arrival corpus filter.
+
+    ``keep_cols``: input columns carried through to the output (e.g. the
+    text itself for a gate→dedup→chunk pipeline) — joining the verdicts
+    back to the input would be the stream-stream self-join this operator
+    exists to avoid.
     """
+    reserved = {"doc_id", "keep", "reasons"}
+    if bad := [c for c in keep_cols if c in reserved]:
+        raise ValueError(f"keep_cols collide with gate output columns: {bad}")
     c = F.col(content_col)
     langs = sorted(LANG_MARKERS)
     base = docs.select(
         F.col("doc_id"),
+        *keep_cols,
         F.length(c).alias("_n_chars"),
         F.expr(_WORDS_SQL.format(c=content_col)).alias("w"),
         # quality_score twins (word_count, not size(w) — the operators differ
@@ -216,6 +229,7 @@ def quality_gate(
     nw = F.expr("size(w)")
     feats = base.select(
         "doc_id",
+        *keep_cols,
         nw.alias("n_words"),
         F.round(
             F.when(
@@ -229,6 +243,7 @@ def quality_gate(
         pred.alias("predicted_lang"),
     ).select(
         "doc_id",
+        *keep_cols,
         "n_words",
         "dup_word_frac",
         F.round(
@@ -245,7 +260,7 @@ def quality_gate(
         ",", *[F.when(F.expr(cond), F.lit(name)) for name, cond in rules]
     )
     return feats.select(
-        "doc_id", (reasons == F.lit("")).alias("keep"), reasons.alias("reasons")
+        "doc_id", *keep_cols, (reasons == F.lit("")).alias("keep"), reasons.alias("reasons")
     )
 
 

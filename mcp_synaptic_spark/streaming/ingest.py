@@ -1,0 +1,107 @@
+"""Composed on-arrival ingestion pipeline: the streaming front door a
+training-data/RAG corpus actually runs, assembled from the individually
+graded operators:
+
+    raw document stream
+      → quality gate        (text_analysis.quality_gate — fused projection)
+      → exact dedup         (dedup_stream.streaming_exact_dedup — managed
+                             state, watermark-bounded)
+      → chunking            (pipeline.chunk_documents — projection+explode)
+
+Every stage is a narrow per-row transform or a dropDuplicates over managed
+state, so the whole pipeline composes with readStream in APPEND mode — no
+stream-stream joins, no multi-aggregation plans. Batch-equals-stream for
+each stage is pinned separately (tests/test_streaming.py); this module's
+test pins the COMPOSITION end-to-end.
+
+Scale notes: the gate and chunker are embarrassingly parallel scans; the
+dedup stage's state is bounded by (arrival rate × watermark horizon) when
+`ts_col` is given. The near-dup/incremental screen intentionally does NOT
+sit in this chain — it aggregates, so it runs per micro-batch via
+foreachBatch against the static corpus (see
+tests/test_streaming.py::test_streaming_incremental_dedup_screen_foreachbatch);
+`admit_stream` wires that shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.pipeline import chunk_documents
+from ..operators.text_analysis import GATE_RULES, quality_gate
+from .dedup_stream import streaming_exact_dedup
+
+__all__ = ["ingest_pipeline", "admit_stream"]
+
+
+def ingest_pipeline(
+    docs: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    rules=GATE_RULES,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    chunk_words: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """gate → exact-dedup → chunk over a (streaming or batch) documents
+    frame. Output: one row per surviving chunk
+    (id, chunk_idx, chunk_text, n_chunk_words, start_word).
+
+    Works identically on a batch DataFrame (the stream==batch test relies
+    on exactly that), with one semantic caveat inherent to streaming
+    dedup: first-seen-wins order is arrival order in a stream and
+    plan-internal order in a batch — for EXACT duplicates every copy has
+    identical downstream output, so the surviving chunks are the same set
+    either way.
+    """
+    # carry the payload THROUGH the gate (keep_cols) instead of joining the
+    # verdicts back to the input — that join would be a stream-stream
+    # self-join with unbounded state
+    carry = tuple(c for c in ((content_col,) + ((ts_col,) if ts_col else ())))
+    kept = quality_gate(
+        docs, rules=rules, content_col=content_col, keep_cols=carry
+    ).where(F.col("keep")).drop("keep", "reasons")
+    deduped = streaming_exact_dedup(
+        kept, content_col=content_col, ts_col=ts_col, watermark=watermark
+    )
+    return chunk_documents(
+        deduped, chunk_words=chunk_words, overlap=overlap,
+        content_col=content_col, id_col=id_col,
+    )
+
+
+def admit_stream(
+    docs_stream: DataFrame,
+    corpus: DataFrame,
+    sink,
+    *,
+    checkpoint: str,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+):
+    """The near-dup half of the front door: screen each arriving
+    micro-batch against the STATIC deduped corpus (dedup.dedup_incremental)
+    and hand the per-doc verdicts to ``sink(verdicts_df, batch_id)``.
+    foreachBatch is the right shape here — the screen aggregates (tf/df,
+    per-doc argmax), which streaming plans can't express directly, and
+    per-micro-batch screening is the admission semantics anyway. Returns
+    the started StreamingQuery (caller awaits/stops)."""
+    from ..operators.dedup import dedup_incremental
+
+    def _screen(batch_df: DataFrame, batch_id: int):
+        sink(
+            dedup_incremental(
+                corpus, batch_df, threshold=threshold, max_bucket=max_bucket
+            ),
+            batch_id,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -672,3 +672,57 @@ def test_streaming_incremental_dedup_screen_foreachbatch(spark, sf_dir, tmp_path
     assert got == want and len(want) == 6
     assert got[990_001][0] == "admitted"
     assert sum(1 for v, _ in got.values() if v == "exact_dup") == 5
+
+
+def test_ingest_pipeline_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The composed front door (streaming/ingest.py): gate → exact dedup →
+    chunk, one callable, append-mode streaming. The surviving chunk set for
+    streamed arrivals must equal the batch run over the same corpus
+    (exact-dup copies have identical downstream chunks, so first-seen-wins
+    order cannot change the set)."""
+    from mcp_synaptic_spark.streaming.ingest import ingest_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "ingest_src")
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        ingest_pipeline(stream, chunk_words=40, overlap=10)
+        .writeStream.format("memory")
+        .queryName("ingest_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in spark.sql("SELECT * FROM ingest_test").collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in ingest_pipeline(docs, chunk_words=40, overlap=10).collect()
+    }
+    assert got == want and len(want) > 0
+    # the gate actually dropped something: fewer surviving docs than input
+    surviving_docs = {d for d, _, _ in want}
+    assert 0 < len(surviving_docs) < docs.count()
+
+
+def test_quality_gate_keep_cols_passthrough_matches_bare_gate(spark, sf_dir):
+    """keep_cols must not perturb the verdicts (pure pass-through)."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.text_analysis import quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bare = {r.doc_id: (r.keep, r.reasons) for r in quality_gate(docs).collect()}
+    carried = {
+        r.doc_id: (r.keep, r.reasons, r.text)
+        for r in quality_gate(docs, keep_cols=("text",)).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert {k: v[:2] for k, v in carried.items()} == bare
+    assert all(carried[k][2] == texts[k] for k in carried)
