@@ -3403,7 +3403,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     memory.py, documents.py, retrieval.py, tables.py, ttl.py, expiry.py,
     windows.py, access_log.py, multimodal.py, embedders.py, and
     entry-file-only relational queries). EVIDENCE.json + tools/evidence.py
-    make the "green-and-unchanged-since" claim machine-checkable."""
+    make the "green-and-unchanged-since" claim machine-checkable.
+
+    Round-9 window plan (for the next rotation): lead with the two
+    pending-first-grading tail queries (dedup_incremental,
+    memory_snapshot_read — EVIDENCE.json window_round=null, pinned by
+    test_late_r8_tail_queries_registered_for_r9_rotation), then every
+    query whose operator files r9 touches (run `python tools/evidence.py
+    check` after each edit — it names exactly which tail queries an edit
+    stales), then the oldest ledger rounds (currently the r6-stamped
+    sanitize / ts_parse_multi / embed_texts / events_hourly /
+    events_sliding / events_sessions / frame_sample / memory_access_replay
+    / multimodal_features). Everything else will hold r8 evidence."""
     return {
         # --- r7 pipeline tier: driver-graded for the first time (the whole
         # round's evidence debt retires here) ------------------------------
