@@ -713,7 +713,7 @@ def substring_dedup_apply(
 
 
 def dedup_incremental(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     batch: DataFrame,
     *,
     content_col: str = "text",
@@ -723,6 +723,7 @@ def dedup_incremental(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    index=None,
 ) -> DataFrame:
     """Admit/reject a NEW ingestion batch against an EXISTING corpus — the
     production dedup shape: a 100 TB corpus is deduped once, and every
@@ -754,20 +755,33 @@ def dedup_incremental(
     """
     rows = num_hashes // bands
     _release_stale()
-    # --- exact tier: content-hash probe ------------------------------------
     from ..functions.text import content_hash
 
     b_hash = batch.select(F.col(id_col).alias("bid"), content_hash(F.col(content_col)).alias("ch"))
-    c_hash = corpus.select(F.col(id_col).alias("cid"), content_hash(F.col(content_col)).alias("ch"))
+    b_sh = _scoped_cache(shingle_sets(batch, content_col, id_col, shingle_n))
+    if index is not None:
+        # probe a PERSISTED index (dedup_index_write/load) — the corpus-side
+        # pipeline never re-runs; parameters must match the index's build
+        c_hash, c_buckets_idx, c_sh_cid, meta = index
+        want = {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
+        if meta != want:
+            raise ValueError(f"index parameters {meta} != probe parameters {want}")
+    else:
+        if corpus is None:
+            raise ValueError("pass a corpus DataFrame or index=dedup_index_load(...)")
+        c_hash = corpus.select(
+            F.col(id_col).alias("cid"), content_hash(F.col(content_col)).alias("ch")
+        )
+        c_sh = _scoped_cache(
+            shingle_sets(_ensure_parallelism(corpus), content_col, id_col, shingle_n)
+        )
+        c_sh_cid = c_sh.select(F.col("id").alias("cid"), "shingles")
+        c_buckets_idx = None
     exact = (
         c_hash.join(F.broadcast(b_hash), "ch")
         .groupBy("bid")
         .agg(F.min("cid").alias("exact_match"))
     )
-
-    # --- near tier: batch buckets probe corpus buckets ---------------------
-    c_sh = _scoped_cache(shingle_sets(_ensure_parallelism(corpus), content_col, id_col, shingle_n))
-    b_sh = _scoped_cache(shingle_sets(batch, content_col, id_col, shingle_n))
 
     def _buckets(sh_df):
         sig = minhash_signatures(sh_df, num_hashes)
@@ -786,16 +800,21 @@ def dedup_incremental(
             "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
         )
 
-    c_buckets = _cap_bucket_occupancy(_buckets(c_sh), ["band", "band_key"], max_bucket)
+    if c_buckets_idx is None:
+        c_buckets = _cap_bucket_occupancy(_buckets(c_sh), ["band", "band_key"], max_bucket).select(
+            F.col("id").alias("cid"), "band", "band_key"
+        )
+    else:
+        c_buckets = _cap_bucket_occupancy(c_buckets_idx, ["band", "band_key"], max_bucket)
     b_buckets = _buckets(b_sh).withColumnRenamed("id", "bid")
     candidates = (
         c_buckets.join(F.broadcast(b_buckets), ["band", "band_key"])
-        .select(F.col("bid"), F.col("id").alias("cid"))
+        .select(F.col("bid"), F.col("cid"))
         .distinct()
     )
     near = (
         candidates.join(b_sh.select(F.col("id").alias("bid"), F.col("shingles").alias("sh_b")), "bid")
-        .join(c_sh.select(F.col("id").alias("cid"), F.col("shingles").alias("sh_c")), "cid")
+        .join(c_sh_cid.select("cid", F.col("shingles").alias("sh_c")), "cid")
         .select("bid", "cid", F.round(_jaccard(F.col("sh_b"), F.col("sh_c")), 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
         .groupBy("bid")
@@ -823,4 +842,80 @@ def dedup_incremental(
             .otherwise(F.col("near_jaccard"))
             .alias("jaccard"),
         )
+    )
+
+
+def dedup_index_write(
+    corpus: DataFrame,
+    path: str,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus-side artifacts of `dedup_incremental` as a reusable
+    DEDUP INDEX — the build/probe split the ANN tiers already follow
+    (similarity.ivf_index_write / mllib_lsh_index_write): the corpus-side
+    hashes, MinHash band buckets, and shingle sets are pure functions of the
+    corpus and its parameters, so an ingestion service builds them ONCE and
+    every arriving batch probes them, instead of re-deriving the whole
+    corpus pipeline per screen (the dominant cost — corpus shingling +
+    16 hashes over every document).
+
+    Layout: {path}/hashes (cid, ch), {path}/buckets (cid, band, band_key),
+    {path}/shingles (cid, shingles), {path}/_meta.json (the parameters —
+    a probe MUST use the same shingle_n/num_hashes/bands, enforced at load).
+    On admit, a deployment appends the admitted docs' rows to each part —
+    plain parquet appends (or TxnTable commits for multi-writer)."""
+    import json
+    import os
+
+    rows = num_hashes // bands
+    sh = shingle_sets(_ensure_parallelism(corpus), content_col, id_col, shingle_n)
+    sig = minhash_signatures(sh, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_structs).alias("bk")).select(
+        F.col("id").alias("cid"), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    from ..functions.text import content_hash
+
+    corpus.select(
+        F.col(id_col).alias("cid"), content_hash(F.col(content_col)).alias("ch")
+    ).write.mode(mode).parquet(os.path.join(path, "hashes"))
+    sh.select(F.col("id").alias("cid"), "shingles").write.mode(mode).parquet(
+        os.path.join(path, "shingles")
+    )
+    buckets.write.mode(mode).parquet(os.path.join(path, "buckets"))
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(
+            {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}, f
+        )
+
+
+def dedup_index_load(spark, path: str):
+    """(hashes_df, buckets_df, shingles_df, meta) for `dedup_incremental
+    (index=...)`. The meta dict gates parameter agreement at probe time."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    return (
+        spark.read.parquet(os.path.join(path, "hashes")),
+        spark.read.parquet(os.path.join(path, "buckets")),
+        spark.read.parquet(os.path.join(path, "shingles")),
+        meta,
     )

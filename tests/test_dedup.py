@@ -434,3 +434,42 @@ def test_dedup_incremental_is_screen_only_not_batch_internal(spark):
     )
     out = {r.doc_id: r.verdict for r in dedup_incremental(corpus, batch).collect()}
     assert out == {10: "admitted", 11: "admitted"}
+
+
+def test_dedup_index_probe_equals_direct_screen(spark, sf_dir, tmp_path):
+    """The persisted dedup index (build/probe split): screening a batch via
+    dedup_index_load must produce byte-identical verdicts to the direct
+    corpus screen, and parameter mismatches are rejected at probe time."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_load,
+        dedup_index_write,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = corpus.limit(8).select((F.col("doc_id") + 70_000).alias("doc_id"), "text").unionAll(
+        spark.createDataFrame([(80_001, "wholly new arrival text")], "doc_id LONG, text STRING")
+    )
+    path = str(tmp_path / "dedup_index")
+    dedup_index_write(corpus, path)
+    idx = dedup_index_load(spark, path)
+
+    direct = {
+        r.doc_id: (r.verdict, r.match_id, r.jaccard)
+        for r in dedup_incremental(corpus, batch).collect()
+    }
+    probed = {
+        r.doc_id: (r.verdict, r.match_id, r.jaccard)
+        for r in dedup_incremental(None, batch, index=idx).collect()
+    }
+    assert probed == direct and len(direct) == 9
+    assert sum(1 for v, _, _ in direct.values() if v == "exact_dup") == 8
+
+    import pytest
+
+    with pytest.raises(ValueError, match="index parameters"):
+        dedup_incremental(None, batch, index=idx, bands=4)
+    with pytest.raises(ValueError, match="corpus DataFrame or index"):
+        dedup_incremental(None, batch)
