@@ -905,6 +905,37 @@ def dedup_index_write(
         )
 
 
+def dedup_index_append(
+    admitted: DataFrame,
+    path: str,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Grow a persisted dedup index with ADMITTED documents — the third step
+    of the ingestion lifecycle (screen → admit → append), so the next
+    arriving batch is screened against yesterday's admissions too. Builds
+    the same three artifacts for just the admitted rows, with the INDEX's
+    OWN parameters (read from its manifest — an append with different
+    banding would silently poison every later probe), and appends plain
+    parquet (swap for TxnTable commits when multiple admitters race)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    dedup_index_write(
+        admitted,
+        path,
+        content_col=content_col,
+        id_col=id_col,
+        shingle_n=meta["shingle_n"],
+        num_hashes=meta["num_hashes"],
+        bands=meta["bands"],
+        mode="append",
+    )
+
+
 def dedup_index_load(spark, path: str):
     """(hashes_df, buckets_df, shingles_df, meta) for `dedup_incremental
     (index=...)`. The meta dict gates parameter agreement at probe time."""

@@ -473,3 +473,32 @@ def test_dedup_index_probe_equals_direct_screen(spark, sf_dir, tmp_path):
         dedup_incremental(None, batch, index=idx, bands=4)
     with pytest.raises(ValueError, match="corpus DataFrame or index"):
         dedup_incremental(None, batch)
+
+
+def test_dedup_index_append_closes_the_lifecycle(spark, sf_dir, tmp_path):
+    """screen → admit → append → the next identical arrival is caught: a
+    doc admitted yesterday must flag exact_dup today."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_append,
+        dedup_index_load,
+        dedup_index_write,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "idx")
+    dedup_index_write(corpus, path)
+
+    novel = spark.createDataFrame(
+        [(90_001, "a genuinely new arrival that nothing matches")],
+        "doc_id LONG, text STRING",
+    )
+    first = dedup_incremental(None, novel, index=dedup_index_load(spark, path)).collect()
+    assert first[0].verdict == "admitted"
+
+    dedup_index_append(novel, path)
+    again = novel.select((F.col("doc_id") + 1).alias("doc_id"), "text")
+    second = dedup_incremental(None, again, index=dedup_index_load(spark, path)).collect()
+    assert second[0].verdict == "exact_dup" and second[0].match_id == 90_001
