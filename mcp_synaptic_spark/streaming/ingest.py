@@ -75,29 +75,64 @@ def ingest_pipeline(
 
 def admit_stream(
     docs_stream: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     sink,
     *,
     checkpoint: str,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    index_path: str | None = None,
+    append_admitted: bool = False,
+    id_col: str = "doc_id",
 ):
     """The near-dup half of the front door: screen each arriving
-    micro-batch against the STATIC deduped corpus (dedup.dedup_incremental)
+    micro-batch against the deduped corpus (dedup.dedup_incremental)
     and hand the per-doc verdicts to ``sink(verdicts_df, batch_id)``.
     foreachBatch is the right shape here — the screen aggregates (tf/df,
     per-doc argmax), which streaming plans can't express directly, and
     per-micro-batch screening is the admission semantics anyway. Returns
-    the started StreamingQuery (caller awaits/stops)."""
-    from ..operators.dedup import dedup_incremental
+    the started StreamingQuery (caller awaits/stops).
+
+    ``index_path`` switches the screen to the PERSISTED dedup index
+    (dedup.dedup_index_load — no per-batch corpus recompute; 5-6× per
+    screen, PLANS note 52), reloaded each micro-batch so appends between
+    batches are visible. With ``append_admitted=True`` every batch's
+    admitted documents are appended to the index before the next batch is
+    screened — the complete incremental service: a document admitted in
+    batch N is an exact_dup in batch N+1. (availableNow micro-batches run
+    sequentially, so the read-screen-append cycle is race-free within one
+    query; racing admitters across queries need the TxnTable variant noted
+    in dedup_index_append.)"""
+    from ..operators.dedup import dedup_incremental, dedup_index_append, dedup_index_load
+
+    if index_path is None and corpus is None:
+        raise ValueError("pass a corpus DataFrame or index_path")
+    if append_admitted and index_path is None:
+        raise ValueError("append_admitted requires index_path (there is nothing to grow)")
 
     def _screen(batch_df: DataFrame, batch_id: int):
-        sink(
-            dedup_incremental(
-                corpus, batch_df, threshold=threshold, max_bucket=max_bucket
-            ),
-            batch_id,
-        )
+        spark = batch_df.sparkSession
+        if index_path is not None:
+            verdicts = dedup_incremental(
+                None, batch_df, threshold=threshold, max_bucket=max_bucket,
+                index=dedup_index_load(spark, index_path), id_col=id_col,
+            )
+        else:
+            verdicts = dedup_incremental(
+                corpus, batch_df, threshold=threshold, max_bucket=max_bucket, id_col=id_col
+            )
+        if append_admitted:
+            # materialize verdicts BEFORE appending: the sink and the append
+            # must agree even though the index they probed is about to grow
+            rows = verdicts.collect()
+            admitted_ids = [r[id_col] for r in rows if r.verdict == "admitted"]
+            if admitted_ids:
+                dedup_index_append(
+                    batch_df.where(F.col(id_col).isin(admitted_ids)), index_path, id_col=id_col
+                )
+            sink(spark.createDataFrame(rows, verdicts.schema), batch_id)
+        else:
+            sink(verdicts, batch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(_screen)

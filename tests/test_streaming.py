@@ -726,3 +726,47 @@ def test_quality_gate_keep_cols_passthrough_matches_bare_gate(spark, sf_dir):
     texts = {r.doc_id: r.text for r in docs.collect()}
     assert {k: v[:2] for k, v in carried.items()} == bare
     assert all(carried[k][2] == texts[k] for k in carried)
+
+
+def test_admit_stream_index_append_across_microbatches(spark, sf_dir, tmp_path):
+    """The complete incremental service: with index_path + append_admitted,
+    a document admitted in micro-batch N must screen exact_dup in batch
+    N+1 (the index grew between batches). Uses two parquet files written
+    separately with maxFilesPerTrigger=1 to force two micro-batches."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.dedup import dedup_index_write
+    from mcp_synaptic_spark.streaming.ingest import admit_stream
+
+    corpus = load_table(spark, sf_dir, "documents")
+    index_path = str(tmp_path / "idx")
+    dedup_index_write(corpus, index_path)
+
+    novel_text = "entirely fresh arrival that matches nothing in the corpus"
+    b1 = spark.createDataFrame([(900_001, novel_text)], "doc_id LONG, text STRING")
+    b2 = spark.createDataFrame([(900_002, novel_text)], "doc_id LONG, text STRING")
+    src = str(tmp_path / "arrivals")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    results = []
+    q = admit_stream(
+        spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1).parquet(src),
+        None,
+        lambda df, bid: results.extend((bid, r) for r in df.collect()),
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=index_path,
+        append_admitted=True,
+    )
+    q.awaitTermination(180)
+
+    by_doc = {r.doc_id: r for _, r in results}
+    assert len(by_doc) == 2
+    first, second = sorted(by_doc)  # 900_001 arrived in the earlier batch
+    # whichever order the two files triggered, exactly one copy was admitted
+    # and the other flagged exact_dup against it
+    verdicts = sorted(by_doc[d].verdict for d in (first, second))
+    assert verdicts == ["admitted", "exact_dup"]
+    dup = next(r for r in by_doc.values() if r.verdict == "exact_dup")
+    adm = next(r for r in by_doc.values() if r.verdict == "admitted")
+    assert dup.match_id == adm.doc_id
