@@ -6,10 +6,17 @@ Each side runs in its own fresh subprocess (fresh JVM, fresh session state),
 A and B alternating so slow machine drift hits both sides equally. Writes one
 JSON line per run to the results file; summarize with --summarize.
 
-Setup (the worktrees are not kept around): ``git worktree add .ab/r5
-<baseline-commit> && git worktree add .ab/r7 <candidate-commit>``; remove
-them with ``git worktree remove --force`` when done. Round-7 conclusions
-from this harness are in PLANS.md note 15.
+Setup (the worktrees are not kept around): ``git worktree add .ab/<nameA>
+<baseline-commit> && git worktree add .ab/<nameB> <candidate-commit>``;
+remove them with ``git worktree remove --force`` when done. Round-7
+conclusions from this harness are in PLANS.md note 15.
+
+Usage (r8+: sides are arguments, no code edit needed):
+
+    python tools/ab_bench.py [N] --sides nameA=/path/a nameB=/path/b
+    python tools/ab_bench.py --summarize
+
+Defaults keep the r7 investigation's r5/r7 paths for reproducibility.
 """
 
 from __future__ import annotations
@@ -70,10 +77,17 @@ def summarize() -> None:
 
 
 def main() -> None:
+    global SIDES
     if "--summarize" in sys.argv:
         summarize()
         return
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    args = sys.argv[1:]
+    if "--sides" in args:
+        i = args.index("--sides")
+        pairs = args[i + 1 :]
+        args = args[:i]
+        SIDES = dict(p.split("=", 1) for p in pairs)
+    n = int(args[0]) if args else 5
     with open(RESULTS, "a") as out:
         for i in range(n):
             for side, cwd in SIDES.items():
