@@ -1,0 +1,96 @@
+"""Persisted BM25 index (operators/bm25_index.py): probe == the per-query
+bm25_search bit-for-bit, partition pruning actually prunes, the staleness
+guard rebuilds on corpus change, and k1/b stay query-time parameters."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_synaptic_spark.operators.bm25_index import (
+    bm25_index_load,
+    bm25_index_write,
+    bm25_search_indexed,
+)
+from mcp_synaptic_spark.operators.retrieval import bm25_search
+
+QUERY = "dup hash join vector"
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bm25") / "idx")
+    bm25_index_write(docs, path)
+    return path
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_probe_matches_per_query_form(spark, docs, index_path):
+    direct = bm25_search(docs, QUERY, k=10)
+    probed = bm25_search_indexed(spark, index_path, QUERY, k=10)
+    assert probed.columns == direct.columns == ["doc_id", "bm25", "n_terms_matched"]
+    assert _rows(probed) == _rows(direct)
+
+
+def test_probe_matches_on_single_rare_term_and_other_params(spark, docs, index_path):
+    # k1/b are query-time: the SAME index serves any parameterization
+    for q, k1, b in [("dup", 1.2, 0.75), ("the data memory", 1.6, 0.4)]:
+        direct = bm25_search(docs, q, k=5, k1=k1, b=b)
+        probed = bm25_search_indexed(spark, index_path, q, k=5, k1=k1, b=b)
+        assert _rows(probed) == _rows(direct), (q, k1, b)
+
+
+def test_unmatched_terms_contribute_zero(spark, docs, index_path):
+    # a term absent from the corpus must not shift scores of the rest
+    direct = bm25_search(docs, QUERY + " zzzznotaword", k=10)
+    probed = bm25_search_indexed(spark, index_path, QUERY + " zzzznotaword", k=10)
+    assert _rows(probed) == _rows(direct)
+
+
+def test_empty_query_raises(spark, index_path):
+    with pytest.raises(ValueError):
+        bm25_search_indexed(spark, index_path, "   ")
+
+
+def test_postings_scan_is_partition_pruned(spark, index_path):
+    plan = bm25_search_indexed(spark, index_path, QUERY, k=10)._jdf.queryExecution().executedPlan().toString()
+    # directory-level pruning on the term-hash bucket + term pushdown
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan
+    assert "PushedFilters" in plan
+
+
+def test_staleness_guard_rebuilds_on_corpus_change(spark, docs, tmp_path):
+    path = str(tmp_path / "idx")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    bm25_index_write(half, path)
+    _, meta_half = bm25_index_load(spark, path)
+    # same corpus: no-op reuse (meta object unchanged)
+    bm25_index_write(half, path)
+    _, meta_again = bm25_index_load(spark, path)
+    assert meta_again == meta_half
+    # regenerated/grown corpus: the guard rebuilds instead of serving stale
+    bm25_index_write(docs, path)
+    probed = bm25_search_indexed(spark, path, QUERY, k=10)
+    assert _rows(probed) == _rows(bm25_search(docs, QUERY, k=10))
+
+
+def test_dl_denormalized_and_df_consistent(spark, docs, index_path):
+    postings, meta = bm25_index_load(spark, index_path)
+    # dl rides every posting row: exactly one distinct dl per doc
+    bad = postings.groupBy("id").agg(F.countDistinct("dl").alias("n")).where("n > 1").count()
+    assert bad == 0
+    # df(term) == distinct docs holding it (postings are (term, id)-unique)
+    dup = postings.groupBy("term", "id").count().where("count > 1").count()
+    assert dup == 0
+    assert meta["n_docs"] == docs.count()
