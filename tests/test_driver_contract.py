@@ -25,51 +25,40 @@ def test_every_query_has_an_oracle():
 
 
 def test_graded_window_holds_the_round_targets():
-    """The driver grades the FIRST 50 dict entries only. The r8 window must
-    hold (a) the entire 21-query rotation obligation the r7 contract test
-    pinned (the never-driver-graded pipeline tier + the text_analysis
-    refreshes), (b) every query whose operator files r8 touches, (c) the
-    r8-new queries (graded in their birth round)."""
+    """The driver grades the FIRST 50 dict entries only. The r9 window must
+    hold (a) the two queries pending their FIRST driver grade (tail-born in
+    r8, pinned by the r8 contract), (b) every query whose operator files r9
+    touches, (c) the r9-new queries (graded in their birth round), (d) the
+    r6-stamped oldest-ledger refreshes the r8 verdict ordered."""
     names = list(entry.queries())
-    assert len(names) >= 88
+    assert len(names) >= 96
     window = set(names[:50])
-    r7_pipeline_tier = (
-        "dedup_clusters", "dedup_apply_clusters", "decontaminate",
-        "train_test_split", "pii_redact", "stratified_sample",
-        "dedup_within_doc", "corpus_prep_pipeline", "source_cap", "source_mix",
-        "repetition_stats", "dedup_substring", "dedup_substring_apply",
-        "dedup_semantic", "decontaminate_semantic", "pack_sequences",
-        "quality_gate",
-        "token_stats", "quality_score", "lang_id", "lang_distribution",
-    )
-    r8_touched = (
-        # dedup.py: embedding auto-switch + substring-apply aliasing
+    pending_first_grade = ("dedup_incremental", "memory_snapshot_read")
+    r9_touched = (
+        # dedup.py: simhash auto-cap default, atomic manifest, txn append
         "dedup_exact", "dedup_keep_first", "dedup_minhash", "dedup_simhash",
-        "dedup_simhash_capped", "dedup_embedding", "dedup_embedding_lsh",
-        "dedup_ngram_jaccard",
-        # similarity.py rides with the dedup/semantic tier
-        "ann_lsh_topk", "ann_mllib_lsh", "ann_ivf_topk",
-        # text_analysis.py → fingerprint
-        "fingerprint",
-        # state/txn.py checkpoints
-        "memory_upsert_txn",
-        # streaming/expiry.py zone-map sweep pruning
-        "doc_change_feed",
-        # retrieval.py touched (bm25/hybrid appends) — its r7-green tail
-        # queries ride the window
-        "assemble_context", "search_by_metadata", "doc_summary",
-        # tables.py changed in r7 while these sat in the tail with r6 rows —
-        # their refresh is an r8 obligation, not a nicety
-        "orders_page", "props_keys", "events_json", "max_score",
-        # memory.py changed in r7 — same refresh obligation
-        "memory_report",
-    )
-    r8_new = (
-        "dedup_clusters_twostar", "memory_upsert_ckpt", "bm25_search",
-        "hybrid_search", "ann_quantized_topk", "chunk_documents",
+        "dedup_simhash_capped", "dedup_ngram_jaccard", "dedup_embedding",
+        "dedup_embedding_lsh", "dedup_substring", "dedup_substring_apply",
+        # clustering/pipeline compositions ride dedup.py's file set
+        "dedup_semantic", "dedup_clusters", "dedup_clusters_twostar",
+        "dedup_apply_clusters", "corpus_prep_pipeline",
+        # pipeline.py: measured-constant semantic-decon router
+        "decontaminate", "decontaminate_semantic", "train_test_split",
+        "pii_redact", "stratified_sample", "dedup_within_doc", "source_cap",
+        "source_mix", "pack_sequences", "chunk_documents",
+        # similarity.py: BRP probe rewrite
+        "ann_lsh_topk", "ann_mllib_lsh", "ann_ivf_topk", "ann_quantized_topk",
         "ann_ivf_sq8_topk",
+        # state/txn.py: numeric timestamp zone-maps + put_if_absent
+        "memory_upsert_txn", "memory_upsert_ckpt",
     )
-    for must_grade in r7_pipeline_tier + r8_touched + r8_new:
+    r9_new = ("bm25_search_indexed",)
+    r6_refresh = (
+        "sanitize", "ts_parse_multi", "embed_texts", "events_hourly",
+        "events_sliding", "events_sessions", "frame_sample",
+        "memory_access_replay", "multimodal_features",
+    )
+    for must_grade in pending_first_grade + r9_touched + r9_new + r6_refresh:
         assert must_grade in window, f"{must_grade} rotated out of the graded window"
 
 
@@ -78,23 +67,21 @@ def test_oracles_are_nonempty_sql():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 
-def test_late_r8_tail_queries_registered_for_r9_rotation():
-    """Queries born AFTER the r8 window filled (tail-positioned, parity-
-    verified locally, EVIDENCE.json window_round=null) MUST move into the
-    first 50 when the r9 window rotates. This pin stops the rotation from
-    silently dropping them — the single-query version of the r7 pipeline
-    tier's obligation."""
+def test_no_query_left_ungraded_behind_the_window():
+    """Every query the ledger marks pending-first-grading (window_round
+    null) must sit INSIDE the current 50-slot window — the generalized form
+    of the r8 pin that carried dedup_incremental/memory_snapshot_read into
+    r9. A query born into the tail is acceptable only until the next
+    rotation; this test is what makes the rotation mandatory."""
     import json
 
     names = list(entry.queries())
-    osql = entry.oracle_sql()
+    window = set(names[:50])
     with open("/root/repo/EVIDENCE.json") as f:
         ledger = json.load(f)
-    for q in ("dedup_incremental", "memory_snapshot_read"):
-        assert q in names and q in osql, q
-        assert ledger[q]["window_round"] is None, (
-            f"{q} claims grading evidence it does not have"
-        )
+    pending = [q for q, row in ledger.items() if row.get("window_round") is None]
+    out = [q for q in pending if q not in window]
+    assert out == [], f"pending-first-grade queries left in the tail: {out}"
 
 
 def test_bench_sets_pin_is_consistent():

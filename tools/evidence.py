@@ -89,6 +89,7 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "search_by_metadata": RETR,
     "doc_summary": RETR,
     "bm25_search": RETR,
+    "bm25_search_indexed": (f"{_PKG}/operators/bm25_index.py",),
     "hybrid_search": RETR + RAG,
     "pairwise_similarity": RAG,
     "rag_search": RAG,
