@@ -55,6 +55,7 @@ import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 _LOG_DIR = "_txn"
 
@@ -222,15 +223,29 @@ class TxnTable:
         pass over the freshly-written files."""
         name = f"d-{uuid.uuid4().hex}"
         df.write.parquet(os.path.join(self.path, name))
+        written = self.spark.read.parquet(os.path.join(self.path, name))
         aggs = [
             F.min(self.key_col).alias("lo"),
             F.max(self.key_col).alias("hi"),
             F.count("*").alias("n"),
         ]
         for c in self.stat_cols:
-            aggs.append(F.min(c).alias(f"_lo_{c}"))
-            aggs.append(F.max(c).alias(f"_hi_{c}"))
-        row = self.spark.read.parquet(os.path.join(self.path, name)).agg(*aggs).first()
+            # Timestamp stats are recorded as EPOCH MICROS, not datetimes:
+            # driver-side collection converts TimestampType through the
+            # driver OS timezone (naive local datetimes), so an ISO-string
+            # zone map written east of UTC would read AHEAD of a UTC `now`
+            # and wrongly skip directories holding already-expired rows.
+            # unix_micros is computed JVM-side from the internal epoch value
+            # — no conversion anywhere, comparable against any wall clock.
+            col = F.col(c)
+            dt = written.schema[c].dataType
+            if isinstance(dt, TimestampNTZType):
+                col = F.unix_micros(col.cast("timestamp"))
+            elif isinstance(dt, TimestampType):
+                col = F.unix_micros(col)
+            aggs.append(F.min(col).alias(f"_lo_{c}"))
+            aggs.append(F.max(col).alias(f"_hi_{c}"))
+        row = written.agg(*aggs).first()
         stats = {"lo": _portable(row["lo"]), "hi": _portable(row["hi"]), "n": row["n"]}
         if self.stat_cols:
             stats["stats"] = {
@@ -310,6 +325,52 @@ class TxnTable:
                 return v + 1
             # conflict: a concurrent writer won this version — the new data
             # dir is now an orphan (vacuum reclaims it); recompute and retry
+
+    def put_if_absent(self, updates: DataFrame) -> tuple[int, DataFrame]:
+        """First-writer-wins keyed insert as one ACID commit: only rows whose
+        key is NOT already present land; returns ``(version, inserted_df)``
+        where ``inserted_df`` reads back exactly the committed rows (empty
+        when every key was already taken — the version is then the one that
+        proved it). The arbitration primitive for racing admitters (VERDICT
+        r8 next-round #3): two writers inserting the same key produce
+        EXACTLY ONE insertion, and the loser's returned frame excludes it —
+        the loser thereby LEARNS the key was taken, which last-writer-wins
+        `upsert` cannot tell it.
+
+        Optimistic retry on version conflict, same as upsert: the retry
+        re-filters against the winner's live set, so the check-then-insert
+        is atomic at commit granularity. Batch-internal duplicate keys are
+        collapsed arbitrarily (dropDuplicates) — pre-dedup the batch when
+        which-copy-wins matters. No directory is rewritten: the insert is
+        a pure live-set append, so concurrent put_if_absent writers never
+        invalidate each other's data files, only force a re-filter."""
+        import shutil
+
+        while True:
+            v = self.version()
+            if v < 0:
+                raise FileNotFoundError(
+                    f"no committed version at {self.path} — create() the table first"
+                )
+            live = self._read_commit(v)["live"]
+            existing = self._read_dirs([d["dir"] for d in live])
+            fresh = updates.dropDuplicates([self.key_col]).join(
+                existing.select(self.key_col), self.key_col, "left_anti"
+            )
+            name, stats = self._write_data_dir(fresh)
+            if stats["n"] == 0:
+                # nothing new to insert — drop the empty uncommitted dir
+                # (ours alone, never referenced) and report version v
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                return v, updates.limit(0)
+            commit = {
+                "version": v + 1,
+                "op": "insert_if_absent",
+                "live": live + [{"dir": name, **stats}],
+            }
+            if self._try_publish(v + 1, commit):
+                return v + 1, self._read_dirs([name])
+            # conflict: orphan dir (vacuum reclaims); recompute and retry
 
     def delete_where(self, condition: Column | str, events_of=None, skip_dir=None) -> tuple[int, int]:
         """Delete matching rows in one ACID commit (the DELETE-WHERE
@@ -465,15 +526,36 @@ def expired_skipper(col: str, now):
     now`` predicate: a directory is provably match-free when its recorded
     minimum is strictly AFTER now (min/max ignore NULLs, and NULL rows never
     match the predicate, so an all-null or missing-stat directory simply
-    isn't skippable). ``now`` may be a datetime or an ISO string."""
+    isn't skippable).
+
+    Timestamp zone maps are EPOCH MICROS (see _write_data_dir), so the
+    comparison is pure integer arithmetic with no timezone anywhere: ``now``
+    (a datetime — naive means UTC, the sweep's convention) is converted to
+    epoch micros explicitly via a UTC attach, never through the driver OS
+    timezone. A directory whose stats predate the numeric format (legacy
+    ISO strings) is NOT skippable — those strings were rendered in the
+    writing driver's local timezone, and comparing them against a UTC now
+    is the mixed-timezone bug this function refuses to reintroduce; the
+    directory simply gets scanned (correctness over pruning)."""
     import datetime as _dt
 
-    now_s = now.isoformat() if isinstance(now, (_dt.datetime, _dt.date)) else str(now)
+    if isinstance(now, _dt.datetime):
+        aware = now if now.tzinfo is not None else now.replace(tzinfo=_dt.timezone.utc)
+        now_us = int(aware.timestamp() * 1_000_000)
+    elif isinstance(now, (int, float)):
+        now_us = int(now)
+    else:
+        raise TypeError(f"now must be a datetime or epoch micros, got {type(now)!r}")
 
     def skip(d: dict) -> bool:
         s = (d.get("stats") or {}).get(col) or {}
         lo = s.get("lo")
-        return lo is not None and isinstance(lo, str) and lo > now_s
+        return (
+            lo is not None
+            and isinstance(lo, (int, float))
+            and not isinstance(lo, bool)
+            and int(lo) > now_us
+        )
 
     return skip
 

@@ -474,3 +474,80 @@ def test_sweep_once_txn_uses_stats_and_agrees(spark, tmp_path):
     n = sweep_once_txn(t, str(tmp_path / "events"))
     assert n == 1
     assert {r.key for r in t.read().collect()} == {"f1", "live"}
+
+
+def test_timestamp_zone_maps_are_epoch_micros(spark, tmp_path):
+    """r9 (ADVICE r8): timestamp stats are recorded as epoch micros computed
+    JVM-side — never driver-local datetimes rendered to ISO strings — so the
+    skip comparison is timezone-free integer arithmetic. A directory whose
+    stats predate the numeric format (legacy ISO strings) must NOT be
+    pruned: those strings carry the writing driver's local timezone."""
+    from mcp_synaptic_spark.state.txn import expired_skipper
+
+    exp = datetime(2027, 6, 1, 12, 0, 0, tzinfo=timezone.utc)
+    path = str(tmp_path / "t")
+    t = TxnTable.create(
+        spark, path, _rows(spark, ("a", exp, "1")), stat_cols=("expires_at",)
+    )
+    stats = t._read_commit(t.version())["live"][0]["stats"]["expires_at"]
+    want_us = int(exp.timestamp() * 1_000_000)
+    assert stats["lo"] == want_us and stats["hi"] == want_us
+    # prune decisions flip exactly at the recorded micros, not at any
+    # string rendering of the instant
+    just_before = datetime(2027, 6, 1, 11, 59, 59)  # naive == UTC convention
+    just_after = datetime(2027, 6, 1, 12, 0, 1)
+    d = t._read_commit(t.version())["live"][0]
+    assert expired_skipper("expires_at", just_before)(d) is True
+    assert expired_skipper("expires_at", just_after)(d) is False
+    # legacy string stats: conservative — never skipped
+    legacy = {"stats": {"expires_at": {"lo": "2030-01-01T00:00:00", "hi": "2030-01-01T00:00:00"}}}
+    assert expired_skipper("expires_at", just_before)(legacy) is False
+
+
+def test_put_if_absent_first_writer_wins(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _rows(spark, ("a", None, "v1")))
+    v, ins = t.put_if_absent(_rows(spark, ("a", None, "LOSER"), ("b", None, "v2")))
+    assert v == 1
+    assert [r.key for r in ins.collect()] == ["b"]
+    got = {r.key: r.payload for r in t.read().collect()}
+    assert got == {"a": "v1", "b": "v2"}  # existing key untouched
+    # all taken: no new version, empty return
+    v2, ins2 = t.put_if_absent(_rows(spark, ("a", None, "x"), ("b", None, "y")))
+    assert v2 == 1 and ins2.count() == 0
+    assert {r.key: r.payload for r in t.read().collect()} == got
+
+
+def test_put_if_absent_threaded_exactly_one_insertion(spark, tmp_path):
+    """Two racing writers inserting the SAME key: exactly one lands, and the
+    loser's returned frame excludes it — the admission-arbitration contract
+    (a last-writer-wins upsert cannot tell the loser it lost)."""
+    import threading
+
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _rows(spark, ("seed", None, "0")))
+    results = {}
+
+    def writer(tag):
+        tbl = TxnTable(spark, path)
+        v, ins = tbl.put_if_absent(
+            _rows(spark, ("contested", None, tag), (f"own-{tag}", None, tag))
+        )
+        results[tag] = {r.key for r in ins.collect()}
+
+    th = [threading.Thread(target=writer, args=(x,)) for x in ("A", "B")]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    winners = [tag for tag, keys in results.items() if "contested" in keys]
+    assert len(winners) == 1, results
+    rows = {r.key: r.payload for r in t.read().collect()}
+    assert rows["contested"] == winners[0]
+    assert set(rows) == {"seed", "contested", "own-A", "own-B"}
+
+
+def test_put_if_absent_batch_internal_dupes_collapse(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _rows(spark, ("seed", None, "0")))
+    _, ins = t.put_if_absent(_rows(spark, ("k", None, "x"), ("k", None, "y")))
+    assert [r.key for r in ins.collect()] == ["k"]
+    assert t.read().where("key = 'k'").count() == 1
