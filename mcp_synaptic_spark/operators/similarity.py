@@ -272,17 +272,23 @@ def mllib_lsh_topk_indexed(
 ) -> DataFrame:
     """BRP-LSH top-k against a PERSISTED hashed corpus — no fit, no corpus
     transform in the query path. Bit-compatible with mllib_lsh_topk given
-    the same planes (the fit is only a plane draw): candidates are DISTINCT
-    pairs sharing ANY table's bucket (what approxSimilarityJoin's hash-entry
-    explode + equi-join produces), then the exact re-rank keeps l2 <
-    threshold and scores cos ≡ 1 − l2²/2 over the stored unit vectors.
+    the same planes (the fit is only a plane draw): candidates are the
+    pairs sharing ANY table's bucket (what approxSimilarityJoin's
+    hash-entry explode + equi-join produces), then the exact re-rank keeps
+    l2 < threshold and scores cos ≡ 1 − l2²/2 over the stored unit vectors.
 
-    Physical shape at scale: the query side is tiny (hash + normalize a few
-    vectors) and broadcast; candidate generation is a broadcast equi-join on
-    (table, bucket) over a narrow (id, h*) projection of the index scan;
-    vectors (vn) are read only for the candidate set via a second broadcast
-    semi-join. One shuffle total (the final per-qid rank window over ≤
-    candidate rows).
+    Physical shape at scale (rewritten r9 — VERDICT r8 next-round #6: the
+    old explode-union-distinct probe ran 157 s at 100× vs IVF's 44 s):
+    the query side is tiny by contract, so its per-table bucket ids are
+    collected driver-side (ints only — vectors never leave the cluster)
+    and turned into ONE pruning predicate `h0 IN (…) OR h1 IN (…) OR …`
+    pushed into a single narrow index scan — no ×L corpus explode, no
+    candidate distinct, no join-back for vectors (vn rides the same scan).
+    Each surviving row then pairs with the broadcast query frame on the
+    same any-table-matches condition, evaluating every (doc, query) pair
+    exactly once — the distinct the old plan shuffled for is free by
+    construction. ZERO data shuffles until the final per-qid rank window
+    over candidate rows.
     """
     nt = len(planes)
     q = queries.select(
@@ -292,17 +298,17 @@ def mllib_lsh_topk_indexed(
         "qn",
         *[_brp_hash_expr("qn", p, bucket_length).alias(f"qh{i}") for i, p in enumerate(planes)],
     )
-    qx = q.select(
-        query_id_col,
-        F.posexplode(F.array(*[F.col(f"qh{i}") for i in range(nt)])).alias("tbl", "hb"),
-    )
-    cx = indexed_corpus.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[F.col(f"h{i}") for i in range(nt)])).alias("tbl", "hb"),
-    )
-    cand = (
-        cx.join(F.broadcast(qx), ["tbl", "hb"]).select(query_id_col, id_col).distinct()
-    )
+    # tiny-by-contract query side: collect the INT bucket ids per table
+    # (the rag.py 1-row-stats pattern — never the vectors)
+    qh_rows = q.select(*[f"qh{i}" for i in range(nt)]).collect()
+    bucket_vals = [sorted({r[f"qh{i}"] for r in qh_rows}) for i in range(nt)]
+    prune = F.lit(False)
+    for i in range(nt):
+        if bucket_vals[i]:
+            prune = prune | F.col(f"h{i}").isin(bucket_vals[i])
+    any_table_match = F.lit(False)
+    for i in range(nt):
+        any_table_match = any_table_match | (F.col(f"h{i}") == F.col(f"qh{i}"))
     l2 = F.sqrt(
         F.aggregate(
             F.zip_with(F.col("qn"), F.col("vn"), lambda x, y: (x - y) * (x - y)),
@@ -311,8 +317,9 @@ def mllib_lsh_topk_indexed(
         )
     )
     scored = (
-        cand.join(indexed_corpus.select(id_col, "vn"), id_col)
-        .join(F.broadcast(q.select(query_id_col, "qn")), query_id_col)
+        indexed_corpus.where(prune)
+        .crossJoin(F.broadcast(q))
+        .where(any_table_match)
         .select(
             F.col(query_id_col),
             F.col(id_col),

@@ -397,3 +397,33 @@ def test_ivf_sq8_probe_matches_float_probe_cells_and_recall(spark, sf_dir):
         # same candidate cells → heavy overlap; top-1 (self, cosine ~1) identical
         assert len(ids_e & ids_q) >= 4, qid
         assert min(ex[qid])[1] == min(qz[qid])[1] == qid
+
+
+def test_mllib_lsh_indexed_probe_plan_is_pruned_single_scan(spark, sf_dir, tmp_path):
+    """r9 probe rewrite (VERDICT r8 #6): the plan must show the new shape —
+    no corpus explode (Generate), no candidate distinct, and zero data
+    shuffles before the final rank window (exactly one non-broadcast
+    Exchange)."""
+    import pyspark.sql.functions as F
+
+    from mcp_synaptic_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = S._hyperplanes(len(emb.first()["embedding"]), 4, seed=7)
+    path = str(tmp_path / "brp")
+    S.mllib_lsh_index_write(emb, path, planes, id_col="vec_id")
+    indexed, loaded_planes, bl = S.mllib_lsh_index_load(spark, path)
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = S.mllib_lsh_topk_indexed(
+        queries, indexed, loaded_planes, k=3, bucket_length=bl, id_col="vec_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, "corpus explode crept back into the probe"
+    assert "HashAggregate" not in plan, "candidate distinct crept back"
+    # exactly one hash-partitioned shuffle: the rank window's (the tiny
+    # query side may carry a SinglePartition limit exchange — broadcast-
+    # subtree only, never corpus data)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "PushedFilters" in plan  # bucket IN-lists reach the parquet scan
