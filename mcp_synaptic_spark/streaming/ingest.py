@@ -56,7 +56,20 @@ def ingest_pipeline(
     plan-internal order in a batch — for EXACT duplicates every copy has
     identical downstream output, so the surviving chunks are the same set
     either way.
+
+    ``id_col``: quality_gate reads/reserves the literal column name
+    ``doc_id`` (its fused projection contract), so a non-default id is
+    threaded by renaming at the boundary — rename in, run the chain on
+    doc_id, rename back on the chunk output (ADVICE r8: the parameter used
+    to fail at analysis time for any non-default value).
     """
+    if id_col != "doc_id":
+        if "doc_id" in docs.columns:
+            raise ValueError(
+                f"id_col={id_col!r} with an existing 'doc_id' column would "
+                "clobber it — rename one of them first"
+            )
+        docs = docs.withColumnRenamed(id_col, "doc_id")
     # carry the payload THROUGH the gate (keep_cols) instead of joining the
     # verdicts back to the input — that join would be a stream-stream
     # self-join with unbounded state
@@ -67,10 +80,11 @@ def ingest_pipeline(
     deduped = streaming_exact_dedup(
         kept, content_col=content_col, ts_col=ts_col, watermark=watermark
     )
-    return chunk_documents(
+    out = chunk_documents(
         deduped, chunk_words=chunk_words, overlap=overlap,
-        content_col=content_col, id_col=id_col,
+        content_col=content_col, id_col="doc_id",
     )
+    return out if id_col == "doc_id" else out.withColumnRenamed("doc_id", id_col)
 
 
 def admit_stream(
@@ -83,6 +97,7 @@ def admit_stream(
     max_bucket: int | None = None,
     index_path: str | None = None,
     append_admitted: bool = False,
+    txn_admission: bool = False,
     id_col: str = "doc_id",
 ):
     """The near-dup half of the front door: screen each arriving
@@ -99,16 +114,35 @@ def admit_stream(
     batches are visible. With ``append_admitted=True`` every batch's
     admitted documents are appended to the index before the next batch is
     screened — the complete incremental service: a document admitted in
-    batch N is an exact_dup in batch N+1. (availableNow micro-batches run
+    batch N is an exact_dup in batch N+1. availableNow micro-batches run
     sequentially, so the read-screen-append cycle is race-free within one
-    query; racing admitters across queries need the TxnTable variant noted
-    in dedup_index_append.)"""
-    from ..operators.dedup import dedup_incremental, dedup_index_append, dedup_index_load
+    query; ``txn_admission=True`` (r9, VERDICT r8 #3) additionally routes
+    the append through the TxnTable admissions ledger
+    (dedup.dedup_index_append_txn), so RACING admitters across queries
+    cannot both admit the same content — the ledger's put_if_absent lands
+    each hash exactly once and this query's losers simply skip the
+    artifact append.
+
+    Per-batch verdicts are materialized to a scratch parquet directory
+    under the checkpoint (sink and append must agree even though the index
+    they probed is about to grow) and read back for both consumers — never
+    collected to the driver: the module's own scale narrative puts a crawl
+    batch at millions of rows (ADVICE r8)."""
+    import os
+
+    from ..operators.dedup import (
+        dedup_incremental,
+        dedup_index_append,
+        dedup_index_append_txn,
+        dedup_index_load,
+    )
 
     if index_path is None and corpus is None:
         raise ValueError("pass a corpus DataFrame or index_path")
     if append_admitted and index_path is None:
         raise ValueError("append_admitted requires index_path (there is nothing to grow)")
+    if txn_admission and not append_admitted:
+        raise ValueError("txn_admission only arbitrates appends — set append_admitted=True")
 
     def _screen(batch_df: DataFrame, batch_id: int):
         spark = batch_df.sparkSession
@@ -122,15 +156,18 @@ def admit_stream(
                 corpus, batch_df, threshold=threshold, max_bucket=max_bucket, id_col=id_col
             )
         if append_admitted:
-            # materialize verdicts BEFORE appending: the sink and the append
-            # must agree even though the index they probed is about to grow
-            rows = verdicts.collect()
-            admitted_ids = [r[id_col] for r in rows if r.verdict == "admitted"]
-            if admitted_ids:
-                dedup_index_append(
-                    batch_df.where(F.col(id_col).isin(admitted_ids)), index_path, id_col=id_col
-                )
-            sink(spark.createDataFrame(rows, verdicts.schema), batch_id)
+            scratch = os.path.join(checkpoint, "_screen", f"batch-{batch_id}")
+            verdicts.write.mode("overwrite").parquet(scratch)
+            vd = spark.read.parquet(scratch)
+            admitted_docs = batch_df.join(
+                vd.where(F.col("verdict") == "admitted").select(id_col), id_col, "semi"
+            )
+            if vd.where(F.col("verdict") == "admitted").limit(1).count():
+                if txn_admission:
+                    dedup_index_append_txn(admitted_docs, index_path, id_col=id_col)
+                else:
+                    dedup_index_append(admitted_docs, index_path, id_col=id_col)
+            sink(vd, batch_id)
         else:
             sink(verdicts, batch_id)
 

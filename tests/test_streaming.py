@@ -770,3 +770,78 @@ def test_admit_stream_index_append_across_microbatches(spark, sf_dir, tmp_path):
     dup = next(r for r in by_doc.values() if r.verdict == "exact_dup")
     adm = next(r for r in by_doc.values() if r.verdict == "admitted")
     assert dup.match_id == adm.doc_id
+
+
+def test_ingest_pipeline_threads_non_default_id_col(spark, sf_dir):
+    """r9 (ADVICE r8): id_col used to be non-functional — quality_gate
+    hard-codes doc_id, so any other name failed at analysis time. The
+    rename-at-the-boundary fix must produce the same chunks under the
+    caller's column name, and refuse an ambiguous input."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.streaming.ingest import ingest_pipeline
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    renamed = docs.withColumnRenamed("doc_id", "crawl_id")
+    got = {
+        (r.crawl_id, r.chunk_idx, r.chunk_text)
+        for r in ingest_pipeline(renamed, id_col="crawl_id", chunk_words=40, overlap=10).collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in ingest_pipeline(docs, chunk_words=40, overlap=10).collect()
+    }
+    assert got == want and len(want) > 0
+    with pytest.raises(ValueError, match="doc_id"):
+        ingest_pipeline(renamed.withColumn("doc_id", F.lit(1)), id_col="crawl_id")
+
+
+def test_admit_stream_txn_admission_same_service_plus_ledger(spark, sf_dir, tmp_path):
+    """txn_admission=True (r9, VERDICT r8 #3): the cross-micro-batch service
+    behaves identically (batch-N admit flags exact_dup in batch N+1) while
+    every admission also lands in the TxnTable ledger — the arbitration
+    that stops racing admitters across queries (the race itself is pinned
+    in test_dedup.py::test_index_append_txn_race_exactly_one_admission)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.dedup import dedup_index_write
+    from mcp_synaptic_spark.state.txn import TxnTable
+    from mcp_synaptic_spark.streaming.ingest import admit_stream
+
+    corpus = load_table(spark, sf_dir, "documents")
+    index_path = str(tmp_path / "idx")
+    dedup_index_write(corpus, index_path)
+
+    novel_text = "an unprecedented arrival for the txn admission test"
+    b1 = spark.createDataFrame([(910_001, novel_text)], "doc_id LONG, text STRING")
+    b2 = spark.createDataFrame([(910_002, novel_text)], "doc_id LONG, text STRING")
+    src = str(tmp_path / "arrivals")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    results = []
+    q = admit_stream(
+        spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1).parquet(src),
+        None,
+        lambda df, bid: results.extend(df.collect()),
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=index_path,
+        append_admitted=True,
+        txn_admission=True,
+    )
+    q.awaitTermination(180)
+
+    by_doc = {r.doc_id: r for r in results}
+    assert sorted(r.verdict for r in by_doc.values()) == ["admitted", "exact_dup"]
+    # exactly one ledger row for the contested content
+    ledger = TxnTable(spark, f"{index_path}/_admissions", key_col="ch")
+    rows = ledger.read().collect()
+    assert len(rows) == 1 and rows[0].id in by_doc
+    # misuse guard: arbitration without an append is meaningless
+    with pytest.raises(ValueError, match="append_admitted"):
+        admit_stream(
+            spark.readStream.schema(b1.schema).parquet(src), None, lambda df, bid: None,
+            checkpoint=str(tmp_path / "ckpt2"), index_path=index_path, txn_admission=True,
+        )
