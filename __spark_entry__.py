@@ -2285,6 +2285,17 @@ _ORACLE_BM25 = _mk_oracle_bm25()
 _BM25_CACHE_ROOT = "/root/repo/.bm25_cache"
 
 
+def _bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or staleness-check) the per-SF persisted BM25 index; returns
+    its path. Shared by the graded probe query and bench.py's build-outside-
+    the-timed-region warm-up (the IVF/BRP precedent)."""
+    from mcp_synaptic_spark.operators.bm25_index import bm25_index_write
+
+    path = os.path.join(_BM25_CACHE_ROOT, sf_dir.strip("/").replace("/", "_"))
+    bm25_index_write(_t(spark, sf_dir, "documents"), path)
+    return path
+
+
 def _q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k via the PERSISTED inverted index (operators/bm25_index.py,
     new r9 — VERDICT r8 next-round #2): same query, k1/b and output contract
@@ -2295,15 +2306,9 @@ def _q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the SAME SQL as bm25_search — a hash-green row here certifies
     the whole build/probe split. The index is cached per sf_dir with the
     n_docs staleness guard (the mllib/ivf idempotent-build contract)."""
-    from mcp_synaptic_spark.operators.bm25_index import (
-        bm25_index_write,
-        bm25_search_indexed,
-    )
+    from mcp_synaptic_spark.operators.bm25_index import bm25_search_indexed
 
-    path = os.path.join(
-        _BM25_CACHE_ROOT, sf_dir.strip("/").replace("/", "_")
-    )
-    bm25_index_write(_t(spark, sf_dir, "documents"), path)
+    path = _bm25_index(spark, sf_dir)
     return bm25_search_indexed(
         spark, path, " ".join(_BM25_TERMS), k=10, k1=_BM25_K1, b=_BM25_B
     )

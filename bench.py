@@ -53,6 +53,7 @@ def main() -> None:
     # contract.
     entrymod._ivf_index(spark, sf_dir)
     entrymod._mllib_lsh_index(spark, sf_dir)
+    entrymod._bm25_index(spark, sf_dir)
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}

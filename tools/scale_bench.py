@@ -133,7 +133,25 @@ def main() -> None:
         "dedup_minhash_capped",
         lambda: minhash_lsh_pairs(docs, threshold=0.5, max_bucket=200).count(),
     )
-    timed("dedup_simhash", lambda: simhash_pairs(docs, max_hamming=3).count())
+    # r9: the DEFAULT simhash path is now auto-capped (auto_max_bucket —
+    # the r8 494 s / 1.3e9-pair uncapped cliff is the opt-in audit arm).
+    # `dedup_simhash` keeps measuring the default; the uncapped audit arm is
+    # recorded at rep<=10 where it is affordable, with auto ⊆ uncapped
+    # pinned there.
+    from mcp_synaptic_spark.operators.dedup import auto_max_bucket
+
+    checks["auto_max_bucket"] = auto_max_bucket(n_docs)
+    n_sh_auto = timed(
+        "dedup_simhash", lambda: simhash_pairs(docs, max_hamming=3).count()
+    )
+    checks["simhash_auto_pairs"] = n_sh_auto
+    if rep <= 10:
+        n_sh_uncapped = timed(
+            "dedup_simhash_uncapped_audit",
+            lambda: simhash_pairs(docs, max_hamming=3, max_bucket=None).count(),
+        )
+        checks["simhash_uncapped_pairs"] = n_sh_uncapped
+        checks["simhash_auto_subset_of_uncapped"] = bool(n_sh_auto <= n_sh_uncapped)
 
     # --- ANN tier: auto-sized knobs, build/probe split ----------------------
     timed(
@@ -243,6 +261,20 @@ def main() -> None:
 
     tr_emb = emb.where(F.col("vec_id") % 97 != 0)
     ev_emb = emb.where(F.col("vec_id") % 97 == 0)
+    # r9: record the router's decision at this shape and time BOTH forced
+    # arms, so every artifact carries the crossover data the router's
+    # constants were fitted from (VERDICT r8 #5)
+    from mcp_synaptic_spark.operators.pipeline import semantic_route
+
+    n_tr, n_ev = tr_emb.count(), ev_emb.count()
+    checks["semantic_auto_route"] = semantic_route(n_tr, n_ev)
+    n_flagged_exact = timed(
+        "decontaminate_semantic_exact_forced",
+        lambda: semantic_decontaminate(
+            tr_emb, ev_emb, threshold=0.9, candidates="exact"
+        ).count(),
+    )
+    checks["semantic_exact_flagged"] = n_flagged_exact
     flagged_sem = semantic_decontaminate(tr_emb, ev_emb, threshold=0.9).cache()
     n_flagged_sem = timed("decontaminate_semantic_10x", lambda: flagged_sem.count())
     checks["semantic_decontaminate_flagged"] = n_flagged_sem
@@ -404,12 +436,23 @@ def main() -> None:
     n_flagged_auto = timed(
         "decontaminate_semantic_auto_10x", lambda: flagged_auto.count()
     )
-    # auto must resolve to the LSH candidate path at this shape (4.1M pairs
-    # > SEMANTIC_EXACT_MAX_PAIRS) and lose none of the byte-identical twins
+    # r9 router: auto resolves per the measured cost model (lsh at the 10x
+    # shape, exact at the 100x shape) and loses none of the byte-identical
+    # twins; on THIS corpus only exact twins clear 0.9, so both arms flag
+    # the identical set and the equality check is route-independent
     missed_auto = twins.join(flagged_auto.select("vec_id"), "vec_id", "left_anti").count()
     checks["semantic_decontaminate_auto_catches_all_twins"] = bool(
         missed_auto == 0 and n_flagged_auto == n_flagged_lsh
     )
+    # artifact evidence for "auto <= min(exact, lsh) within noise": compare
+    # the auto timing against the faster forced arm (2x = this box's
+    # measured shuffle-noise band)
+    t_auto = timings["decontaminate_semantic_auto_10x"]
+    t_best = min(
+        timings["decontaminate_semantic_exact_forced"],
+        timings["decontaminate_semantic_lsh_10x"],
+    )
+    checks["semantic_auto_within_noise_of_best"] = bool(t_auto <= 2.0 * t_best)
     flagged_auto.unpersist()
 
     # --- r8: two-star CC equivalence on the real 10x pair graph -------------
@@ -474,6 +517,117 @@ def main() -> None:
     top_base = bm25_search(load_table(spark, SF_DIR, "documents"), bm_query, k=1).collect()
     checks["bm25_score_scale_invariant_1e2"] = bool(
         top10x and abs(top10x[0].bm25 - top_base[0].bm25) < 1e-2
+    )
+
+    # --- r9: persisted BM25 index — build once, probe per query --------------
+    # (VERDICT r8 next-round #2: per-query corpus stats recompute was the
+    # one retrieval tier without a build/probe split.) The probe must
+    # return the per-query form's rows exactly, and the per-query cost
+    # must drop by the Σdf-vs-corpus-scan ratio; build cost amortizes over
+    # every subsequent keyword query.
+    from mcp_synaptic_spark.operators.bm25_index import (
+        bm25_index_write,
+        bm25_search_indexed,
+    )
+
+    bm25_path = f"{SCRATCH}/bm25_index"
+    shutil.rmtree(bm25_path, ignore_errors=True)
+    timed("bm25_index_build", lambda: bm25_index_write(docs, bm25_path, overwrite=True))
+    bm_queries = ["dup hash join vector", "memory vector", "the data hash dup join"]
+    t0 = time.perf_counter()
+    direct_rows = [bm25_search(docs, q, k=10).collect() for q in bm_queries]
+    t_direct = (time.perf_counter() - t0) / len(bm_queries)
+    t0 = time.perf_counter()
+    probe_rows = [
+        bm25_search_indexed(spark, bm25_path, q, k=10).collect() for q in bm_queries
+    ]
+    t_probe = (time.perf_counter() - t0) / len(bm_queries)
+    timings["bm25_search_per_query"] = round(t_direct, 3)
+    timings["bm25_probe_per_query"] = round(t_probe, 3)
+    checks["bm25_probe_equals_direct"] = bool(
+        all(
+            [tuple(r) for r in p] == [tuple(r) for r in d]
+            for p, d in zip(probe_rows, direct_rows)
+        )
+    )
+    checks["bm25_probe_speedup"] = round(t_direct / max(t_probe, 1e-9), 2)
+
+    # --- r9: admit_stream per-batch cost curve (VERDICT r8 next-round #8) ----
+    # The composed service loop measured end-to-end: screen + append over
+    # successive micro-batches against the GROWING persisted index. Each
+    # batch holds 900 novel docs + 100 copies of the PREVIOUS batch's
+    # admissions, so cross-batch admission is exercised every step: the
+    # copies must flag exact_dup against an index that only contains their
+    # originals because the previous batch appended them.
+    from mcp_synaptic_spark.operators.dedup import dedup_index_write
+    from mcp_synaptic_spark.streaming.ingest import admit_stream
+
+    admit_idx = f"{SCRATCH}/admit_index"
+    shutil.rmtree(admit_idx, ignore_errors=True)
+    timed("admit_index_build", lambda: dedup_index_write(docs, admit_idx))
+    arrivals_dir = f"{SCRATCH}/admit_arrivals"
+    ckpt_dir = f"{SCRATCH}/admit_ckpt"
+    shutil.rmtree(arrivals_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    n_batches, batch_new = 5, 900
+
+    def novel_batch(b):
+        return spark.range(batch_new).select(
+            (F.lit(700_000_000 + b * 10_000) + F.col("id")).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.lit(f"novel arrival batch{b}"),
+                F.concat(F.lit("alpha"), F.col("id")),
+                F.concat(F.lit("beta"), F.col("id")),
+                F.concat(F.lit("gamma"), F.col("id")),
+                F.concat(F.lit(f"delta{b}x"), F.col("id")),
+            ).alias("text"),
+        )
+
+    for b in range(n_batches):
+        batch = novel_batch(b)
+        if b > 0:
+            batch = batch.unionAll(
+                novel_batch(b - 1)
+                .limit(100)
+                .select((F.col("doc_id") + 5_000).alias("doc_id"), "text")
+            )
+        batch.coalesce(1).write.mode("append").parquet(arrivals_dir)
+
+    batch_marks: list[float] = []
+    batch_verdicts: list[dict] = []
+
+    def admit_sink(vd, bid):
+        counts = {r["verdict"]: r["n"] for r in vd.groupBy("verdict").agg(F.count("*").alias("n")).collect()}
+        batch_verdicts.append(counts)
+        batch_marks.append(time.perf_counter())
+
+    t_start = time.perf_counter()
+    q = admit_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir),
+        None,
+        admit_sink,
+        checkpoint=ckpt_dir,
+        index_path=admit_idx,
+        append_admitted=True,
+    )
+    q.awaitTermination(1200)
+    per_batch = [
+        round(m - (batch_marks[i - 1] if i else t_start), 3)
+        for i, m in enumerate(batch_marks)
+    ]
+    timings["admit_stream_total"] = round(sum(per_batch), 3)
+    checks["admit_per_batch_sec"] = per_batch
+    checks["admit_batches_run"] = len(per_batch)
+    total_admitted = sum(c.get("admitted", 0) for c in batch_verdicts)
+    total_dup = sum(c.get("exact_dup", 0) for c in batch_verdicts)
+    # every novel doc admitted once; every cross-batch copy caught against
+    # the grown index (first batch has no copies: 4x100 dups expected)
+    checks["admit_cross_batch_dups_caught"] = bool(
+        total_admitted == n_batches * batch_new
+        and total_dup == (n_batches - 1) * 100
     )
 
     # --- r8: incremental ingestion screen at 10x -----------------------------
