@@ -3393,6 +3393,57 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_t(spark, sf_dir, "documents"), window_tokens=512, n_shards=8)
 
 
+_BUDGET_TOKENS = 12_000
+
+
+def _q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted token-budget corpus selection (pipeline.py:
+    select_token_budget, new r9): score every doc with quality_score, then
+    keep the highest-quality prefix whose running token sum fits the
+    budget — the corpus-assembly step between scoring and tokenization.
+    The Spark side is the exact two-phase bucket selection (no global
+    single-partition window); the oracle IS the naive global window, so a
+    hash-green row proves the two-phase plan bit-equals it."""
+    from mcp_synaptic_spark.operators.pipeline import select_token_budget
+
+    scored = TA.quality_score(_t(spark, sf_dir, "documents"))
+    return select_token_budget(scored, _BUDGET_TOKENS)
+
+
+_ORACLE_TOKEN_BUDGET = f"""
+WITH base AS (
+  SELECT doc_id, text,
+    length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    t -> list_contains({_STOP_LIST_SQL}, t))) AS n_stop
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_words,
+    CASE WHEN n_words > 0 THEN n_chars::DOUBLE / n_words ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_words > 0 THEN n_stop::DOUBLE / n_words ELSE 0.0 END AS stop_ratio,
+    CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END AS length_ok,
+    n_chars
+  FROM base
+), scored AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+    round(0.3 * length_ok
+        + 0.2 * (CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        + 0.2 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+        + 0.3 * least(1.0, stop_ratio * 5), 6) AS quality_score
+  FROM feat
+), cum AS (
+  SELECT doc_id, n_words, quality_score,
+    SUM(n_words) OVER (ORDER BY quality_score DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM scored
+)
+SELECT doc_id, n_words, quality_score FROM cum WHERE c <= {_BUDGET_TOKENS}
+"""
+
+
 _ORACLE_PACK_SEQUENCES = r"""
 WITH b AS (
   SELECT doc_id,
@@ -3497,7 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_search_filtered": _q_rag_search_filtered,
         "find_similar": _q_find_similar,
         "batch_topk": _q_batch_topk,
-        "knn_classify": _q_knn_classify,
+        "token_budget_select": _q_token_budget_select,
         # ---- entry 50 ends here ------------------------------------------
         # tail: every entry below is green in CORRECTNESS_r08 with operator
         # files unchanged since (EVIDENCE.json + tools/evidence.py enforce it)
@@ -3547,6 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_delete": _q_memory_delete,
         "memory_exists": _q_memory_exists,
         "memory_update": _q_memory_update,
+        "knn_classify": _q_knn_classify,
     }
 
 
@@ -3652,6 +3704,7 @@ def oracle_sql() -> dict[str, str]:
         **({"dedup_semantic": _ORACLE_DEDUP_SEMANTIC} if _ORACLE_DEDUP_SEMANTIC else {}),
         "decontaminate_semantic": _ORACLE_DECONTAMINATE_SEMANTIC,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
+        "token_budget_select": _ORACLE_TOKEN_BUDGET,
         "dedup_substring_apply": _ORACLE_DEDUP_SUBSTRING_APPLY,
         "quality_gate": _mk_oracle_quality_gate(),
     }

@@ -553,6 +553,84 @@ def semantic_decontaminate(
     )
 
 
+def select_token_budget(
+    scored: DataFrame,
+    budget_tokens: int,
+    *,
+    quality_col: str = "quality_score",
+    tokens_col: str = "n_words",
+    id_col: str = "doc_id",
+    bucket_dp: int = 2,
+) -> DataFrame:
+    """Quality-weighted token-budget selection (new r9): keep the
+    highest-quality documents whose cumulative token count fits
+    ``budget_tokens`` — the corpus-assembly step between scoring and
+    tokenization ("fill a 10B-token budget with the best docs", the
+    selection rule behind quality-pruned pretraining mixes, cf. the
+    quality-filtering stages in Gopher/RefinedWeb-style pipelines).
+
+    Semantics (deterministic, oracle-twinned): order docs by
+    (quality DESC, id ASC); keep the maximal prefix with running token sum
+    ≤ budget. Token counts are non-negative, so {cum ≤ budget} IS a prefix
+    — the output is exactly `WHERE SUM(tokens) OVER (ORDER BY quality
+    DESC, id ROWS UNBOUNDED PRECEDING) <= budget` and hash-comparable
+    against that SQL.
+
+    Scale shape — the naive plan is a GLOBAL running-sum window, which
+    Spark executes on a single partition (the exact anti-pattern this
+    module bans). Instead, exact two-phase selection:
+    1. aggregate token totals per quality BUCKET (quality rounded to
+       ``bucket_dp`` — ≤ 10^bucket_dp + 1 groups, one map-side-combined
+       shuffle) and collect the tiny per-bucket table driver-side;
+    2. every bucket strictly above the boundary is kept WHOLE (narrow
+       filter, no window); ONLY the single boundary bucket runs the
+       running-sum window, partitioned by its bucket key, offset by the
+       tokens already spent.
+    Rounding is monotone, so bucket order refines global order and the
+    within-boundary window (exact quality DESC, id) completes it — the
+    result is bit-identical to the global window at any bucket_dp. The one
+    skewable unit is the boundary bucket's window partition, bounded by
+    how many docs share one rounded-quality value — ``bucket_dp`` is the
+    dial (more decimals → smaller buckets).
+
+    Output: (id_col, tokens_col, quality_col) of the selected docs.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    cols = [F.col(id_col), F.col(tokens_col).cast("bigint").alias(tokens_col), F.col(quality_col)]
+    base = scored.select(*cols).withColumn("_b", F.round(F.col(quality_col), bucket_dp))
+    totals = base.groupBy("_b").agg(F.sum(tokens_col).alias("s")).collect()
+    spent, full_buckets, boundary = 0, [], None
+    for r in sorted(totals, key=lambda r: -r["_b"]):
+        if spent + r["s"] <= budget_tokens:
+            spent += r["s"]
+            full_buckets.append(r["_b"])
+        else:
+            boundary = r["_b"]
+            break
+    parts = []
+    if full_buckets:
+        parts.append(base.where(F.col("_b").isin(full_buckets)))
+    if boundary is not None:
+        w = (
+            Window.partitionBy("_b")
+            .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        parts.append(
+            base.where(F.col("_b") == boundary)
+            .withColumn("_cum", F.sum(tokens_col).over(w))
+            .where(F.col("_cum") + F.lit(spent) <= F.lit(budget_tokens))
+            .drop("_cum")
+        )
+    if not parts:
+        return scored.select(*cols).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.drop("_b")
+
+
 def pack_sequences(
     docs: DataFrame,
     *,

@@ -52,7 +52,7 @@ def test_graded_window_holds_the_round_targets():
         # state/txn.py: numeric timestamp zone-maps + put_if_absent
         "memory_upsert_txn", "memory_upsert_ckpt",
     )
-    r9_new = ("bm25_search_indexed",)
+    r9_new = ("bm25_search_indexed", "token_budget_select")
     r6_refresh = (
         "sanitize", "ts_parse_multi", "embed_texts", "events_hourly",
         "events_sliding", "events_sessions", "frame_sample",

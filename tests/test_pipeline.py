@@ -517,3 +517,63 @@ def test_dedup_embedding_auto_ceiling_matches_measured_shapes():
 
     for n, want_exact in [(1_979, True), (7_000, True), (19_794, False), (198_000, False)]:
         assert (n * n <= AUTO_EXACT_MAX_PAIRS) is want_exact, n
+
+
+def test_select_token_budget_equals_global_window(spark, sf_dir):
+    """The two-phase bucket selection must be bit-identical to the naive
+    global running-sum window at ANY bucket_dp (the whole point: same
+    answer, no single-partition window)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.pipeline import select_token_budget
+    from mcp_synaptic_spark.operators.text_analysis import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = quality_score(docs)
+    total = scored.agg(F.sum("n_words")).collect()[0][0]
+
+    def brute(budget):
+        w = (
+            W.orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return {
+            (r.doc_id, r.n_words, r.quality_score)
+            for r in scored.withColumn("_c", F.sum("n_words").over(w))
+            .where(F.col("_c") <= budget)
+            .collect()
+        }
+
+    for budget in (0, 37, 500, total // 3, total, total + 10_000):
+        want = brute(budget)
+        for dp in (1, 2, 3):
+            got = {
+                tuple(r)
+                for r in select_token_budget(scored, budget, bucket_dp=dp).collect()
+            }
+            assert got == want, (budget, dp, len(got), len(want))
+
+
+def test_select_token_budget_edges(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.pipeline import select_token_budget
+
+    scored = spark.createDataFrame(
+        [(1, 10, 0.9), (2, 0, 0.9), (3, 10, 0.5), (4, 7, 0.5)],
+        "doc_id long, n_words long, quality_score double",
+    )
+    # zero-token doc rides free inside the prefix
+    got = {r.doc_id for r in select_token_budget(scored, 10).collect()}
+    assert got == {1, 2}
+    # exact-fit boundary includes the boundary doc
+    assert {r.doc_id for r in select_token_budget(scored, 20).collect()} == {1, 2, 3}
+    # tie on quality breaks by id: budget 17 fits doc3 (id 3 < 4), not doc4
+    assert {r.doc_id for r in select_token_budget(scored, 20 + 6).collect()} == {1, 2, 3}
+    assert {r.doc_id for r in select_token_budget(scored, 27).collect()} == {1, 2, 3, 4}
+    assert select_token_budget(scored, 0).count() == 0
+    assert select_token_budget(scored.limit(0), 100).count() == 0
+    with pytest.raises(ValueError):
+        select_token_budget(scored, -1)

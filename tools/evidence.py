@@ -150,6 +150,7 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "source_cap": PIPE,
     "source_mix": PIPE,
     "pack_sequences": PIPE,
+    "token_budget_select": PIPE + TXT,
     "chunk_documents": PIPE,
     "decontaminate_semantic": PIPE + SIM,
     "corpus_prep_pipeline": PIPE + DEDUP + CLUST,
