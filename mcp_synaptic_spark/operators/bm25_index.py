@@ -60,17 +60,30 @@ def _tokens_expr(content_col: str):
     )
 
 
+#: (n_buckets, term) -> bucket memo. xxhash64(term) % n_buckets is corpus-
+#: independent, so a term's bucket never changes for a given index width —
+#: repeated probes skip the lookup job entirely (the job overhead, not the
+#: hash, is what floors small-corpus probe latency).
+_BUCKET_MEMO: dict[tuple[int, str], int] = {}
+
+
 def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> dict[str, int]:
     """term -> partition bucket, computed with the same JVM xxhash64 the
-    build used (one tiny 1-stage job over |Q| rows — hashing driver-side in
-    Python would have to reimplement Spark's seed/variant and silently break
-    pruning the day they diverge)."""
-    rows = (
-        spark.createDataFrame([(t,) for t in terms], "term string")
-        .select("term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket"))
-        .collect()
-    )
-    return {r["term"]: r["bucket"] for r in rows}
+    build used (one tiny 1-stage job over the not-yet-memoized terms —
+    hashing driver-side in Python would have to reimplement Spark's
+    seed/variant and silently break pruning the day they diverge)."""
+    missing = [t for t in terms if (n_buckets, t) not in _BUCKET_MEMO]
+    if missing:
+        rows = (
+            spark.createDataFrame([(t,) for t in missing], "term string")
+            .select(
+                "term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket")
+            )
+            .collect()
+        )
+        for r in rows:
+            _BUCKET_MEMO[(n_buckets, r["term"])] = r["bucket"]
+    return {t: _BUCKET_MEMO[(n_buckets, t)] for t in terms}
 
 
 def bm25_index_write(
@@ -174,19 +187,31 @@ def bm25_search_indexed(
     p = postings.where(
         F.col("bucket").isin(sorted(set(buckets.values()))) & F.col("term").isin(terms)
     )
-    df_counts = {r["term"]: r["n"] for r in p.groupBy("term").agg(F.count("*").alias("n")).collect()}
     n_docs = float(meta["n_docs"])
     avgdl = float(meta["avgdl"])
+    # df per term rides the SAME plan as scoring (a 1-row broadcast pivot of
+    # the pruned postings — the bm25_search stats shape) instead of a
+    # separate collect: the whole probe is ONE action plus the tiny
+    # term-bucket job, which is what keeps the fixed per-query scheduling
+    # overhead at small corpora from eating the index's win.
+    dfs = p.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).cast("double").alias(f"_df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
     pivoted = p.groupBy("id").agg(
         F.first("dl").alias("dl"),
         *[
             F.coalesce(F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)).alias(f"_tf_{i}")
             for i, t in enumerate(terms)
         ],
-    )
+    ).crossJoin(F.broadcast(dfs))
     tf = [F.col(f"_tf_{i}").cast("double") for i in range(len(terms))]
-    dfv = [float(df_counts.get(t, 0)) for t in terms]
-    idf = [F.log(F.lit(1.0) + (F.lit(n_docs) - F.lit(dfv[i]) + 0.5) / (F.lit(dfv[i]) + 0.5)) for i in range(len(terms))]
+    idf = [
+        F.log(F.lit(1.0) + (F.lit(n_docs) - F.col(f"_df_{i}") + 0.5) / (F.col(f"_df_{i}") + 0.5))
+        for i in range(len(terms))
+    ]
     contrib = [
         F.when(
             tf[i] > 0,
