@@ -2752,6 +2752,11 @@ WHERE length(list_intersect(a.shingles, b.shingles))::DOUBLE /
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grades the DEFAULT simhash path — auto-capped since r9 (VERDICT r8
+    #4). The uncapped exhaustive oracle below stays valid because
+    auto_max_bucket's 1024-doc floor provably exceeds any bucket occupancy
+    at oracle SFs (≤500 docs → capped ≡ uncapped, test-pinned); at harness
+    scale the same default is what bounds the degenerate-bucket cliff."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
     return D.simhash_pairs(docs, max_hamming=3)
 

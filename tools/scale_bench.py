@@ -579,10 +579,12 @@ def main() -> None:
         .select("doc_id", "n_words", "quality_score")
     ).cache()
     sel_sig = sel.agg(
-        F.count("*").alias("n"), F.sum("n_words").alias("t"), F.sum(F.xxhash64("doc_id")).alias("h")
+        F.count("*").alias("n"), F.sum("n_words").alias("t"),
+        F.sum(F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000_007))).alias("h")
     ).collect()[0]
     brute_sig = brute.agg(
-        F.count("*").alias("n"), F.sum("n_words").alias("t"), F.sum(F.xxhash64("doc_id")).alias("h")
+        F.count("*").alias("n"), F.sum("n_words").alias("t"),
+        F.sum(F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000_007))).alias("h")
     ).collect()[0]
     checks["token_budget_selected"] = n_sel
     checks["token_budget_matches_global_window"] = bool(tuple(sel_sig) == tuple(brute_sig))
