@@ -287,8 +287,11 @@ def mllib_lsh_topk_indexed(
     Each surviving row then pairs with the broadcast query frame on the
     same any-table-matches condition, evaluating every (doc, query) pair
     exactly once — the distinct the old plan shuffled for is free by
-    construction. ZERO data shuffles until the final per-qid rank window
-    over candidate rows.
+    construction. The only data movement before the final per-qid rank
+    window is a small-input-only round-robin fan-out of the pruned rows
+    (ensure_parallelism — a sub-256MB index scan otherwise collapses to
+    1-2 splits and serializes the verify onto one task; at production
+    split counts it is a no-op).
     """
     nt = len(planes)
     q = queries.select(
@@ -316,8 +319,14 @@ def mllib_lsh_topk_indexed(
             lambda acc, x: acc + x,
         )
     )
+    # the pruned scan can collapse to 1-2 input splits at sub-maxPartitionBytes
+    # index sizes, which would serialize the (candidates × queries) verify
+    # onto one task — ensure_parallelism restores core-count fan-out for
+    # small-file inputs and is a no-op at production split counts
+    from ..util import ensure_parallelism
+
     scored = (
-        indexed_corpus.where(prune)
+        ensure_parallelism(indexed_corpus.where(prune))
         .crossJoin(F.broadcast(q))
         .where(any_table_match)
         .select(
