@@ -268,13 +268,16 @@ def main() -> None:
 
     n_tr, n_ev = tr_emb.count(), ev_emb.count()
     checks["semantic_auto_route"] = semantic_route(n_tr, n_ev)
-    n_flagged_exact = timed(
-        "decontaminate_semantic_exact_forced",
-        lambda: semantic_decontaminate(
-            tr_emb, ev_emb, threshold=0.9, candidates="exact"
-        ).count(),
-    )
-    checks["semantic_exact_flagged"] = n_flagged_exact
+    if rep <= 10:
+        # the forced-exact audit arm is ~2.3e-6 s/pair (measured): fine at
+        # 4e6 pairs, ~15 min at the 100x shape — record it where affordable
+        n_flagged_exact = timed(
+            "decontaminate_semantic_exact_forced",
+            lambda: semantic_decontaminate(
+                tr_emb, ev_emb, threshold=0.9, candidates="exact"
+            ).count(),
+        )
+        checks["semantic_exact_flagged"] = n_flagged_exact
     flagged_sem = semantic_decontaminate(tr_emb, ev_emb, threshold=0.9).cache()
     n_flagged_sem = timed("decontaminate_semantic_10x", lambda: flagged_sem.count())
     checks["semantic_decontaminate_flagged"] = n_flagged_sem
@@ -447,10 +450,12 @@ def main() -> None:
     )
     # artifact evidence for "auto <= min(exact, lsh) within noise": compare
     # the auto timing against the faster forced arm (2x = this box's
-    # measured shuffle-noise band)
+    # measured shuffle-noise band); at rep>10 only the lsh arm is recorded
+    # (forced exact is gated as unaffordable there — which is itself the
+    # routing evidence)
     t_auto = timings["decontaminate_semantic_auto_10x"]
     t_best = min(
-        timings["decontaminate_semantic_exact_forced"],
+        timings.get("decontaminate_semantic_exact_forced", float("inf")),
         timings["decontaminate_semantic_lsh_10x"],
     )
     checks["semantic_auto_within_noise_of_best"] = bool(t_auto <= 2.0 * t_best)
