@@ -457,13 +457,32 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("v"),
         norm(as_double(F.col(vec_col))).alias("nrm"),
     )
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    # Blocked broadcast equi-join, NOT crossJoin (PLANS note 63/64: the
+    # filter-in-condition disease). A crossJoin plans as CartesianProduct,
+    # and the cosine threshold — pushed into its join condition because it
+    # references both sides — evaluates INTERPRETED (~3.5 µs/pair vs
+    # ~0.01 µs compiled). A BroadcastHashJoin's extra condition, by
+    # contrast, is generated INSIDE the whole-stage-codegen probe loop, so
+    # hashing the build side into core-count blocks and replicating the
+    # probe side per block keeps the identical pushed-down predicate
+    # compiled. Probe side is replicated (streamed, no memory cost); the
+    # broadcast is the raw N-row corpus once. Same pairs, same arithmetic,
+    # bit-identical output.
+    spark = embeddings.sparkSession
+    n_blocks = spark.sparkContext.defaultParallelism
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    ).crossJoin(
+        F.broadcast(spark.range(n_blocks).select(F.col("id").cast("int").alias("_blk")))
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    ).withColumn("_blk", F.pmod(F.xxhash64(F.col("id_b")), F.lit(n_blocks)).cast("int"))
     cos = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(0.0)).otherwise(
         dot_fixed("va", "vb", dim) / (F.col("na") * F.col("nb"))
     )
     return (
-        a.crossJoin(b)
+        a.join(F.broadcast(b), "_blk")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
