@@ -55,15 +55,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _with_query_vec(emb: DataFrame, qid: int) -> DataFrame:
     """Attach the query vector (row qid) to every row via a 1-row broadcast
-    cross join — no driver-side collect; the vector rides with the plan."""
-    qrow = emb.where(F.col("vec_id") == qid).select(F.col("embedding").alias("qv"))
-    return emb.crossJoin(F.broadcast(qrow))
+    equi-join on a constant key — no driver-side collect; the vector rides
+    with the plan.
+
+    NOT a crossJoin (PLANS note 63/64): a crossJoin plans as
+    BroadcastNestedLoopJoin, and any downstream score/threshold filter —
+    referencing both sides — gets pushed into its join condition, which
+    evaluates interpreted per corpus row. The constant-key equi-join plans
+    as a BroadcastHashJoin instead, whose condition is generated inside the
+    whole-stage-codegen probe loop, so the identical pushed-down cosine
+    stays compiled (callers pass dim=64 so the dot is the unrolled
+    codegen-able form, not an interpreted HOF fold)."""
+    # The key must be NON-FOLDABLE on both sides: lit(0) keys get
+    # constant-propagated, the equality folds to true, and the planner is
+    # back to a BNLJ. vec_id is nullable in the parquet schema, so the
+    # optimizer cannot fold vec_id*0 -> 0 (null * 0 is null) and the
+    # equi-key survives to drive a BroadcastHashJoin.
+    qrow = emb.where(F.col("vec_id") == qid).select(
+        F.col("embedding").alias("qv"), (F.col("vec_id") * 0).cast("int").alias("_qk")
+    )
+    return (
+        emb.withColumn("_qk", (F.col("vec_id") * 0).cast("int"))
+        .join(F.broadcast(qrow), "_qk")
+        .drop("_qk")
+    )
 
 
 def _q_rag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     res = R.rag_search(
-        _with_query_vec(emb, 0), F.col("qv"), id_col="vec_id", threshold=0.0, limit=10
+        _with_query_vec(emb, 0), F.col("qv"), id_col="vec_id", threshold=0.0, limit=10, dim=64
     )
     return res.select("vec_id", "distance", "score", "rank")
 
@@ -74,7 +95,7 @@ def _q_max_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage table). One corpus scan, partial max per partition merged into
     a single row — no sort, no shuffle of scores."""
     emb = _t(spark, sf_dir, "embeddings")
-    scored = R.score_against(_with_query_vec(emb, 0), F.col("qv"), "embedding")
+    scored = R.score_against(_with_query_vec(emb, 0), F.col("qv"), "embedding", dim=64)
     return scored.agg(
         F.max("score").alias("max_score"), F.min("distance").alias("min_distance")
     )
@@ -98,7 +119,7 @@ def _q_rag_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_find_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    res = R.find_similar(emb, 1, id_col="vec_id", threshold=0.0, limit=10)
+    res = R.find_similar(emb, 1, id_col="vec_id", threshold=0.0, limit=10, dim=64)
     return res.select("vec_id", "score", "rank")
 
 
@@ -2331,7 +2352,7 @@ def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sem = R.rag_search(
         _with_query_vec(emb, 0), F.col("qv"), id_col="vec_id", threshold=0.0, limit=20,
-        max_results=20,
+        max_results=20, dim=64,
     ).select(F.col("vec_id").alias("doc_id"), "rank")
     return RT.hybrid_search_rrf(lex, sem, k=10)
 
@@ -2371,7 +2392,7 @@ def _q_assemble_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     docs = _t(spark, sf_dir, "documents")
     topk = R.rag_search(
-        _with_query_vec(emb, 0), F.col("qv"), id_col="vec_id", threshold=0.0, limit=5, max_results=5
+        _with_query_vec(emb, 0), F.col("qv"), id_col="vec_id", threshold=0.0, limit=5, max_results=5, dim=64
     ).select("vec_id", "score", "rank")
     ranked = topk.join(docs, topk["vec_id"] == docs["doc_id"]).select(
         F.col("rank"), F.col("text").alias("content")

@@ -86,3 +86,26 @@ def test_quality_gate_fused_single_scan(spark):
     assert "Join" not in plan
     assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_query_vector_join_compiles_not_bnlj(spark):
+    """r9 (PLANS note 63/64 applied to the flagship): attaching the query
+    vector must plan as a BroadcastHashJoin on the constant-derived key —
+    a crossJoin would plan as BroadcastNestedLoopJoin, whose pushed-down
+    cosine-threshold condition evaluates INTERPRETED per corpus row. Also
+    pins the unrolled dot: no interpreted HOF fold anywhere in the plan."""
+    for q in ("rag_search", "max_score"):
+        plan = _plan(spark, q)
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastHashJoin" in plan, q
+        assert "aggregate(zip_with" not in plan, q
+
+
+def test_exact_near_dup_arm_is_blocked_hash_join(spark):
+    """r9: the exact pairs arm is a blocked broadcast hash join — the
+    cosine threshold lands in a codegen'd BHJ condition, never in an
+    interpreted CartesianProduct condition."""
+    plan = _plan(spark, "dedup_embedding")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
