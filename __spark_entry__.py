@@ -23,6 +23,7 @@ from mcp_synaptic_spark.functions.vector import cosine_similarity
 from mcp_synaptic_spark.operators import clustering as CL
 from mcp_synaptic_spark.operators import dedup as D
 from mcp_synaptic_spark.operators import pipeline as P
+from mcp_synaptic_spark.operators import temporal as T
 from mcp_synaptic_spark.operators import memory as M
 from mcp_synaptic_spark.operators import rag as R
 from mcp_synaptic_spark.operators import retrieval as RT
@@ -3492,6 +3493,84 @@ FROM s
 # contract surface
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Temporal joins (new r9, beyond-reference tier): as-of join + range join
+# ---------------------------------------------------------------------------
+
+def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): for every purchase event, the
+    most recent at-or-before click by the same user — union + ONE keyed
+    exchange + running window, no join operator (plan pinned in
+    tests/test_temporal.py). Oracle: DuckDB LEFT JOIN LATERAL ... ORDER BY
+    ts DESC, event_id DESC LIMIT 1 — an independent per-row argmax
+    formulation."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = T.asof_join(
+        purchases, clicks, by="user_id", right_cols=("value",),
+        right_tiebreak="event_id", prefix="click_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("purchase_value"),
+        F.col("click_ts"),
+        F.round("click_value", 6).alias("click_value"),
+    )
+
+
+_ORACLE_EVENTS_ASOF = """
+SELECT l.event_id, l.user_id,
+       round(l.value, 6) AS purchase_value,
+       m.ts AS click_ts,
+       round(m.value, 6) AS click_value
+FROM events l
+LEFT JOIN LATERAL (
+  SELECT r.ts, r.value
+  FROM events r
+  WHERE r.user_id = l.user_id AND r.event_type = 'click' AND r.ts <= l.ts
+  ORDER BY r.ts DESC, r.event_id DESC
+  LIMIT 1
+) m ON TRUE
+WHERE l.event_type = 'purchase'
+"""
+
+
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing range join (operators/temporal.py): clicks in the hour
+    before each purchase, same user, half-open [ts-1h, ts). Bucketed into
+    window-sized bins so the inequality join is a (user, bucket)
+    equi-join; zero-match purchases kept with count 0. Sum runs over
+    DECIMAL(18,6) (exact, order-independent) then back to double."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = T.range_join_agg(
+        purchases, clicks, by="user_id", window_seconds=3600,
+        left_id="event_id", aggs=(("count", "*"), ("sum", "value")),
+    )
+    return out.select(
+        "event_id",
+        F.col("n_right").alias("n_clicks"),
+        F.round(F.col("sum_value"), 6).alias("sum_click_value"),
+    )
+
+
+_ORACLE_EVENTS_RANGE = """
+SELECT l.event_id,
+       CAST(count(r.event_id) AS BIGINT) AS n_clicks,
+       round(CAST(coalesce(sum(CAST(r.value AS DECIMAL(18,6))), 0) AS DOUBLE), 6)
+         AS sum_click_value
+FROM events l
+LEFT JOIN events r
+  ON r.user_id = l.user_id AND r.event_type = 'click'
+ AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts < l.ts
+WHERE l.event_type = 'purchase'
+GROUP BY l.event_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver grades dict entries in order (it stops
     after 50), so the graded window rotates per round until every oracled
@@ -3625,6 +3704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_exists": _q_memory_exists,
         "memory_update": _q_memory_update,
         "knn_classify": _q_knn_classify,
+        "events_asof_join": _q_events_asof_join,
+        "events_range_join": _q_events_range_join,
     }
 
 
@@ -3733,4 +3814,6 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_select": _ORACLE_TOKEN_BUDGET,
         "dedup_substring_apply": _ORACLE_DEDUP_SUBSTRING_APPLY,
         "quality_gate": _mk_oracle_quality_gate(),
+        "events_asof_join": _ORACLE_EVENTS_ASOF,
+        "events_range_join": _ORACLE_EVENTS_RANGE,
     }

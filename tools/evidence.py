@@ -136,6 +136,8 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "events_hourly": (f"{_PKG}/streaming/windows.py",),
     "events_sliding": (f"{_PKG}/streaming/windows.py",),
     "events_sessions": (f"{_PKG}/streaming/windows.py",),
+    "events_asof_join": (f"{_PKG}/operators/temporal.py",) + TBL,
+    "events_range_join": (f"{_PKG}/operators/temporal.py",) + TBL,
     "embed_texts": EMB,
     "multimodal_features": MM,
     "frame_sample": MM,
