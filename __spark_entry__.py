@@ -24,6 +24,7 @@ from mcp_synaptic_spark.operators import clustering as CL
 from mcp_synaptic_spark.operators import dedup as D
 from mcp_synaptic_spark.operators import pipeline as P
 from mcp_synaptic_spark.operators import temporal as T
+from mcp_synaptic_spark.operators import stats as ST
 from mcp_synaptic_spark.operators import memory as M
 from mcp_synaptic_spark.operators import rag as R
 from mcp_synaptic_spark.operators import retrieval as RT
@@ -3571,6 +3572,38 @@ GROUP BY l.event_id
 """
 
 
+def _q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile (operators/stats.py): one aggregate pass — counts,
+    exact power-sum moments (bit-stable under any partitioning), exact
+    interpolated p50/p90/p99, exact distinct sources. The sketch arm
+    (corpus_summary_approx: GK percentiles + HLL++ distinct) is the
+    100 TB deployment form, accuracy-pinned against this in
+    tests/test_stats.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return ST.corpus_summary(docs)
+
+
+_ORACLE_CORPUS_SUMMARY = f"""
+WITH w AS (
+  SELECT {_WORD_COUNT_SQL.format(c="text")} AS nw, source
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS total_words,
+       CAST(min(nw) AS INT) AS min_words,
+       CAST(max(nw) AS INT) AS max_words,
+       round(CAST(sum(nw) AS DOUBLE) / count(*), 6) AS mean_words,
+       round(sqrt((CAST(sum(nw * nw) AS DOUBLE)
+                   - CAST(sum(nw) AS DOUBLE) * CAST(sum(nw) AS DOUBLE) / count(*))
+                  / (count(*) - 1)), 6) AS stddev_words,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       round(quantile_cont(nw, 0.5), 6) AS p50_words,
+       round(quantile_cont(nw, 0.9), 6) AS p90_words,
+       round(quantile_cont(nw, 0.99), 6) AS p99_words
+FROM w
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver grades dict entries in order (it stops
     after 50), so the graded window rotates per round until every oracled
@@ -3706,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": _q_knn_classify,
         "events_asof_join": _q_events_asof_join,
         "events_range_join": _q_events_range_join,
+        "corpus_summary": _q_corpus_summary,
     }
 
 
@@ -3816,4 +3850,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_gate": _mk_oracle_quality_gate(),
         "events_asof_join": _ORACLE_EVENTS_ASOF,
         "events_range_join": _ORACLE_EVENTS_RANGE,
+        "corpus_summary": _ORACLE_CORPUS_SUMMARY,
     }

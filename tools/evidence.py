@@ -138,6 +138,7 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "events_sessions": (f"{_PKG}/streaming/windows.py",),
     "events_asof_join": (f"{_PKG}/operators/temporal.py",) + TBL,
     "events_range_join": (f"{_PKG}/operators/temporal.py",) + TBL,
+    "corpus_summary": (f"{_PKG}/operators/stats.py", f"{_PKG}/functions/text.py") + TBL,
     "embed_texts": EMB,
     "multimodal_features": MM,
     "frame_sample": MM,
