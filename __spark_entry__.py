@@ -65,9 +65,17 @@ def _with_query_vec(emb: DataFrame, qid: int) -> DataFrame:
     referencing both sides — gets pushed into its join condition, which
     evaluates interpreted per corpus row. The constant-key equi-join plans
     as a BroadcastHashJoin instead, whose condition is generated inside the
-    whole-stage-codegen probe loop, so the identical pushed-down cosine
-    stays compiled (callers pass dim=64 so the dot is the unrolled
-    codegen-able form, not an interpreted HOF fold)."""
+    whole-stage-codegen probe loop and the surrounding pipeline keeps its
+    codegen spans (a BNLJ breaks them).
+
+    The cosine itself deliberately stays the HOF fold here: the dim-64
+    UNROLLED form, appearing 3x in this pipeline (pushed condition +
+    distance + score), overflows the JVM's 64 KB generated-method limit -
+    the whole stage falls back to interpreted AND the ~6*dim py4j Column
+    calls add ~2 s of plan-build per query (measured: HOF 0.4-0.5 s/query
+    at sf0.1 vs 2.3-4.5 s unrolled, both joins). The compiled-dot form
+    needs the single-occurrence restructure in rag.py (threshold applied
+    after the top-k limit, which is set-identical) - r10, window-blocked."""
     # The key must be NON-FOLDABLE on both sides: lit(0) keys get
     # constant-propagated, the equality folds to true, and the planner is
     # back to a BNLJ. vec_id is nullable in the parquet schema, so the
@@ -86,7 +94,7 @@ def _with_query_vec(emb: DataFrame, qid: int) -> DataFrame:
 def _q_rag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     res = R.rag_search(
-        _with_query_vec(emb, 0), F.col("qv"), id_col="vec_id", threshold=0.0, limit=10, dim=64
+        _with_query_vec(emb, 0), F.col("qv"), id_col="vec_id", threshold=0.0, limit=10
     )
     return res.select("vec_id", "distance", "score", "rank")
 
@@ -97,7 +105,7 @@ def _q_max_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage table). One corpus scan, partial max per partition merged into
     a single row — no sort, no shuffle of scores."""
     emb = _t(spark, sf_dir, "embeddings")
-    scored = R.score_against(_with_query_vec(emb, 0), F.col("qv"), "embedding", dim=64)
+    scored = R.score_against(_with_query_vec(emb, 0), F.col("qv"), "embedding")
     return scored.agg(
         F.max("score").alias("max_score"), F.min("distance").alias("min_distance")
     )
@@ -121,7 +129,7 @@ def _q_rag_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_find_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    res = R.find_similar(emb, 1, id_col="vec_id", threshold=0.0, limit=10, dim=64)
+    res = R.find_similar(emb, 1, id_col="vec_id", threshold=0.0, limit=10)
     return res.select("vec_id", "score", "rank")
 
 
@@ -2354,7 +2362,7 @@ def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sem = R.rag_search(
         _with_query_vec(emb, 0), F.col("qv"), id_col="vec_id", threshold=0.0, limit=20,
-        max_results=20, dim=64,
+        max_results=20,
     ).select(F.col("vec_id").alias("doc_id"), "rank")
     return RT.hybrid_search_rrf(lex, sem, k=10)
 
@@ -2394,7 +2402,7 @@ def _q_assemble_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     docs = _t(spark, sf_dir, "documents")
     topk = R.rag_search(
-        _with_query_vec(emb, 0), F.col("qv"), id_col="vec_id", threshold=0.0, limit=5, max_results=5, dim=64
+        _with_query_vec(emb, 0), F.col("qv"), id_col="vec_id", threshold=0.0, limit=5, max_results=5
     ).select("vec_id", "score", "rank")
     ranked = topk.join(docs, topk["vec_id"] == docs["doc_id"]).select(
         F.col("rank"), F.col("text").alias("content")
