@@ -62,7 +62,7 @@ def build_corpus(spark, rep: int):
 
 def main() -> None:
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE_r08.json"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE_r09.json"
     spark = get_spark("scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -718,6 +718,84 @@ def main() -> None:
     n_after, n_cleaned, v_final = timed("txn_ckpt_1m", txn_ckpt_run)
     checks["txn_ckpt_state_ok"] = bool(
         n_after == n_mem and v_final == 4 and n_cleaned >= 3
+    )
+
+    # --- temporal + profile tier (new r9): events replicated with offset ----
+    # user ids so every replica is an independent population — replication
+    # invariance (result counts scale exactly by rep) catches any
+    # partitioning/bucketing bug in the shuffle-one-pass implementations.
+    from mcp_synaptic_spark.operators.stats import corpus_summary, corpus_summary_approx
+    from mcp_synaptic_spark.operators.temporal import asof_join, range_join_agg
+
+    base_ev = load_table(spark, SF_DIR, "events")
+    (
+        base_ev.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("event_id") + F.col("rep") * 1_000_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{SCRATCH}/events")
+    )
+    ev = spark.read.parquet(f"{SCRATCH}/events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    base_p = base_ev.where(F.col("event_type") == "purchase")
+    base_c = base_ev.where(F.col("event_type") == "click")
+
+    asof = asof_join(
+        purchases, clicks, by="user_id", right_cols=("value",),
+        right_tiebreak="event_id", prefix="click_",
+    )
+    n_asof, n_asof_matched = timed(
+        "events_asof_10x",
+        lambda: (
+            asof.count(),
+            asof.where(F.col("click_ts").isNotNull()).count(),
+        ),
+    )
+    base_asof = asof_join(
+        base_p, base_c, by="user_id", right_cols=("value",),
+        right_tiebreak="event_id", prefix="click_",
+    )
+    checks["asof_rows_scale_by_rep"] = bool(n_asof == rep * base_p.count())
+    checks["asof_matched_scale_by_rep"] = bool(
+        n_asof_matched == rep * base_asof.where(F.col("click_ts").isNotNull()).count()
+    )
+
+    rj = range_join_agg(
+        purchases, clicks, by="user_id", window_seconds=3600,
+        left_id="event_id", aggs=(("count", "*"), ("sum", "value")),
+    )
+    n_rj, rj_clicks = timed(
+        "events_range_join_10x",
+        lambda: tuple(
+            rj.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("n_right").alias("s")
+            ).collect()[0]
+        ),
+    )
+    base_rj = range_join_agg(
+        base_p, base_c, by="user_id", window_seconds=3600,
+        left_id="event_id", aggs=(("count", "*"),),
+    )
+    checks["range_join_pairs_scale_by_rep"] = bool(
+        rj_clicks == rep * base_rj.agg(F.sum("n_right")).collect()[0][0]
+    )
+
+    prof = timed("corpus_summary_10x", lambda: corpus_summary(docs).collect()[0])
+    prof_a = timed(
+        "corpus_summary_approx_10x", lambda: corpus_summary_approx(docs).collect()[0]
+    )
+    checks["profile_counts_exact"] = bool(
+        prof["n_docs"] == n_docs and prof_a["n_docs"] == n_docs
+    )
+    checks["profile_approx_p50_delta"] = abs(prof_a["p50_words"] - prof["p50_words"])
+    checks["profile_approx_sources_ok"] = bool(
+        abs(prof_a["n_sources"] - prof["n_sources"]) <= max(2, prof["n_sources"] // 10)
     )
 
     total = round(sum(timings.values()), 3)
