@@ -25,6 +25,8 @@ from mcp_synaptic_spark.operators import dedup as D
 from mcp_synaptic_spark.operators import pipeline as P
 from mcp_synaptic_spark.operators import temporal as T
 from mcp_synaptic_spark.operators import stats as ST
+from mcp_synaptic_spark.operators import strings as SG
+from mcp_synaptic_spark.operators import funnel as FN
 from mcp_synaptic_spark.operators import memory as M
 from mcp_synaptic_spark.operators import rag as R
 from mcp_synaptic_spark.operators import retrieval as RT
@@ -3612,6 +3614,82 @@ FROM w
 """
 
 
+# ---------------------------------------------------------------------------
+# edit-distance similarity join + conversion funnel (beyond-reference, r9)
+# ---------------------------------------------------------------------------
+
+def _q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance string similarity join (operators/strings.py), auto
+    arm: all document pairs whose 32-char text prefix is within Levenshtein
+    distance 2 — the fuzzy complement of dedup_exact's content_hash
+    (reference has no fuzzy matching at all). Below AUTO_EXACT_MAX_PAIRS
+    (a measured performance crossover — both arms are exact, see
+    operators/strings.py) this runs the length-banded quadratic arm: the
+    driver's sf0.01 grade takes that path, the sf0.1 bench routes to the
+    PassJoin segment arm. The arms are output-IDENTICAL, so both share
+    the naive N² oracle and the switch can never change results."""
+    return SG.edit_distance_pairs(
+        _t(spark, sf_dir, "documents"), key_col="text", key_len=32, max_distance=2
+    )
+
+
+def _q_dedup_editdist_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale arm of dedup_editdist, force-pinned: PassJoin partition
+    signatures (PVLDB 5(3) 2011) — k+1 positional segments as an EQUI-join
+    key, ±k start window, banded-levenshtein verify. Exact by pigeonhole
+    (no recall argument needed), so it grades against the same naive
+    oracle as the audit arm."""
+    return SG.edit_distance_pairs_segment(
+        _t(spark, sf_dir, "documents"), key_col="text", key_len=32, max_distance=2
+    )
+
+
+_ORACLE_DEDUP_EDITDIST = """
+WITH k AS (
+  SELECT doc_id, substr(text, 1, 32) AS key FROM documents WHERE text IS NOT NULL
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.key, b.key) AS INT) AS dist
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.key, b.key) <= 2
+"""
+
+
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (operators/funnel.py): users reaching
+    view → click → purchase, each step within 1 day of the previous
+    step's earliest qualifying time. ONE user-keyed shuffle + a codegen
+    HOF fold; the oracle is the k-1-self-join relational form (correlated
+    mins), an independent formulation of the same chain."""
+    return FN.funnel(
+        _t(spark, sf_dir, "events"),
+        steps=("view", "click", "purchase"),
+        horizon="1d",
+    )
+
+
+_ORACLE_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t AND e.ts <= s1.t + INTERVAL 1 DAY
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t AND e.ts <= s2.t + INTERVAL 1 DAY
+  GROUP BY 1
+), c AS (
+  SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+)
+SELECT CAST(step AS INT) AS step, step_name, CAST(n AS BIGINT) AS n_users,
+       round(CAST(n AS DOUBLE) / NULLIF((SELECT count(*) FROM s1), 0), 6) AS frac_of_first
+FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver grades dict entries in order (it stops
     after 50), so the graded window rotates per round until every oracled
@@ -3636,13 +3714,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ttl,vector}.py untouched so the tail evidence stays valid (additive
     seams went to NEW modules per the PLANS note-50 rule).
 
-    Round-10 window plan (for the next rotation): no pending-first-grading
-    queries remain if this window lands green — lead with any query whose
-    operator files r10 touches (run `python tools/evidence.py check` after
-    each edit — it names exactly which tail queries an edit stales), then
-    the oldest ledger rounds (after r9 those are the r7-stamped memory.py
-    / documents.py / tables.py families), then new queries. Everything
-    else will hold r8/r9 evidence."""
+    Round-10 window plan (for the next rotation): lead with the six
+    pending-first-grade queries born after this window filled
+    (events_asof_join, events_range_join, corpus_summary, dedup_editdist,
+    dedup_editdist_segment, events_funnel — all sf0.01-parity-green
+    locally, pinned by tests/test_driver_contract.py r10_rotation_pins),
+    then any query whose operator files r10 touches (run `python
+    tools/evidence.py check` after each edit — it names exactly which tail
+    queries an edit stales), then the oldest ledger rounds (after r9 those
+    are the r7-stamped memory.py / documents.py / tables.py families).
+    Everything else will hold r8/r9 evidence."""
     return {
         # --- r9 graded window (50): see docstring for the rotation logic
         "dedup_incremental": _q_dedup_incremental,
@@ -3748,6 +3829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_events_asof_join,
         "events_range_join": _q_events_range_join,
         "corpus_summary": _q_corpus_summary,
+        "dedup_editdist": _q_dedup_editdist,
+        "dedup_editdist_segment": _q_dedup_editdist_segment,
+        "events_funnel": _q_events_funnel,
     }
 
 
@@ -3859,4 +3943,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": _ORACLE_EVENTS_ASOF,
         "events_range_join": _ORACLE_EVENTS_RANGE,
         "corpus_summary": _ORACLE_CORPUS_SUMMARY,
+        "dedup_editdist": _ORACLE_DEDUP_EDITDIST,
+        "dedup_editdist_segment": _ORACLE_DEDUP_EDITDIST,
+        "events_funnel": _ORACLE_EVENTS_FUNNEL,
     }

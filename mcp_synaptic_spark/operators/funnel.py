@@ -1,0 +1,133 @@
+"""Event funnel analysis (beyond-reference tier).
+
+The reference's event surface is a raw SSE feed (reference
+``mcp_synaptic/sse/`` — emit-only, no analytics); the engine already
+derives windowed/sessionized aggregates from the events table
+(streaming/windows.py).  This adds the other staple of event analytics:
+the **ordered conversion funnel** — how many users performed step 1,
+then step 2 within a horizon of their step-1 time, then step 3 within a
+horizon of that, and so on.
+
+Semantics (the standard "earliest qualifying completion" chain):
+
+    t_1(u) = min ts of a step-1 event by u
+    t_j(u) = min ts of a step-j event by u with
+             t_{j-1} <= ts <= t_{j-1} + horizon
+
+A user counts for step j iff t_j exists.  Boundary times are inclusive;
+a later step may share the exact timestamp of the previous one.
+
+Physical shape — ONE shuffle, no joins: filter to the step types
+(pushable to the scan), hash-shuffle on the user key, per-user
+sort_array + a single ``aggregate`` fold over (ts, step) pairs that
+carries the k reached-timestamps as the accumulator, then a global
+count per slot.  The naive relational form is k-1 self-joins of the
+events table (the oracle twin runs exactly that); at 100 TB the fold
+form moves each event across the wire once and keeps all chain logic in
+whole-stage-codegen higher-order functions.  Skew bound: one user's
+step-typed events must fit a collected array — bounded by per-user
+activity, never corpus size (the same envelope as any sessionization).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ttl import _UNIT_SECONDS
+
+
+def _horizon_seconds(horizon: str | int) -> int:
+    """'90'/'15m'/'1h'/'1d' -> whole seconds (same unit table as
+    functions/ttl.py:parse_ttl, parsed driver-side)."""
+    if isinstance(horizon, int):
+        return horizon
+    m = re.fullmatch(r"\s*(\d+)\s*([smhdw]?)\s*", horizon.lower())
+    if not m:
+        raise ValueError(f"unparseable horizon {horizon!r}")
+    return int(m.group(1)) * _UNIT_SECONDS.get(m.group(2), 1)
+
+
+def funnel(
+    events: DataFrame,
+    *,
+    steps: Sequence[str],
+    by: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    horizon: str | int = "1d",
+) -> DataFrame:
+    """Per-step funnel counts: (step, step_name, n_users, frac_of_first),
+    one row per step in order, frac_of_first = n_users / step-1 users
+    rounded to 6 (NULL when step 1 is empty)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError("steps must be distinct event types")
+    k = len(steps)
+    h_s = _horizon_seconds(horizon)
+    # the chain works entirely in the column's own timestamp domain
+    # (TIMESTAMP or TIMESTAMP_NTZ): comparisons and day-time-interval
+    # addition are exact and timezone-free — no epoch cast that would tie
+    # results to the session timezone (the zone-map lesson, ADVICE r8).
+    itv = F.make_dt_interval(F.lit(h_s // 86400), F.lit(0), F.lit(0), F.lit(h_s % 86400))
+
+    step_idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )[F.col(event_col)]
+    ev = (
+        events.where(F.col(event_col).isin(list(steps)) & F.col(ts_col).isNotNull())
+        .select(
+            F.col(by).alias("u"),
+            F.col(ts_col).alias("t"),
+            step_idx.alias("s"),
+        )
+    )
+    ts_type = ev.schema["t"].dataType
+    # sort key (t, s): at equal timestamps the earlier step folds first, so
+    # an equal-time later step still satisfies ts >= t_{j-1} (inclusive
+    # boundary, matching the relational form).
+    per_user = ev.groupBy("u").agg(
+        F.sort_array(F.collect_list(F.struct("t", "s"))).alias("evs")
+    )
+
+    init = F.array(*[F.lit(None).cast(ts_type) for _ in range(k)])
+
+    def _fold(acc, e):
+        def _slot(v, j):
+            prev = F.get(acc, j - 1)  # null-safe 0-based get; j==0 unused
+            return F.coalesce(
+                v,
+                F.when((e["s"] == j) & (j == F.lit(0)), e["t"]).when(
+                    (e["s"] == j)
+                    & (j > F.lit(0))
+                    & prev.isNotNull()
+                    & (e["t"] >= prev)
+                    & (e["t"] <= prev + itv),
+                    e["t"],
+                ),
+            )
+
+        return F.transform(acc, _slot)
+
+    reached = per_user.select(F.aggregate("evs", init, _fold).alias("r"))
+    counts = reached.agg(
+        *[F.count(F.get("r", j)).alias(f"c{j}") for j in range(k)]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j + 1).alias("step"),
+                F.lit(steps[j]).alias("step_name"),
+                F.col(f"c{j}").alias("n_users"),
+                F.round(
+                    F.col(f"c{j}") / F.when(F.col("c0") > 0, F.col("c0")), 6
+                ).alias("frac_of_first"),
+            )
+            for j in range(k)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("x")).select("x.*")

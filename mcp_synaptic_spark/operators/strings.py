@@ -1,0 +1,262 @@
+"""Edit-distance string similarity join (beyond-reference tier).
+
+The reference's only notion of textual duplication is the exact
+``content_hash`` (reference ``mcp_synaptic/utils/text.py`` sha256; our
+functions/text.py:26) — it has no fuzzy string matching at all.  This
+module adds the classic data-cleaning / entity-resolution primitive a
+training-data pipeline needs for near-identical titles, URLs, and
+boilerplate keys: **all pairs of rows whose (truncated) string key is
+within Levenshtein distance k**.
+
+Two arms, both EXACT — identical output, so both are graded against the
+same naive N² oracle:
+
+- ``edit_distance_pairs_exact`` — the quadratic audit arm.  Length-banded
+  blocked join (``|len_a - len_b| <= k`` becomes a (2k+1)-way length
+  EQUI-join, never a cross join) with the threshold-banded
+  ``levenshtein(a, b, k)`` builtin as the pushed join filter.  The
+  levenshtein call is a single JVM builtin inside the generated
+  BroadcastHashJoin probe loop (the PLANS.md note-63/66 discipline:
+  cheap-enough condition, no interpreted CartesianProduct).  O(pairs in
+  length band) — the audit contract below the auto ceiling.
+
+- ``edit_distance_pairs_segment`` — the scale arm: PassJoin partition
+  signatures (Li, Deng, Feng & Wang, "PASS-JOIN: a partition-based
+  method for similarity joins", PVLDB 5(3), 2011).  Every indexed string
+  is split into k+1 contiguous segments; by pigeonhole over the edit
+  script, any string within edit distance k contains at least one
+  segment VERBATIM, starting within +-k of the segment's position.
+  Candidates are therefore a plain EQUI-join on
+  ``(indexed_len, segment_idx, substring)``; the +-k start window is a
+  superset of PassJoin's multi-match-aware window, so recall is exact by
+  construction, and the banded levenshtein verify removes the false
+  positives.  Linear emission: k+1 index rows and at most
+  (2k+1)^2 * (k+1) probe rows per string — candidate volume is governed
+  by substring-key collisions, never by N².  Pairs where BOTH sides are
+  shorter than k+1 (un-segmentable) route through the tiny length-banded
+  short bucket.
+
+At 100 TB: the segment arm's only wide stages are (1) the candidate
+equi-join, hash-partitioned on the (len, idx, substring) key — skew is
+bounded because a segment of length ~len/(k+1) is a high-entropy key for
+any realistic k; (2) a distinct on candidate id-pairs; (3) two id-keyed
+joins to re-attach the (short) keys for the verify.  Everything else is
+a per-row projection inside whole-stage codegen — no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Above this many N² candidate pairs ``edit_distance_pairs`` routes to the
+# segment arm.  Both arms are exact, so unlike dedup.py:AUTO_EXACT_MAX_PAIRS
+# (where the exact arm carries an audit contract) this is a pure performance
+# router, and the constant comes from the measured crossover (PLANS.md note
+# 68; local[32], 32-char keys, k=2): the segment arm is flat ~1.7 s where
+# the banded-quadratic arm passes it between 2000 docs (4e6 pairs, 1.1 s vs
+# 1.7 s) and 3500 docs (1.2e7 pairs, 2.7 s vs 1.7 s).
+AUTO_EXACT_MAX_PAIRS = 8_000_000
+
+
+def _string_keys(
+    docs: DataFrame, id_col: str, key_col: str, key_len: int | None
+) -> DataFrame:
+    """(id, key, len) projection: the optional prefix truncation plus a
+    not-null guard (a NULL key can match nothing at any distance)."""
+    key: Column = F.col(key_col)
+    if key_len is not None:
+        key = F.substring(key, 1, key_len)
+    return (
+        docs.select(F.col(id_col).alias("id"), key.alias("key"))
+        .where(F.col("key").isNotNull())
+        .withColumn("len", F.length("key"))
+    )
+
+
+def _length_banded_pairs(keys: DataFrame, k: int) -> DataFrame:
+    """All (id_a < id_b) pairs within the |len_a - len_b| <= k band, with
+    the banded-levenshtein verify.  The band is expressed as a (2k+1)-way
+    length EQUI-join (probe side exploded over its admissible partner
+    lengths), so the planner gets a hash join, never a cross join; the
+    distance filter references both sides and lands in the join condition,
+    where the single threshold-banded builtin call is codegen-cheap."""
+    build = keys.select(
+        F.col("id").alias("id_b"), F.col("key").alias("key_b"), F.col("len").alias("len_b")
+    )
+    probe = keys.select(
+        F.col("id").alias("id_a"),
+        F.col("key").alias("key_a"),
+        F.explode(F.array(*[(F.col("len") + d).alias(str(d)) for d in range(-k, k + 1)])).alias(
+            "len_b"
+        ),
+    )
+    dist = F.levenshtein(F.col("key_a"), F.col("key_b"), k)
+    return (
+        probe.join(F.broadcast(build), "len_b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("dist"))
+        .where(F.col("dist") >= 0)  # threshold form returns -1 above k
+    )
+
+
+def edit_distance_pairs_exact(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    key_col: str = "text",
+    key_len: int | None = None,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Quadratic audit arm: (id_a, id_b, dist) for every pair with
+    ``levenshtein(key_a, key_b) <= max_distance``, id_a < id_b."""
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    return _length_banded_pairs(_string_keys(docs, id_col, key_col, key_len), max_distance)
+
+
+def edit_distance_pairs_segment(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    key_col: str = "text",
+    key_len: int | None = None,
+    max_distance: int = 2,
+) -> DataFrame:
+    """PassJoin scale arm — output identical to the exact arm (see module
+    docstring for the pigeonhole argument)."""
+    k = max_distance
+    if k < 0:
+        raise ValueError("max_distance must be >= 0")
+    keys = _string_keys(docs, id_col, key_col, key_len)
+
+    # ---- index side: k+1 positional segments of every string with
+    # len >= k+1 (shorter strings can't give every segment >= 1 char; the
+    # short bucket below covers pairs where BOTH sides are that short, and
+    # mixed short/long pairs are found when the short side PROBES the
+    # indexed long side).  Balanced split: the first (len mod (k+1))
+    # segments are one char longer.
+    base = F.floor(F.col("len") / (k + 1)).cast("int")
+    rem = (F.col("len") % (k + 1)).cast("int")
+    seg_structs = F.array(
+        *[
+            F.struct(
+                F.col("len").alias("ilen"),
+                F.lit(i).alias("i"),
+                F.substring(
+                    F.col("key"),
+                    (F.lit(i) * base + F.least(F.lit(i), rem) + 1).cast("int"),
+                    (base + F.when(F.lit(i) < rem, 1).otherwise(0)).cast("int"),
+                ).alias("seg"),
+            )
+            for i in range(k + 1)
+        ]
+    )
+    index = (
+        keys.where(F.col("len") >= k + 1)
+        .select(F.col("id").alias("id_b"), F.explode(seg_structs).alias("sg"))
+        .select("id_b", F.col("sg.ilen").alias("ilen"), F.col("sg.i").alias("i"), F.col("sg.seg").alias("seg"))
+    )
+
+    # ---- probe side: for each admissible indexed length l = len + dl and
+    # each segment slot i, every substring of the probe string with the
+    # slot's width starting within +-k of the slot's position.  The start
+    # offsets are generated from a CONSTANT 0..2k ramp and filtered (never
+    # F.sequence(lo, hi) with runtime bounds — Spark's sequence runs
+    # DESCENDING when hi < lo, which would fabricate probes).
+    m = F.col("len")
+    ramp = F.sequence(F.lit(0), F.lit(2 * k))  # constant, 2k+1 offsets
+    parts = []
+    for dl in range(-k, k + 1):
+        ln = (m + dl).cast("int")
+        b_l = F.floor(ln / (k + 1)).cast("int")
+        r_l = (ln % (k + 1)).cast("int")
+        for i in range(k + 1):
+            w = (b_l + F.when(F.lit(i) < r_l, 1).otherwise(0)).cast("int")
+            p = (F.lit(i) * b_l + F.least(F.lit(i), r_l)).cast("int")  # 0-based start in t
+            lo = F.greatest(F.lit(0), p - k)
+            hi = F.least(m.cast("int") - w, p + k)
+            # factory closures: PySpark introspects lambda arity, so the
+            # captured columns must NOT ride as default arguments
+            def _shift(lo):
+                return lambda j: lo + j
+
+            def _valid(hi, ln):
+                return lambda q: (q <= hi) & (ln >= k + 1)
+
+            def _entry(w, ln, i):
+                return lambda q: F.struct(
+                    ln.alias("ilen"),
+                    F.lit(i).alias("i"),
+                    F.substring(F.col("key"), q + 1, w).alias("seg"),
+                )
+
+            starts = F.filter(F.transform(ramp, _shift(lo)), _valid(hi, ln))
+            parts.append(F.transform(starts, _entry(w, ln, i)))
+    probes = keys.select(
+        F.col("id").alias("id_a"), F.explode(F.flatten(F.array(*parts))).alias("pr")
+    ).select(
+        "id_a", F.col("pr.ilen").alias("ilen"), F.col("pr.i").alias("i"), F.col("pr.seg").alias("seg")
+    )
+
+    cand = (
+        probes.join(index, ["ilen", "i", "seg"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    # ---- short bucket: pairs where BOTH keys are shorter than k+1 chars
+    # (neither side indexable).  The subset is tiny at any corpus size
+    # (strings of <= k chars), so the banded audit join is the right plan.
+    short = _length_banded_pairs(keys.where(F.col("len") < k + 1), k)
+
+    # ---- verify: re-attach the keys (id-keyed joins, candidate-bounded)
+    # and keep pairs the banded levenshtein confirms.
+    ka = keys.select(F.col("id").alias("id_a"), F.col("key").alias("key_a"))
+    kb = keys.select(F.col("id").alias("id_b"), F.col("key").alias("key_b"))
+    verified = (
+        cand.join(ka, "id_a")
+        .join(kb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("key_a"), F.col("key_b"), k).alias("dist"),
+        )
+        .where(F.col("dist") >= 0)
+    )
+    return verified.unionByName(short)
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    key_col: str = "text",
+    key_len: int | None = None,
+    max_distance: int = 2,
+    method: str = "auto",
+    max_exact_pairs: int = AUTO_EXACT_MAX_PAIRS,
+) -> DataFrame:
+    """Edit-distance similarity self-join: (id_a, id_b, dist), id_a < id_b,
+    dist = levenshtein(key_a, key_b) <= max_distance.
+
+    ``method``: 'exact' pins the quadratic audit arm, 'segment' the
+    PassJoin arm, 'auto' (default) picks by corpus size — N² pairs above
+    ``max_exact_pairs`` route to the segment arm.  Both arms produce the
+    SAME rows, so the switch never changes results, only the plan — the
+    dedup.py:369 auto-switch scheme with an exactness guarantee instead
+    of a recall argument.
+    """
+    if method not in ("auto", "exact", "segment"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "auto":
+        n = docs.count()
+        method = "exact" if n * n <= max_exact_pairs else "segment"
+    fn = edit_distance_pairs_exact if method == "exact" else edit_distance_pairs_segment
+    return fn(
+        docs, id_col=id_col, key_col=key_col, key_len=key_len, max_distance=max_distance
+    )

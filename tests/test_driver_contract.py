@@ -86,7 +86,14 @@ def test_no_query_left_ungraded_behind_the_window():
     # ONLY if named here — this list IS the next round's mandatory rotation
     # (dedup_incremental / memory_snapshot_read rode it from r8 into r9 and
     # were graded; the r10 window must open with these).
-    r10_rotation_pins = {"events_asof_join", "events_range_join", "corpus_summary"}
+    r10_rotation_pins = {
+        "events_asof_join",
+        "events_range_join",
+        "corpus_summary",
+        "dedup_editdist",
+        "dedup_editdist_segment",
+        "events_funnel",
+    }
     out = [q for q in pending if q not in window and q not in r10_rotation_pins]
     assert out == [], f"pending-first-grade queries left in the tail: {out}"
 

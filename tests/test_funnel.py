@@ -1,0 +1,139 @@
+"""Ordered conversion funnel (operators/funnel.py).
+
+Ground truth is the relational chain (min-ts per step, each within the
+horizon of the previous) computed in Python; the driver twin runs the
+same chain as DuckDB correlated-min SQL (events_funnel)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from mcp_synaptic_spark.operators.funnel import _horizon_seconds, funnel
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def _chain(rows, steps, h_s):
+    """Reference semantics: t_j = min ts of step j with
+    t_{j-1} <= ts <= t_{j-1} + horizon (inclusive)."""
+    users = {u for u, _, _ in rows}
+    counts = [0] * len(steps)
+    for u in users:
+        prev = None
+        for j, s in enumerate(steps):
+            cand = [
+                t
+                for uu, t, e in rows
+                if uu == u
+                and e == s
+                and (j == 0 or (prev <= t <= prev + dt.timedelta(seconds=h_s)))
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[j] += 1
+    return counts
+
+
+def test_funnel_matches_reference_chain(spark):
+    rows = [
+        # u1 completes all three inside the horizon
+        (1, _ts(0), "view"), (1, _ts(10), "click"), (1, _ts(20), "buy"),
+        # u2: click arrives past the horizon
+        (2, _ts(0), "view"), (2, _ts(120), "click"),
+        # u3: click BEFORE the first view — ordered funnel must not count it
+        (3, _ts(50), "click"), (3, _ts(60), "view"),
+        # u4: only views
+        (4, _ts(0), "view"), (4, _ts(5), "view"),
+        # u5: buy within horizon of click but click out of view's horizon
+        (5, _ts(0), "view"), (5, _ts(90), "click"), (5, _ts(95), "buy"),
+    ]
+    steps = ("view", "click", "buy")
+    got = {
+        r["step_name"]: (r["n_users"], r["frac_of_first"])
+        for r in funnel(_df(spark, rows), steps=steps, horizon=60).collect()
+    }
+    want = _chain(rows, steps, 60)
+    assert [got[s][0] for s in steps] == want == [5, 1, 1]
+    assert got["view"][1] == 1.0
+    assert got["click"][1] == pytest.approx(0.2)
+
+
+def test_equal_timestamp_is_inclusive(spark):
+    # click at exactly the view time, buy at exactly horizon boundary
+    rows = [(1, _ts(0), "view"), (1, _ts(0), "click"), (1, _ts(60), "buy")]
+    out = funnel(_df(spark, rows), steps=("view", "click", "buy"), horizon=60).collect()
+    assert [r["n_users"] for r in sorted(out, key=lambda r: r["step"])] == [1, 1, 1]
+
+
+def test_chain_uses_earliest_qualifying_time(spark):
+    # first click at t=30 (in horizon of view); buy at t=100 is within 60s
+    # of the SECOND click (t=50) but not of the first — the chain pins the
+    # earliest click, so the buy must NOT count.
+    rows = [
+        (1, _ts(0), "view"),
+        (1, _ts(30), "click"),
+        (1, _ts(50), "click"),
+        (1, _ts(100), "buy"),
+    ]
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in funnel(_df(spark, rows), steps=("view", "click", "buy"), horizon=60).collect()
+    }
+    assert out == {"view": 1, "click": 1, "buy": 0}
+
+
+def test_empty_first_step_gives_null_frac(spark):
+    rows = [(1, _ts(0), "click")]
+    out = sorted(
+        funnel(_df(spark, rows), steps=("view", "click"), horizon=60).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["n_users"] for r in out] == [0, 0]
+    assert all(r["frac_of_first"] is None for r in out)
+
+
+def test_fuzz_against_reference_chain(spark):
+    import random
+
+    rng = random.Random(3)
+    steps = ("a", "b", "c")
+    rows = [
+        (rng.randrange(12), _ts(rng.randrange(0, 500)), rng.choice(("a", "b", "c", "x")))
+        for _ in range(400)
+    ]
+    got = [
+        r["n_users"]
+        for r in sorted(
+            funnel(_df(spark, rows), steps=steps, horizon=120).collect(),
+            key=lambda r: r["step"],
+        )
+    ]
+    want = _chain([r for r in rows if r[2] in steps], steps, 120)
+    assert got == want
+
+
+def test_horizon_parse():
+    assert _horizon_seconds("90") == 90
+    assert _horizon_seconds("15m") == 900
+    assert _horizon_seconds("1h") == 3600
+    assert _horizon_seconds("1d") == 86400
+    assert _horizon_seconds(7) == 7
+    with pytest.raises(ValueError):
+        _horizon_seconds("soon")
+
+
+def test_step_validation(spark):
+    df = _df(spark, [(1, _ts(0), "view")])
+    with pytest.raises(ValueError):
+        funnel(df, steps=())
+    with pytest.raises(ValueError):
+        funnel(df, steps=("a", "a"))

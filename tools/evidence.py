@@ -139,6 +139,9 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "events_asof_join": (f"{_PKG}/operators/temporal.py",) + TBL,
     "events_range_join": (f"{_PKG}/operators/temporal.py",) + TBL,
     "corpus_summary": (f"{_PKG}/operators/stats.py", f"{_PKG}/functions/text.py") + TBL,
+    "dedup_editdist": (f"{_PKG}/operators/strings.py",) + TBL,
+    "dedup_editdist_segment": (f"{_PKG}/operators/strings.py",) + TBL,
+    "events_funnel": (f"{_PKG}/operators/funnel.py", f"{_PKG}/functions/ttl.py") + TBL,
     "embed_texts": EMB,
     "multimodal_features": MM,
     "frame_sample": MM,

@@ -798,6 +798,56 @@ def main() -> None:
         abs(prof_a["n_sources"] - prof["n_sources"]) <= max(2, prof["n_sources"] // 10)
     )
 
+    # --- strings tier: edit-distance join, segment arm at corpus scale -----
+    # Ground truth from replication: every pair of docs sharing a 32-char
+    # prefix is a distance-0 pair, so the segment arm's dist=0 count must
+    # equal sum over prefix groups of C(g, 2) exactly (both arms are exact;
+    # the auto router provably picks the segment arm at this shape).
+    from mcp_synaptic_spark.operators.strings import (
+        AUTO_EXACT_MAX_PAIRS as ED_CEILING,
+        edit_distance_pairs_segment,
+    )
+
+    ed = edit_distance_pairs_segment(docs, key_len=32, max_distance=2)
+    n_ed, n_ed_zero = timed(
+        "editdist_segment_10x",
+        lambda: tuple(
+            ed.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("dist") == 0, 1)).alias("z"),
+            ).collect()[0]
+        ),
+    )
+    grp = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy(F.substring("text", 1, 32).alias("p"))
+        .count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1)).alias("twice"))
+        .collect()[0]
+    )
+    checks["editdist_pairs"] = n_ed
+    checks["editdist_zero_pairs_match_prefix_groups"] = bool(
+        n_ed_zero == int(grp["twice"]) // 2
+    )
+    checks["editdist_auto_routes_segment"] = bool(n_docs * n_docs > ED_CEILING)
+
+    # --- funnel tier: per-user replication ⇒ counts scale exactly by rep ---
+    from mcp_synaptic_spark.operators.funnel import funnel
+
+    fn_steps = ("view", "click", "purchase")
+    fn_rows = timed(
+        "events_funnel_10x",
+        lambda: funnel(ev, steps=fn_steps, horizon="1d").collect(),
+    )
+    base_fn = {
+        r["step"]: r["n_users"]
+        for r in funnel(base_ev, steps=fn_steps, horizon="1d").collect()
+    }
+    fn_by_step = {r["step"]: r["n_users"] for r in fn_rows}
+    checks["funnel_counts_scale_by_rep"] = bool(
+        fn_by_step == {s: rep * n for s, n in base_fn.items()}
+    )
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "scale_validation_wall_clock",
