@@ -49,6 +49,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import release_scoped_caches as _release_stale
+from ..util import scoped_cache as _scoped_cache
+
 # Above this many N² candidate pairs ``edit_distance_pairs`` routes to the
 # segment arm.  Both arms are exact, so unlike dedup.py:AUTO_EXACT_MAX_PAIRS
 # (where the exact arm carries an audit contract) this is a pure performance
@@ -112,7 +115,10 @@ def edit_distance_pairs_exact(
     ``levenshtein(key_a, key_b) <= max_distance``, id_a < id_b."""
     if max_distance < 0:
         raise ValueError("max_distance must be >= 0")
-    return _length_banded_pairs(_string_keys(docs, id_col, key_col, key_len), max_distance)
+    _release_stale()
+    # both join sides read the keys projection — materialize it once
+    keys = _scoped_cache(_string_keys(docs, id_col, key_col, key_len))
+    return _length_banded_pairs(keys, max_distance)
 
 
 def edit_distance_pairs_segment(
@@ -128,7 +134,11 @@ def edit_distance_pairs_segment(
     k = max_distance
     if k < 0:
         raise ValueError("max_distance must be >= 0")
-    keys = _string_keys(docs, id_col, key_col, key_len)
+    _release_stale()
+    # five consumers read the keys projection (index, probe, short bucket,
+    # and the two verify re-attach sides) — materialize it once instead of
+    # five source scans
+    keys = _scoped_cache(_string_keys(docs, id_col, key_col, key_len))
 
     # ---- index side: k+1 positional segments of every string with
     # len >= k+1 (shorter strings can't give every segment >= 1 char; the
