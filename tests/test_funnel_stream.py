@@ -1,0 +1,132 @@
+"""Streaming funnel (streaming/funnel.py): exactness under bounded
+out-of-order arrival, and stream == batch on ordered feeds."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from mcp_synaptic_spark.operators.funnel import funnel
+from mcp_synaptic_spark.streaming.funnel import funnel_updates_stream
+
+SCHEMA = "user_id long, ts timestamp, event_type string"
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _write_batches(spark, tmp_path, batches):
+    """One parquet file per micro-batch, mod-times forced increasing so the
+    file source (maxFilesPerTrigger=1) replays them in order."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"batch{i:03d}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    return src
+
+
+def _run(spark, tmp_path, batches, **kw):
+    src = _write_batches(spark, tmp_path, batches)
+    schema = spark.createDataFrame([], SCHEMA).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    name = f"funnel_stream_{abs(hash(str(tmp_path))) % 10**8}"
+    q = (
+        funnel_updates_stream(stream, **kw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        f"SELECT key, max(steps_reached) AS depth FROM {name} GROUP BY key"
+    ).collect()
+    return {r["key"]: r["depth"] for r in rows}
+
+
+def test_late_in_watermark_event_reorders_exactly(spark, tmp_path):
+    """A step-1 event arriving AFTER its user's step-2 event (but inside the
+    watermark delay) must still fold in event-time order: the chain sees
+    view@50 then click@100 and reaches depth 2. An as-arrival fold would
+    stick at depth 1 — this is the case that forces the buffer."""
+    steps = ("view", "click")
+    batches = [
+        [(1, _ts(100), "click"), (2, _ts(0), "view")],
+        [(1, _ts(50), "view")],                      # late, inside the 60s delay
+        [(9, _ts(1000), "view")],                    # advances the watermark
+        [(9, _ts(2000), "view")],                    # fires the flush timeouts
+    ]
+    got = _run(
+        spark, tmp_path, batches,
+        steps=steps, horizon=60, watermark_delay="60 seconds",
+    )
+    assert got["1"] == 2
+    assert got["2"] == 1
+
+
+def test_stream_equals_batch_on_ordered_feed(spark, tmp_path):
+    import random
+
+    rng = random.Random(17)
+    steps = ("view", "click", "purchase")
+    rows = sorted(
+        (
+            (rng.randrange(10), _ts(rng.randrange(0, 500)),
+             rng.choice(("view", "click", "purchase", "noise")))
+            for _ in range(300)
+        ),
+        key=lambda r: r[1],
+    )
+    # in-event-time-order batches + two far-future step-typed advancers (the
+    # watermark advances with step traffic only — module contract); the
+    # advancer user is a legitimate view-only participant on both sides
+    advancers = [(99, _ts(10_000), "view"), (99, _ts(20_000), "view")]
+    batches = [rows[:100], rows[100:200], rows[200:], [advancers[0]], [advancers[1]]]
+    got = _run(
+        spark, tmp_path, batches,
+        steps=steps, horizon=120, watermark_delay="0 seconds",
+    )
+    stream_counts = [sum(1 for d in got.values() if d >= j + 1) for j in range(3)]
+    batch_counts = [
+        r["n_users"]
+        for r in sorted(
+            funnel(
+                spark.createDataFrame(rows + advancers, SCHEMA),
+                steps=steps, horizon=120,
+            ).collect(),
+            key=lambda r: r["step"],
+        )
+    ]
+    assert stream_counts == batch_counts
+
+
+def test_monotone_updates_and_quiet_user_flush(spark, tmp_path):
+    """A user who goes quiet still gets flushed by other traffic advancing
+    the watermark (the event-time timeout), and emitted depths only grow."""
+    steps = ("view", "click")
+    batches = [
+        [(5, _ts(0), "view"), (5, _ts(10), "click")],
+        [(5, _ts(20), "noise")],        # non-step rows are scan-pruned
+        [(9, _ts(5_000), "view")],      # other-user step traffic advances wm
+        [(9, _ts(9_000), "view")],      # ...and fires the flush timeouts
+    ]
+    got = _run(
+        spark, tmp_path, batches,
+        steps=steps, horizon=60, watermark_delay="0 seconds",
+    )
+    assert got["5"] == 2
+    assert got["9"] == 1  # view-only participant
