@@ -27,6 +27,7 @@ from mcp_synaptic_spark.operators import temporal as T
 from mcp_synaptic_spark.operators import stats as ST
 from mcp_synaptic_spark.operators import strings as SG
 from mcp_synaptic_spark.operators import funnel as FN
+from mcp_synaptic_spark.operators import retention as RTN
 from mcp_synaptic_spark.operators import memory as M
 from mcp_synaptic_spark.operators import rag as R
 from mcp_synaptic_spark.operators import retrieval as RT
@@ -3690,6 +3691,62 @@ FROM c
 """
 
 
+def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (operators/retention.py): users cohorted
+    by first-activity day, distinct-user counts per (cohort, offset). ONE
+    event-sized shuffle, no event-sized join — per-user distinct-day sets
+    fold map-side (collect_set partial agg, which also dedups so there is
+    no separate distinct pass), cohort = array_min, cohort_size rides a
+    window max over the already-aggregated triangle. Oracle is the
+    relational form: activity ⋈ first-day per user, then group."""
+    return RTN.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_EVENTS_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id AS uid, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), c AS (
+  SELECT uid, min(day) AS cohort_day FROM act GROUP BY uid
+), tri AS (
+  SELECT c.cohort_day, datediff('day', c.cohort_day, a.day) AS day_offset,
+         count(*) AS n
+  FROM act a JOIN c USING (uid) GROUP BY 1, 2
+)
+SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(max(CASE WHEN day_offset = 0 THEN n END)
+              OVER (PARTITION BY cohort_day) AS BIGINT) AS cohort_size,
+       round(CAST(n AS DOUBLE)
+             / max(CASE WHEN day_offset = 0 THEN n END)
+                 OVER (PARTITION BY cohort_day), 6) AS retention_rate
+FROM tri
+"""
+
+
+def _q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day active users per activity day
+    (operators/retention.py). Each distinct (user, day) contributes to k
+    report days via an exploded date sequence — k × |distinct pairs| rows,
+    NOT the oracle's day×events range join that would re-scan events once
+    per report day at 100 TB. Report days clamp to observed activity days
+    through a broadcast semi-join on the calendar-bounded day set."""
+    return RTN.rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
+_ORACLE_EVENTS_ACTIVE_USERS = """
+WITH act AS (
+  SELECT DISTINCT user_id AS uid, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), days AS (SELECT DISTINCT day FROM act)
+SELECT d.day,
+       CAST((SELECT count(*) FROM act a WHERE a.day = d.day) AS BIGINT) AS dau,
+       CAST((SELECT count(DISTINCT a.uid) FROM act a
+             WHERE a.day BETWEEN d.day - 6 AND d.day) AS BIGINT) AS rolling_au
+FROM days d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver grades dict entries in order (it stops
     after 50), so the graded window rotates per round until every oracled
@@ -3714,10 +3771,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ttl,vector}.py untouched so the tail evidence stays valid (additive
     seams went to NEW modules per the PLANS note-50 rule).
 
-    Round-10 window plan (for the next rotation): lead with the six
+    Round-10 window plan (for the next rotation): lead with the eight
     pending-first-grade queries born after this window filled
     (events_asof_join, events_range_join, corpus_summary, dedup_editdist,
-    dedup_editdist_segment, events_funnel — all sf0.01-parity-green
+    dedup_editdist_segment, events_funnel, events_retention,
+    events_active_users — all sf0.01-parity-green
     locally, pinned by tests/test_driver_contract.py r10_rotation_pins),
     then any query whose operator files r10 touches (run `python
     tools/evidence.py check` after each edit — it names exactly which tail
@@ -3832,6 +3890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdist": _q_dedup_editdist,
         "dedup_editdist_segment": _q_dedup_editdist_segment,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "events_active_users": _q_events_active_users,
     }
 
 
@@ -3946,4 +4006,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_editdist": _ORACLE_DEDUP_EDITDIST,
         "dedup_editdist_segment": _ORACLE_DEDUP_EDITDIST,
         "events_funnel": _ORACLE_EVENTS_FUNNEL,
+        "events_retention": _ORACLE_EVENTS_RETENTION,
+        "events_active_users": _ORACLE_EVENTS_ACTIVE_USERS,
     }

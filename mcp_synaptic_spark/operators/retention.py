@@ -1,0 +1,146 @@
+"""Cohort retention + active-user analytics (beyond-reference tier).
+
+The reference's event surface is an emit-only SSE feed (reference
+``mcp_synaptic/sse/``); the engine already derives windowed, sessionized
+(streaming/windows.py) and funnel (operators/funnel.py) analytics from the
+events table.  This module adds the remaining staple pair of product/event
+analytics:
+
+- **cohort retention** — group users by their first-activity period (the
+  cohort), then for each later period count how many of that cohort were
+  active again.  The classic triangle table behind every retention chart.
+- **rolling active users** — per activity day, the distinct users active
+  that day (DAU) and within the trailing k-day window (k-day AU, e.g. WAU).
+
+Physical shapes (both avoid self-joins; the oracles run the relational
+forms):
+
+cohort_retention — ONE event-sized shuffle, no join of event-sized inputs:
+    events → (user, day) → groupBy(user).agg(collect_set(day))   [the only
+    event-volume shuffle; collect_set dedups, so no distinct pass first] →
+    cohort = array_min(days), explode(days) → groupBy(cohort, offset)
+    [shuffles only |active pairs| rows] → window max over the triangle.
+The per-user state is the set of DISTINCT ACTIVE periods — bounded by the
+calendar span of the analysis window (a year of days = 365 entries), never
+by event volume, so one hot user cannot skew a partition.  cohort_size
+rides a window max over the already-tiny result (offset 0 rows ARE the
+cohort sizes — every user is active on their own cohort day), so no third
+pass over data.
+
+rolling_active_users — each (user, day) contributes to report days
+day..day+k-1: explode a k-element date sequence, distinct, count per day.
+The k× amplification happens AFTER the (user, day) distinct — rows in the
+shuffle are k × |active pairs|, not k × |events| — and replaces the
+relational form's day×events range join, which at 100 TB re-scans the
+events table once per report day.  Report days are clamped to observed
+activity days via a broadcast semi-join on the (tiny) distinct-day set.
+
+Both operators work entirely in DATE arithmetic derived from the event
+timestamp with date_trunc — no epoch casts, so results do not depend on
+the session timezone beyond the truncation itself (the zone-map lesson,
+ADVICE r8; parity runs UTC like the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_GRANULARITIES = ("day", "week", "month")
+
+
+def _activity(
+    events: DataFrame, by: str, ts_col: str, granularity: str, *, distinct: bool = True
+) -> DataFrame:
+    """(uid, period-start DATE) pairs — the shared base relation.  Callers
+    whose next step dedups anyway (collect_set) pass distinct=False and
+    save the extra event-sized shuffle."""
+    if granularity not in _GRANULARITIES:
+        raise ValueError(f"granularity must be one of {_GRANULARITIES}")
+    day = F.to_date(F.date_trunc(granularity, F.col(ts_col)))
+    out = events.where(F.col(ts_col).isNotNull() & F.col(by).isNotNull()).select(
+        F.col(by).alias("uid"), day.alias("day")
+    )
+    return out.distinct() if distinct else out
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "day",
+) -> DataFrame:
+    """Retention triangle: one row per (cohort_day, day_offset) with the
+    number of cohort users active at that offset, the cohort size, and
+    retention_rate = n_users / cohort_size rounded to 6.
+
+    day_offset counts GRANULARITY periods for day (datediff) and calendar
+    months for month; weeks use datediff/7 (date_trunc('week') pins both
+    sides to Mondays, so the division is exact).
+    """
+    act = _activity(events, by, ts_col, granularity, distinct=False)
+    per_user = act.groupBy("uid").agg(F.collect_set("day").alias("days"))
+    exploded = per_user.select(
+        F.array_min("days").alias("cohort_day"), F.explode("days").alias("day")
+    )
+    if granularity == "month":
+        offset = (12 * (F.year("day") - F.year("cohort_day"))
+                  + (F.month("day") - F.month("cohort_day")))
+    elif granularity == "week":
+        offset = (F.datediff("day", "cohort_day") / 7).cast("int")
+    else:
+        offset = F.datediff("day", "cohort_day")
+    tri = exploded.groupBy(
+        "cohort_day", offset.cast("int").alias("day_offset")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    # offset-0 row per cohort IS the cohort size (array_min(days) is itself
+    # a member of days, so every user appears at offset 0); spread it with
+    # a window max over the tiny aggregated result instead of a third
+    # event-sized pass.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cohort_day")
+    size = F.max(F.when(F.col("day_offset") == 0, F.col("n_users"))).over(w)
+    return tri.select(
+        "cohort_day",
+        "day_offset",
+        "n_users",
+        size.alias("cohort_size"),
+        F.round(F.col("n_users") / size, 6).alias("retention_rate"),
+    )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    *,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """(day, dau, rolling_au): distinct users active on `day` and within
+    the trailing `window_days`-day window ending at `day` (inclusive).
+    Only days with observed activity are reported."""
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    act = _activity(events, by, ts_col, "day")
+    dau = act.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        act.select(
+            "uid",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("rolling_au"))
+    )
+    # clamp synthetic trailing report days to observed activity days; the
+    # distinct-day set is tiny at any scale (calendar-bounded), broadcast it
+    days = act.select("day").distinct()
+    return (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .join(dau, "day")
+        .select("day", "dau", "rolling_au")
+    )

@@ -93,6 +93,8 @@ def test_no_query_left_ungraded_behind_the_window():
         "dedup_editdist",
         "dedup_editdist_segment",
         "events_funnel",
+        "events_retention",
+        "events_active_users",
     }
     out = [q for q in pending if q not in window and q not in r10_rotation_pins]
     assert out == [], f"pending-first-grade queries left in the tail: {out}"

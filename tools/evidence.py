@@ -142,6 +142,8 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "dedup_editdist": (f"{_PKG}/operators/strings.py",) + TBL,
     "dedup_editdist_segment": (f"{_PKG}/operators/strings.py",) + TBL,
     "events_funnel": (f"{_PKG}/operators/funnel.py", f"{_PKG}/functions/ttl.py") + TBL,
+    "events_retention": (f"{_PKG}/operators/retention.py",) + TBL,
+    "events_active_users": (f"{_PKG}/operators/retention.py",) + TBL,
     "embed_texts": EMB,
     "multimodal_features": MM,
     "frame_sample": MM,
