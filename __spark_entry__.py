@@ -28,6 +28,7 @@ from mcp_synaptic_spark.operators import stats as ST
 from mcp_synaptic_spark.operators import strings as SG
 from mcp_synaptic_spark.operators import funnel as FN
 from mcp_synaptic_spark.operators import retention as RTN
+from mcp_synaptic_spark.operators import terms as TM
 from mcp_synaptic_spark.operators import memory as M
 from mcp_synaptic_spark.operators import rag as R
 from mcp_synaptic_spark.operators import retrieval as RT
@@ -3747,6 +3748,119 @@ FROM days d
 """
 
 
+def _q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 TF-IDF characteristic terms per language
+    (operators/terms.py): codegen split/explode tokenizer, tf and df as
+    map-side-partial aggregations (vocab-bounded wire volume per partition
+    — Zipf-skew-safe), smooth idf via a 1-row broadcast N, window top-k
+    over the vocab-sized scored table. Ranking uses the ROUNDED score so
+    the tie-break is deterministic across engines' ln() ulp differences."""
+    return TM.tfidf_terms(
+        _t(spark, sf_dir, "documents"), group_col="lang", top_k=10
+    )
+
+
+_ORACLE_TFIDF_TERMS = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT * FROM toks WHERE length(term) >= 2
+), tf AS (
+  SELECT lang, term, count(*) AS tf FROM t GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT lang, term, tf, df,
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT lang, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rank
+  FROM s
+)
+WHERE rank <= 10
+"""
+
+
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources (operators/terms.py):
+    one tokenize pass → distinct (source, term) is the only token-volume
+    shuffle; the intersection self-join fans out at most |sources|² rows
+    per term, corpus-size-independent. The crawl-auditing 'which sources
+    duplicate each other's language' diagnostic."""
+    return TM.group_vocab_overlap(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_SOURCE_OVERLAP = """
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents WHERE text IS NOT NULL
+), gt AS (
+  SELECT DISTINCT source AS g, term FROM toks WHERE length(term) >= 2
+), sizes AS (
+  SELECT g, count(*) AS vocab FROM gt GROUP BY 1
+), inter AS (
+  SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_common
+  FROM gt a JOIN gt b ON a.term = b.term AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b,
+       CAST(sa.vocab AS BIGINT) AS vocab_a,
+       CAST(sb.vocab AS BIGINT) AS vocab_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       round(CAST(n_common AS DOUBLE) / (sa.vocab + sb.vocab - n_common), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.g = group_a
+JOIN sizes sb ON sb.g = group_b
+"""
+
+
+def _q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly screen (operators/temporal.py): hourly counts per
+    type z-scored against that type's own rate distribution. ONE
+    event-volume shuffle (map-side-partial count); the moments come from
+    exact integer power sums over the tiny bucket table (bit-stable under
+    any partitioning) and the variance expression shape is mirrored
+    exactly in the oracle so both engines run the same IEEE sequence."""
+    return T.rate_anomalies(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_EVENTS_ANOMALY = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+         count(*) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), s AS (
+  SELECT event_type, count(*) AS c,
+         CAST(sum(n_events) AS BIGINT) AS s1,
+         CAST(sum(n_events * n_events) AS BIGINT) AS s2
+  FROM b GROUP BY 1
+)
+SELECT b.event_type, b.bucket_start, CAST(b.n_events AS BIGINT) AS n_events,
+       round(CAST(s1 AS DOUBLE) / c, 6) AS mean_events,
+       round(CASE WHEN c > 1
+                   AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / c) / (c - 1) > 0
+             THEN (b.n_events - CAST(s1 AS DOUBLE) / c)
+                  / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / c) / (c - 1))
+             END, 6) AS z_score,
+       coalesce(abs((b.n_events - CAST(s1 AS DOUBLE) / c)
+                    / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / c) / (c - 1)))
+                >= 3.0
+                AND c > 1
+                AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / c) / (c - 1) > 0,
+                FALSE) AS is_anomaly
+FROM b JOIN s USING (event_type)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver grades dict entries in order (it stops
     after 50), so the graded window rotates per round until every oracled
@@ -3771,11 +3885,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ttl,vector}.py untouched so the tail evidence stays valid (additive
     seams went to NEW modules per the PLANS note-50 rule).
 
-    Round-10 window plan (for the next rotation): lead with the eight
+    Round-10 window plan (for the next rotation): lead with the eleven
     pending-first-grade queries born after this window filled
     (events_asof_join, events_range_join, corpus_summary, dedup_editdist,
     dedup_editdist_segment, events_funnel, events_retention,
-    events_active_users — all sf0.01-parity-green
+    events_active_users, tfidf_terms, source_overlap, events_anomaly — all
+    sf0.01-parity-green
     locally, pinned by tests/test_driver_contract.py r10_rotation_pins),
     then any query whose operator files r10 touches (run `python
     tools/evidence.py check` after each edit — it names exactly which tail
@@ -3892,6 +4007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "events_active_users": _q_events_active_users,
+        "tfidf_terms": _q_tfidf_terms,
+        "source_overlap": _q_source_overlap,
+        "events_anomaly": _q_events_anomaly,
     }
 
 
@@ -4008,4 +4126,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _ORACLE_EVENTS_FUNNEL,
         "events_retention": _ORACLE_EVENTS_RETENTION,
         "events_active_users": _ORACLE_EVENTS_ACTIVE_USERS,
+        "tfidf_terms": _ORACLE_TFIDF_TERMS,
+        "source_overlap": _ORACLE_SOURCE_OVERLAP,
+        "events_anomaly": _ORACLE_EVENTS_ANOMALY,
     }

@@ -184,3 +184,59 @@ def range_join_agg(
     return left.join(hits, left_id, "left").select(
         *left.columns, *[F.coalesce(F.col(name), default).alias(name) for name, default in out_cols]
     )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    bucket: str = "hour",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Event-rate anomaly screen: bucket the stream per type, z-score each
+    bucket's count against that type's own rate distribution, and flag
+    |z| >= z_threshold.  The ops staple for catching a broken producer or
+    a crawler loop before it poisons a 100 TB ingest.
+
+    Output: (event_type, bucket_start, n_events, mean_events, z_score,
+    is_anomaly).  z_score is NULL (and is_anomaly false) when a type has
+    <2 buckets or zero variance.
+
+    Physical shape: ONE event-volume shuffle — groupBy(type, bucket) with
+    map-side partial count; the per-type moments then aggregate the tiny
+    bucket table from exact integer power sums (bit-stable under any
+    partitioning, the corpus_summary discipline) and broadcast back onto
+    it.  Variance math stays in ONE double expression shape mirrored by
+    the oracle, so both engines run the identical IEEE operation sequence.
+    """
+    b = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    joined = b.join(F.broadcast(s), "event_type")
+    mean = F.col("s1").cast("double") / F.col("c")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("c")
+    ) / (F.col("c") - F.lit(1))
+    z = F.when(
+        (F.col("c") > 1) & (var > 0),
+        (F.col("n_events") - mean) / F.sqrt(var),
+    )
+    return joined.select(
+        "event_type",
+        "bucket_start",
+        "n_events",
+        F.round(mean, 6).alias("mean_events"),
+        F.round(z, 6).alias("z_score"),
+        F.coalesce(F.abs(z) >= F.lit(z_threshold), F.lit(False)).alias("is_anomaly"),
+    )

@@ -95,6 +95,9 @@ def test_no_query_left_ungraded_behind_the_window():
         "events_funnel",
         "events_retention",
         "events_active_users",
+        "tfidf_terms",
+        "source_overlap",
+        "events_anomaly",
     }
     out = [q for q in pending if q not in window and q not in r10_rotation_pins]
     assert out == [], f"pending-first-grade queries left in the tail: {out}"

@@ -163,3 +163,55 @@ def test_range_join_plan_is_equi_join_not_bnlj(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- rate_anomalies -------------------------------------------------------
+
+def test_rate_anomalies_flags_spike(spark):
+    import datetime as dt
+
+    from mcp_synaptic_spark.operators.temporal import rate_anomalies
+
+    rows = []
+    eid = 0
+    # 10 quiet hours of 5 events, one hour of 50 — a clear spike
+    for h in range(10):
+        for i in range(5):
+            rows.append((eid, dt.datetime(2024, 1, 1, h, i), 1, "click"))
+            eid += 1
+    for i in range(50):
+        rows.append((eid, dt.datetime(2024, 1, 1, 10, i % 60), 1, "click"))
+        eid += 1
+    # a flat type: identical counts -> zero variance -> never anomalous
+    for h in range(5):
+        rows.append((eid, dt.datetime(2024, 1, 1, h, 0), 1, "view"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = rate_anomalies(df).collect()
+    flagged = {(r.event_type, r.bucket_start.hour) for r in out if r.is_anomaly}
+    assert flagged == {("click", 10)}
+    clicks = [r for r in out if r.event_type == "click"]
+    import math
+    counts = [5] * 10 + [50]
+    mu = sum(counts) / len(counts)
+    var = sum((c - mu) ** 2 for c in counts) / (len(counts) - 1)
+    spike = next(r for r in clicks if r.bucket_start.hour == 10)
+    assert spike.mean_events == round(mu, 6)
+    assert abs(spike.z_score - (50 - mu) / math.sqrt(var)) < 1e-6
+    views = [r for r in out if r.event_type == "view"]
+    assert all(r.z_score is None and not r.is_anomaly for r in views)
+
+
+def test_rate_anomalies_single_bucket_type(spark):
+    import datetime as dt
+
+    from mcp_synaptic_spark.operators.temporal import rate_anomalies
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0), 1, "solo")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = rate_anomalies(df).collect()
+    assert len(out) == 1 and out[0].z_score is None and not out[0].is_anomaly

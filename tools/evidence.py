@@ -144,6 +144,9 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "events_funnel": (f"{_PKG}/operators/funnel.py", f"{_PKG}/functions/ttl.py") + TBL,
     "events_retention": (f"{_PKG}/operators/retention.py",) + TBL,
     "events_active_users": (f"{_PKG}/operators/retention.py",) + TBL,
+    "tfidf_terms": (f"{_PKG}/operators/terms.py",) + TBL,
+    "source_overlap": (f"{_PKG}/operators/terms.py",) + TBL,
+    "events_anomaly": (f"{_PKG}/operators/temporal.py",) + TBL,
     "embed_texts": EMB,
     "multimodal_features": MM,
     "frame_sample": MM,

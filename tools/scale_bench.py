@@ -848,6 +848,139 @@ def main() -> None:
         fn_by_step == {s: rep * n for s, n in base_fn.items()}
     )
 
+    # --- retention tier: replicas carry DISJOINT user ids on the SAME days,
+    # so every triangle cell and every DAU/rolling-AU count must scale by
+    # exactly rep while retention rates stay bit-identical -----------------
+    from mcp_synaptic_spark.operators.retention import (
+        cohort_retention,
+        rolling_active_users,
+    )
+
+    tri_rows = timed(
+        "events_retention_10x", lambda: cohort_retention(ev).collect()
+    )
+    tri = {
+        (r["cohort_day"], r["day_offset"]): (r["n_users"], r["retention_rate"])
+        for r in tri_rows
+    }
+    base_tri = {
+        (r["cohort_day"], r["day_offset"]): (r["n_users"], r["retention_rate"])
+        for r in cohort_retention(base_ev).collect()
+    }
+    checks["retention_counts_scale_by_rep"] = bool(
+        tri == {k: (rep * n, rate) for k, (n, rate) in base_tri.items()}
+    )
+    au_rows = timed(
+        "events_active_users_10x",
+        lambda: rolling_active_users(ev, window_days=7).collect(),
+    )
+    au = {r["day"]: (r["dau"], r["rolling_au"]) for r in au_rows}
+    base_au = {
+        r["day"]: (r["dau"], r["rolling_au"])
+        for r in rolling_active_users(base_ev, window_days=7).collect()
+    }
+    checks["active_users_scale_by_rep"] = bool(
+        au == {d: (rep * a, rep * w) for d, (a, w) in base_au.items()}
+    )
+
+    # --- terms tier: replication multiplies tf/df/N by rep but keeps the
+    # per-source vocabularies identical, so the tfidf top-k must equal the
+    # expectation computed from base aggregates via the formula, and the
+    # overlap table must be BIT-IDENTICAL to the base run --------------------
+    import math
+
+    from mcp_synaptic_spark.operators.terms import (
+        group_vocab_overlap,
+        tfidf_terms,
+        tokens as term_tokens,
+    )
+
+    base_docs = load_table(spark, SF_DIR, "documents")
+    got_tfidf = timed(
+        "tfidf_terms_10x",
+        lambda: tfidf_terms(docs, group_col="lang", top_k=10).collect(),
+    )
+    btoks = term_tokens(base_docs, extra_cols=("lang", "doc_id"))
+    btf = {
+        (r["lang"], r["term"]): r["tf"]
+        for r in btoks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf")).collect()
+    }
+    bdf = {
+        r["term"]: r["df"]
+        for r in btoks.groupBy("term").agg(F.count_distinct("doc_id").alias("df")).collect()
+    }
+    bn = base_docs.where(F.col("text").isNotNull()).count()
+    exp_scored = sorted(
+        (
+            g,
+            t,
+            rep * c,
+            rep * bdf[t],
+            round(rep * c * (math.log((rep * bn + 1) / (rep * bdf[t] + 1)) + 1), 6),
+        )
+        for (g, t), c in btf.items()
+    )
+    exp_top = {}
+    for g in {g for g, *_ in exp_scored}:
+        rows_g = sorted((r for r in exp_scored if r[0] == g), key=lambda r: (-r[4], r[1]))
+        exp_top.update(
+            {(g, r[1]): (r[2], r[3], r[4], i + 1) for i, r in enumerate(rows_g[:10])}
+        )
+    got_top = {
+        (r["lang"], r["term"]): (r["tf"], r["df"], r["score"], r["rank"])
+        for r in got_tfidf
+    }
+    checks["tfidf_counts_and_ranks_match_expectation"] = bool(
+        set(got_top) == set(exp_top)
+        and all(
+            got_top[k][0] == exp_top[k][0]
+            and got_top[k][1] == exp_top[k][1]
+            and got_top[k][3] == exp_top[k][3]
+            and abs(got_top[k][2] - exp_top[k][2]) <= 1e-6
+            for k in exp_top
+        )
+    )
+    ov_rows = timed(
+        "source_overlap_10x", lambda: group_vocab_overlap(docs).collect()
+    )
+    base_ov = sorted(map(tuple, group_vocab_overlap(base_docs).collect()))
+    checks["overlap_invariant_under_replication"] = bool(
+        sorted(map(tuple, ov_rows)) == base_ov
+    )
+
+    # --- anomaly tier: replication multiplies every bucket count by rep, so
+    # means scale by rep while z-scores (and the anomaly set) are INVARIANT -
+    from mcp_synaptic_spark.operators.temporal import rate_anomalies
+
+    an_rows = timed(
+        "events_anomaly_10x", lambda: rate_anomalies(ev).collect()
+    )
+    an = {
+        (r["event_type"], r["bucket_start"]): (
+            r["n_events"], r["mean_events"], r["z_score"], r["is_anomaly"],
+        )
+        for r in an_rows
+    }
+    base_an = {
+        (r["event_type"], r["bucket_start"]): (
+            r["n_events"], r["mean_events"], r["z_score"], r["is_anomaly"],
+        )
+        for r in rate_anomalies(base_ev).collect()
+    }
+    checks["anomaly_z_invariant_means_scale_by_rep"] = bool(
+        set(an) == set(base_an)
+        and all(
+            an[k][0] == rep * base_an[k][0]
+            and abs(an[k][1] - rep * base_an[k][1]) <= 1e-5
+            and (
+                (an[k][2] is None and base_an[k][2] is None)
+                or abs(an[k][2] - base_an[k][2]) <= 1e-5
+            )
+            and an[k][3] == base_an[k][3]
+            for k in base_an
+        )
+    )
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "scale_validation_wall_clock",
