@@ -3727,11 +3727,12 @@ FROM tri
 
 def _q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU + trailing-7-day active users per activity day
-    (operators/retention.py). Each distinct (user, day) contributes to k
-    report days via an exploded date sequence — k × |distinct pairs| rows,
-    NOT the oracle's day×events range join that would re-scan events once
-    per report day at 100 TB. Report days clamp to observed activity days
-    through a broadcast semi-join on the calendar-bounded day set."""
+    (operators/retention.py). posexplode tags each (user, day)'s k report
+    days with its window offset; min(pos) per (user, report-day) yields
+    rolling_au AND dau (pos-0 rows) from one relation, and dau > 0 is the
+    observed-day clamp — ONE event pass, two map-side-partial shuffles,
+    zero joins, vs the oracle's day×events range join that would re-scan
+    events once per report day at 100 TB."""
     return RTN.rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
 
 
@@ -3825,11 +3826,13 @@ JOIN sizes sb ON sb.g = group_b
 
 def _q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-rate anomaly screen (operators/temporal.py): hourly counts per
-    type z-scored against that type's own rate distribution. ONE
-    event-volume shuffle (map-side-partial count); the moments come from
-    exact integer power sums over the tiny bucket table (bit-stable under
-    any partitioning) and the variance expression shape is mirrored
-    exactly in the oracle so both engines run the same IEEE sequence."""
+    type z-scored against that type's own rate distribution. ONE scan and
+    ONE event-volume shuffle (map-side-partial count); the per-type
+    moments are WINDOW aggregates of exact integer power sums over the
+    tiny bucket table (the stats-join form scanned events twice — plan
+    pin tests/test_plan_shapes.py), and the variance expression shape is
+    mirrored exactly in the oracle so both engines run the same IEEE
+    sequence."""
     return T.rate_anomalies(_t(spark, sf_dir, "events"))
 
 

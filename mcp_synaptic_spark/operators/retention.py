@@ -28,12 +28,14 @@ cohort sizes — every user is active on their own cohort day), so no third
 pass over data.
 
 rolling_active_users — each (user, day) contributes to report days
-day..day+k-1: explode a k-element date sequence, distinct, count per day.
-The k× amplification happens AFTER the (user, day) distinct — rows in the
-shuffle are k × |active pairs|, not k × |events| — and replaces the
-relational form's day×events range join, which at 100 TB re-scans the
-events table once per report day.  Report days are clamped to observed
-activity days via a broadcast semi-join on the (tiny) distinct-day set.
+day..day+k-1: posexplode a k-element date sequence (pos 0 marks the
+user's own activity day), groupBy(user, report-day).min(pos), then one
+tiny groupBy(report-day) yields rolling_au (all rows) and dau (pos-0
+rows) together, and ``dau > 0`` doubles as the observed-day clamp.  ONE
+pass over events, two keyed shuffles both with map-side partial
+aggregation (the k× explode collapses per-partition before the wire),
+zero joins — versus the relational form's day×events range join, which
+at 100 TB re-scans the events table once per report day.
 
 Both operators work entirely in DATE arithmetic derived from the event
 timestamp with date_trunc — no epoch casts, so results do not depend on
@@ -123,24 +125,26 @@ def rolling_active_users(
     Only days with observed activity are reported."""
     if window_days < 1:
         raise ValueError("window_days must be >= 1")
-    act = _activity(events, by, ts_col, "day")
-    dau = act.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    contrib = (
-        act.select(
-            "uid",
-            F.explode(
-                F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
-            ).alias("day"),
-        )
-        .distinct()
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("rolling_au"))
-    )
-    # clamp synthetic trailing report days to observed activity days; the
-    # distinct-day set is tiny at any scale (calendar-bounded), broadcast it
-    days = act.select("day").distinct()
+    act = _activity(events, by, ts_col, "day", distinct=False)
+    # posexplode tags each contribution with its window offset: pos == 0 is
+    # the user's own activity day.  min(pos) per (uid, report-day) then
+    # yields BOTH counts from one relation — rolling_au = all rows, dau =
+    # rows with a pos-0 contribution — and dau > 0 IS the observed-day
+    # clamp, so the dau branch, the observed-days semi-join, and their two
+    # extra corpus scans all disappear: ONE event pass, two keyed shuffles
+    # (both with map-side partial agg), zero joins.
+    per = act.select(
+        "uid",
+        F.posexplode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+        ).alias("pos", "rday"),
+    ).groupBy("uid", "rday").agg(F.min("pos").alias("p"))
     return (
-        contrib.join(F.broadcast(days), "day", "left_semi")
-        .join(dau, "day")
+        per.groupBy(F.col("rday").alias("day"))
+        .agg(
+            F.count(F.when(F.col("p") == 0, 1)).alias("dau"),
+            F.count(F.lit(1)).alias("rolling_au"),
+        )
+        .where(F.col("dau") > 0)
         .select("day", "dau", "rolling_au")
     )

@@ -203,12 +203,17 @@ def rate_anomalies(
     is_anomaly).  z_score is NULL (and is_anomaly false) when a type has
     <2 buckets or zero variance.
 
-    Physical shape: ONE event-volume shuffle — groupBy(type, bucket) with
-    map-side partial count; the per-type moments then aggregate the tiny
-    bucket table from exact integer power sums (bit-stable under any
-    partitioning, the corpus_summary discipline) and broadcast back onto
-    it.  Variance math stays in ONE double expression shape mirrored by
-    the oracle, so both engines run the identical IEEE operation sequence.
+    Physical shape: ONE event-volume shuffle and ONE scan — groupBy(type,
+    bucket) with map-side partial count; the per-type moments are WINDOW
+    aggregates over the tiny bucket table (exact integer power sums,
+    bit-stable under any partitioning — the corpus_summary discipline).
+    The window form matters: a groupBy-stats-then-join-back shape
+    recomputes the bucket aggregation from the scan on both branches
+    (measured: 2 scans, 3 exchanges), while the window reuses the one
+    bucket table in place — 1 scan, 2 exchanges (the second over buckets,
+    not events), 0 joins.  Variance math stays in ONE double expression
+    shape mirrored by the oracle, so both engines run the identical IEEE
+    operation sequence.
     """
     b = (
         events.where(F.col(ts_col).isNotNull())
@@ -218,12 +223,12 @@ def rate_anomalies(
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    s = b.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum("n_events").alias("s1"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    w = Window.partitionBy("event_type")
+    joined = (
+        b.withColumn("c", F.count(F.lit(1)).over(w))
+        .withColumn("s1", F.sum("n_events").over(w))
+        .withColumn("s2", F.sum(F.col("n_events") * F.col("n_events")).over(w))
     )
-    joined = b.join(F.broadcast(s), "event_type")
     mean = F.col("s1").cast("double") / F.col("c")
     var = (
         F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("c")

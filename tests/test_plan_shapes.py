@@ -111,3 +111,50 @@ def test_exact_near_dup_arm_is_blocked_hash_join(spark):
     plan = _plan(spark, "dedup_embedding")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_retention_single_pass_single_event_shuffle(spark):
+    """r9: the retention triangle reads events ONCE; the only event-sized
+    exchange is the user-keyed groupBy (collect_set dedups in the fold, so
+    no distinct pre-pass); everything after operates on the triangle."""
+    plan = _plan(spark, "events_retention")
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "Join" not in plan  # cohort size comes from the triangle itself
+    # the scan-adjacent (deepest, i.e. last-printed) exchange is the
+    # per-user fold; the outer two operate on the tiny triangle
+    assert "uid" in plan.split("Exchange hashpartitioning")[-1][:80]
+
+
+def test_active_users_single_pass_no_joins(spark):
+    """r9: posexplode + min(pos) derives DAU, rolling AU, and the
+    observed-day clamp from one event pass — no joins, exactly two hash
+    exchanges, both fed by partial aggregation."""
+    plan = _plan(spark, "events_active_users")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_anomaly_single_scan_window_moments(spark):
+    """r9: one scan, one event-volume exchange (the bucket count), moments
+    as window aggs over the bucket table — the stats-join form recomputed
+    the bucket aggregation from the scan on both branches (2 scans)."""
+    plan = _plan(spark, "events_anomaly")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_tfidf_no_range_exchange_stats_attach_is_one_row(spark):
+    """r9: tf/df aggregations hash-partition with map-side partials; the
+    per-group top-k sorts within hash partitions (window), never a global
+    range exchange. The N attach is the engine's 1-row broadcast pattern —
+    the only nested-loop join allowed is that single 1-row build."""
+    plan = _plan(spark, "tfidf_terms")
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine on the token volume
