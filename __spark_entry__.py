@@ -29,6 +29,7 @@ from mcp_synaptic_spark.operators import strings as SG
 from mcp_synaptic_spark.operators import funnel as FN
 from mcp_synaptic_spark.operators import retention as RTN
 from mcp_synaptic_spark.operators import terms as TM
+from mcp_synaptic_spark.operators.embedding_qa import embedding_screen
 from mcp_synaptic_spark.operators import memory as M
 from mcp_synaptic_spark.operators import rag as R
 from mcp_synaptic_spark.operators import retrieval as RT
@@ -3864,6 +3865,45 @@ FROM b JOIN s USING (event_type)
 """
 
 
+def _q_embedding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene gate (operators/embedding_qa.py): per-row
+    NaN/Inf/zero/dim/norm-contract screening — ONE scan, ZERO shuffles
+    (pure codegen projection; plan-pinned in tests/test_embedding_qa.py).
+    Checks a fixed contract, not corpus stats, so the verdict is
+    deterministic per row and the op composes as a streaming gate."""
+    return embedding_screen(
+        _t(spark, sf_dir, "embeddings"), dim=64, min_norm=0.5, max_norm=2.0
+    )
+
+
+_ORACLE_EMBEDDING_SCREEN = """
+WITH s AS (
+  SELECT vec_id,
+         CAST(coalesce(len(embedding), -1) AS INT) AS n_dims,
+         coalesce(len(embedding), -1) != 64 AS bad_dim,
+         coalesce(list_aggregate(
+             list_transform(embedding, x -> isnan(x) OR isinf(x)), 'bool_or'
+         ), FALSE) AS nonfinite,
+         coalesce(list_aggregate(
+             list_transform(embedding, x -> x = 0.0), 'bool_and'
+         ), FALSE) AS zero,
+         sqrt(list_sum(list_transform(embedding, x -> x * x))) AS raw_norm
+  FROM embeddings
+), g AS (
+  SELECT vec_id, n_dims, bad_dim, nonfinite, zero,
+         CASE WHEN NOT nonfinite AND NOT bad_dim THEN raw_norm END AS norm
+  FROM s
+)
+SELECT vec_id, n_dims, round(norm, 6) AS norm, bad_dim, nonfinite, zero,
+       coalesce(norm < 0.5, FALSE) AS norm_low,
+       coalesce(norm > 2.0, FALSE) AS norm_high,
+       (NOT bad_dim AND NOT nonfinite AND NOT zero
+        AND NOT coalesce(norm < 0.5, FALSE)
+        AND NOT coalesce(norm > 2.0, FALSE)) AS is_valid
+FROM g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver grades dict entries in order (it stops
     after 50), so the graded window rotates per round until every oracled
@@ -3888,12 +3928,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ttl,vector}.py untouched so the tail evidence stays valid (additive
     seams went to NEW modules per the PLANS note-50 rule).
 
-    Round-10 window plan (for the next rotation): lead with the eleven
+    Round-10 window plan (for the next rotation): lead with the twelve
     pending-first-grade queries born after this window filled
     (events_asof_join, events_range_join, corpus_summary, dedup_editdist,
     dedup_editdist_segment, events_funnel, events_retention,
-    events_active_users, tfidf_terms, source_overlap, events_anomaly — all
-    sf0.01-parity-green
+    events_active_users, tfidf_terms, source_overlap, events_anomaly,
+    embedding_screen — all sf0.01-parity-green
     locally, pinned by tests/test_driver_contract.py r10_rotation_pins),
     then any query whose operator files r10 touches (run `python
     tools/evidence.py check` after each edit — it names exactly which tail
@@ -4013,6 +4053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": _q_tfidf_terms,
         "source_overlap": _q_source_overlap,
         "events_anomaly": _q_events_anomaly,
+        "embedding_screen": _q_embedding_screen,
     }
 
 
@@ -4132,4 +4173,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": _ORACLE_TFIDF_TERMS,
         "source_overlap": _ORACLE_SOURCE_OVERLAP,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,
+        "embedding_screen": _ORACLE_EMBEDDING_SCREEN,
     }

@@ -1,0 +1,78 @@
+"""Embedding-column hygiene screen (beyond-reference tier).
+
+Before a 100 TB embedding table feeds dedup/ANN/decontamination, every
+production pipeline screens it: model servers emit NaN/Inf rows under
+load-shedding, zero vectors appear when an upstream batch silently fails,
+and norm drift breaks the normalized-cosine contract the retrieval tier
+assumes (operators/rag.py scores are only distances when ||v|| ≈ 1).
+The reference stores embeddings without ever validating them
+(reference rag/embeddings/manager.py:embed_text stores whatever the
+provider returns); this operator is the missing gate.
+
+Checks are PER-ROW against a fixed contract (dim, [min_norm, max_norm]) —
+deliberately not against corpus statistics: a fixed contract needs ONE
+scan and ZERO shuffles (pure projection + filter, fully codegen), makes
+the verdict deterministic row-by-row (no cross-engine float-sum ordering
+in a corpus mean), and matches how the contract is actually known ahead
+of time (the embedder's normalization promise).  For rate-style outlier
+screening against a learned distribution, compose with
+operators/temporal.rate_anomalies on the flag counts.
+
+Flags per row:
+- bad_dim       — array length != expected dim (or NULL embedding)
+- nonfinite     — any NaN/±Inf component
+- zero          — all components exactly 0.0
+- norm_low/high — L2 norm outside [min_norm, max_norm]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm2(col: str) -> Column:
+    """Sum of squares as a single parsed SQL expression (one codegen fold,
+    the functions/vector.py discipline — not a py4j Column loop)."""
+    return F.expr(
+        f"aggregate({col}, cast(0.0 as double), (acc, x) -> acc + x * x)"
+    )
+
+
+def embedding_screen(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    min_norm: float = 0.5,
+    max_norm: float = 2.0,
+) -> DataFrame:
+    """One row per input row: (id, n_dims, norm, bad_dim, nonfinite, zero,
+    norm_low, norm_high, is_valid).  norm is rounded to 6dp; flag columns
+    are booleans; is_valid = no flag set.  NULL embeddings flag bad_dim
+    with NULL norm."""
+    v = F.col(vec_col)
+    n_dims = F.coalesce(F.array_size(v), F.lit(-1))
+    bad_dim = n_dims != F.lit(dim)
+    nonfinite = F.coalesce(
+        F.exists(v, lambda x: x.isNaN() | (F.abs(x) == float("inf"))), F.lit(False)
+    )
+    zero = F.coalesce(F.forall(v, lambda x: x == 0.0), F.lit(False))
+    norm = F.sqrt(_norm2(vec_col))
+    # a nonfinite component poisons the fold; gate the norm so the
+    # norm-range flags stay crisp booleans instead of NaN comparisons
+    norm = F.when(~nonfinite & ~bad_dim, norm)
+    norm_low = F.coalesce(norm < min_norm, F.lit(False))
+    norm_high = F.coalesce(norm > max_norm, F.lit(False))
+    return emb.select(
+        F.col(id_col),
+        n_dims.alias("n_dims"),
+        F.round(norm, 6).alias("norm"),
+        bad_dim.alias("bad_dim"),
+        nonfinite.alias("nonfinite"),
+        zero.alias("zero"),
+        norm_low.alias("norm_low"),
+        norm_high.alias("norm_high"),
+        (~bad_dim & ~nonfinite & ~zero & ~norm_low & ~norm_high).alias("is_valid"),
+    )
