@@ -29,7 +29,7 @@ from mcp_synaptic_spark.operators import strings as SG
 from mcp_synaptic_spark.operators import funnel as FN
 from mcp_synaptic_spark.operators import retention as RTN
 from mcp_synaptic_spark.operators import terms as TM
-from mcp_synaptic_spark.operators.embedding_qa import embedding_screen
+from mcp_synaptic_spark.operators.embedding_qa import dims_profile, embedding_screen
 from mcp_synaptic_spark.operators import memory as M
 from mcp_synaptic_spark.operators import rag as R
 from mcp_synaptic_spark.operators import retrieval as RT
@@ -3904,6 +3904,32 @@ FROM g
 """
 
 
+def _q_dims_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile (operators/embedding_qa.py): the
+    dead/collapsed-dimension detector. posexplode + ONE keyed shuffle with
+    map-side partials (wire carries |dims| rows per partition); min/max
+    exact doubles; the mean sums in DECIMAL(28,12) so the total is
+    order-independent across any partitioning — and across engines."""
+    return dims_profile(_t(spark, sf_dir, "embeddings"))
+
+
+_ORACLE_DIMS_PROFILE = """
+WITH x AS (
+  -- parallel unnests zip in DuckDB: position sequence alongside values
+  SELECT CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN x != 0.0 THEN 1 END) AS BIGINT) AS n_nonzero,
+       min(x) AS min_x, max(x) AS max_x,
+       round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+         AS mean_x,
+       (count(CASE WHEN x != 0.0 THEN 1 END) = 0 OR min(x) = max(x)) AS is_dead
+FROM x GROUP BY dim
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver grades dict entries in order (it stops
     after 50), so the graded window rotates per round until every oracled
@@ -3928,12 +3954,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ttl,vector}.py untouched so the tail evidence stays valid (additive
     seams went to NEW modules per the PLANS note-50 rule).
 
-    Round-10 window plan (for the next rotation): lead with the twelve
+    Round-10 window plan (for the next rotation): lead with the thirteen
     pending-first-grade queries born after this window filled
     (events_asof_join, events_range_join, corpus_summary, dedup_editdist,
     dedup_editdist_segment, events_funnel, events_retention,
     events_active_users, tfidf_terms, source_overlap, events_anomaly,
-    embedding_screen — all sf0.01-parity-green
+    embedding_screen, dims_profile — all sf0.01-parity-green
     locally, pinned by tests/test_driver_contract.py r10_rotation_pins),
     then any query whose operator files r10 touches (run `python
     tools/evidence.py check` after each edit — it names exactly which tail
@@ -4054,6 +4080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "events_anomaly": _q_events_anomaly,
         "embedding_screen": _q_embedding_screen,
+        "dims_profile": _q_dims_profile,
     }
 
 
@@ -4174,4 +4201,5 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _ORACLE_SOURCE_OVERLAP,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,
         "embedding_screen": _ORACLE_EMBEDDING_SCREEN,
+        "dims_profile": _ORACLE_DIMS_PROFILE,
     }

@@ -76,3 +76,41 @@ def embedding_screen(
         norm_high.alias("norm_high"),
         (~bad_dim & ~nonfinite & ~zero & ~norm_low & ~norm_high).alias("is_valid"),
     )
+
+
+def dims_profile(emb: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension profile: (dim, n, n_nonzero, min_x, max_x, mean_x,
+    is_dead) — the dead/collapsed-dimension detector (a dimension the
+    model never varies wastes index space and silently shrinks every
+    cosine's dynamic range).  is_dead = never nonzero OR constant.
+
+    Physical shape: posexplode then ONE keyed shuffle with map-side
+    partial aggregation — the wire carries |dims| rows per upstream
+    partition, not |rows|·|dims|.  min/max are exact doubles; the mean
+    sums in DECIMAL(28,12) so the total is order-independent (the exact
+    integer-power-sum discipline, extended to fixed-point) and only the
+    final divide is float."""
+    x = emb.where(F.col(vec_col).isNotNull()).select(
+        F.posexplode(vec_col).alias("dim", "x")
+    )
+    return (
+        x.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("x") != 0.0, 1)).alias("n_nonzero"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.sum(F.col("x").cast("decimal(28,12)")).alias("_s"),
+        )
+        .select(
+            "dim",
+            "n",
+            "n_nonzero",
+            "min_x",
+            "max_x",
+            F.round(F.col("_s").cast("double") / F.col("n"), 6).alias("mean_x"),
+            ((F.col("n_nonzero") == 0) | (F.col("min_x") == F.col("max_x"))).alias(
+                "is_dead"
+            ),
+        )
+    )

@@ -99,6 +99,7 @@ def test_no_query_left_ungraded_behind_the_window():
         "source_overlap",
         "events_anomaly",
         "embedding_screen",
+        "dims_profile",
     }
     out = [q for q in pending if q not in window and q not in r10_rotation_pins]
     assert out == [], f"pending-first-grade queries left in the tail: {out}"

@@ -53,3 +53,44 @@ def test_screen_norm_matches_math(spark):
         v = (r.vec_id + 1) / 10
         assert r.norm == round(math.sqrt(4 * v * v), 6)
         assert r.is_valid or r.zero
+
+
+def test_dims_profile_detects_dead_and_constant(spark):
+    from mcp_synaptic_spark.operators.embedding_qa import dims_profile
+
+    rows = [
+        (1, [1.0, 0.0, 5.0, 0.25]),
+        (2, [2.0, 0.0, 5.0, 0.75]),
+        (3, None),
+        (4, [3.0, 0.0, 5.0, 0.50]),
+    ]
+    out = {r.dim: r for r in dims_profile(_emb(spark, rows)).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(r.n == 3 for r in out.values())
+    assert out[1].is_dead and out[1].n_nonzero == 0          # all-zero dim
+    assert out[2].is_dead and out[2].min_x == out[2].max_x    # constant dim
+    assert not out[0].is_dead and not out[3].is_dead
+    assert out[0].mean_x == 2.0 and out[3].mean_x == 0.5
+    assert (out[0].min_x, out[0].max_x) == (1.0, 3.0)
+
+
+def test_embedding_screen_runs_as_streaming_gate(spark, tmp_path):
+    """The screen is a stateless projection, so it lifts onto readStream
+    unchanged — pin that the composition actually runs as a stream."""
+    path = str(tmp_path / "emb")
+    _emb(spark, [(1, [1.0, 0.0]), (2, [float("nan"), 1.0])]).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    name = f"emb_screen_{abs(hash(str(tmp_path))) % 10**8}"
+    q = (
+        embedding_screen(stream, dim=2)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.vec_id: r.is_valid for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == {1: True, 2: False}

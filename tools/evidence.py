@@ -148,6 +148,7 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "source_overlap": (f"{_PKG}/operators/terms.py",) + TBL,
     "events_anomaly": (f"{_PKG}/operators/temporal.py",) + TBL,
     "embedding_screen": (f"{_PKG}/operators/embedding_qa.py",) + TBL,
+    "dims_profile": (f"{_PKG}/operators/embedding_qa.py",) + TBL,
     "embed_texts": EMB,
     "multimodal_features": MM,
     "frame_sample": MM,
