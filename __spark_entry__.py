@@ -3930,6 +3930,22 @@ FROM x GROUP BY dim
 """
 
 
+def _q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup rate per source (operators/dedup.py dedup_rate_by_group):
+    the crawl-health number. Digest-only distinct — the exchange carries
+    md5 digests, never document bodies."""
+    return D.dedup_rate_by_group(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_DEDUP_RATE = """
+SELECT source AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+       round(1 - CAST(count(DISTINCT text) AS DOUBLE) / count(*), 6)
+         AS dup_rate
+FROM documents GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver grades dict entries in order (it stops
     after 50), so the graded window rotates per round until every oracled
@@ -3954,12 +3970,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ttl,vector}.py untouched so the tail evidence stays valid (additive
     seams went to NEW modules per the PLANS note-50 rule).
 
-    Round-10 window plan (for the next rotation): lead with the thirteen
+    Round-10 window plan (for the next rotation): lead with the fourteen
     pending-first-grade queries born after this window filled
     (events_asof_join, events_range_join, corpus_summary, dedup_editdist,
     dedup_editdist_segment, events_funnel, events_retention,
     events_active_users, tfidf_terms, source_overlap, events_anomaly,
-    embedding_screen, dims_profile — all sf0.01-parity-green
+    embedding_screen, dims_profile, dedup_rate_by_source — all
+    sf0.01-parity-green
     locally, pinned by tests/test_driver_contract.py r10_rotation_pins),
     then any query whose operator files r10 touches (run `python
     tools/evidence.py check` after each edit — it names exactly which tail
@@ -4081,6 +4098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": _q_events_anomaly,
         "embedding_screen": _q_embedding_screen,
         "dims_profile": _q_dims_profile,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
     }
 
 
@@ -4202,4 +4220,5 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,
         "embedding_screen": _ORACLE_EMBEDDING_SCREEN,
         "dims_profile": _ORACLE_DIMS_PROFILE,
+        "dedup_rate_by_source": _ORACLE_DEDUP_RATE,
     }

@@ -63,6 +63,30 @@ def exact_dedup_groups(docs: DataFrame, content_col: str = "text", id_col: str =
     )
 
 
+def dedup_rate_by_group(
+    docs: DataFrame, group_col: str = "source", content_col: str = "text"
+) -> DataFrame:
+    """Exact-duplicate rate per corpus slice: (group, n_docs, n_unique,
+    dup_rate) — the crawl-health dashboard number ("which source is
+    re-serving the same pages").  Digest-only shuffle: distinct counts run
+    over md5 digests, never the document bodies, so the exchange carries
+    ~16 bytes/row at any corpus size (the exact_dedup_groups discipline).
+    dup_rate = 1 - n_unique/n_docs rounded to 6."""
+    return (
+        docs.groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.md5(F.col(content_col))).alias("n_unique"),
+        )
+        .select(
+            "group",
+            "n_docs",
+            "n_unique",
+            F.round(1 - F.col("n_unique") / F.col("n_docs"), 6).alias("dup_rate"),
+        )
+    )
+
+
 def exact_dedup(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the min-id row per content hash (one keyed shuffle)."""
     from pyspark.sql import Window

@@ -637,3 +637,19 @@ def test_index_append_txn_race_exactly_one_admission(spark, tmp_path):
     hashes = spark.read.parquet(f"{path}/hashes")
     assert hashes.where(F.col("cid") == 100).count() == 1
     assert hashes.count() == 2  # corpus doc + exactly one admitted copy
+
+
+def test_dedup_rate_by_group(spark):
+    from mcp_synaptic_spark.operators.dedup import dedup_rate_by_group
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa", "s1"), (2, "aaa", "s1"), (3, "bbb", "s1"), (4, "aaa", "s1"),
+            (5, "x", "s2"), (6, "y", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["group"]: r for r in dedup_rate_by_group(docs).collect()}
+    assert out["s1"].n_docs == 4 and out["s1"].n_unique == 2
+    assert out["s1"].dup_rate == 0.5
+    assert out["s2"].dup_rate == 0.0 and out["s2"].n_unique == 2

@@ -100,6 +100,7 @@ def test_no_query_left_ungraded_behind_the_window():
         "events_anomaly",
         "embedding_screen",
         "dims_profile",
+        "dedup_rate_by_source",
     }
     out = [q for q in pending if q not in window and q not in r10_rotation_pins]
     assert out == [], f"pending-first-grade queries left in the tail: {out}"

@@ -149,6 +149,7 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "events_anomaly": (f"{_PKG}/operators/temporal.py",) + TBL,
     "embedding_screen": (f"{_PKG}/operators/embedding_qa.py",) + TBL,
     "dims_profile": (f"{_PKG}/operators/embedding_qa.py",) + TBL,
+    "dedup_rate_by_source": DEDUP + TBL,
     "embed_texts": EMB,
     "multimodal_features": MM,
     "frame_sample": MM,
