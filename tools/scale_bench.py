@@ -984,6 +984,33 @@ def main() -> None:
         )
     )
 
+    # --- embedding-QA tier: screen counts scale by rep; per-dim means are
+    # INVARIANT (same vectors, rep× copies) while n scales by rep ----------
+    from mcp_synaptic_spark.operators.embedding_qa import dims_profile, embedding_screen
+
+    base_emb = load_table(spark, SF_DIR, "embeddings")
+    n_valid = timed(
+        "embedding_screen_10x",
+        lambda: embedding_screen(emb).where(F.col("is_valid")).count(),
+    )
+    base_valid = embedding_screen(base_emb).where(F.col("is_valid")).count()
+    checks["screen_valid_scales_by_rep"] = bool(n_valid == rep * base_valid)
+    dp_rows = timed("dims_profile_10x", lambda: dims_profile(emb).collect())
+    dp = {r["dim"]: (r["n"], r["mean_x"], r["is_dead"]) for r in dp_rows}
+    base_dp = {
+        r["dim"]: (r["n"], r["mean_x"], r["is_dead"])
+        for r in dims_profile(base_emb).collect()
+    }
+    checks["dims_means_invariant_n_scales"] = bool(
+        set(dp) == set(base_dp)
+        and all(
+            dp[d][0] == rep * base_dp[d][0]
+            and abs(dp[d][1] - base_dp[d][1]) <= 2e-6
+            and dp[d][2] == base_dp[d][2]
+            for d in base_dp
+        )
+    )
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "scale_validation_wall_clock",
