@@ -3693,6 +3693,38 @@ FROM c
 """
 
 
+def _q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-to-convert (operators/funnel.py conversion_lags): hop
+    and end-to-end latencies for users completing view→click→purchase,
+    microsecond longs off the same single user-keyed fold as the funnel.
+    Oracle is the independent correlated-min chain joined back per user."""
+    return FN.conversion_lags(
+        _t(spark, sf_dir, "events"),
+        steps=("view", "click", "purchase"),
+        horizon="1d",
+    )
+
+
+_ORACLE_EVENTS_CONVERSION_LAG = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t AND e.ts <= s1.t + INTERVAL 1 DAY
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t AND e.ts <= s2.t + INTERVAL 1 DAY
+  GROUP BY 1
+)
+SELECT s3.user_id,
+       CAST(epoch_us(s2.t) - epoch_us(s1.t) AS BIGINT) AS lag_us_1,
+       CAST(epoch_us(s3.t) - epoch_us(s2.t) AS BIGINT) AS lag_us_2,
+       CAST(epoch_us(s3.t) - epoch_us(s1.t) AS BIGINT) AS lag_us_total
+FROM s3 JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+"""
+
+
 def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle (operators/retention.py): users cohorted
     by first-activity day, distinct-user counts per (cohort, offset). ONE
@@ -3712,6 +3744,36 @@ WITH act AS (
   SELECT uid, min(day) AS cohort_day FROM act GROUP BY uid
 ), tri AS (
   SELECT c.cohort_day, datediff('day', c.cohort_day, a.day) AS day_offset,
+         count(*) AS n
+  FROM act a JOIN c USING (uid) GROUP BY 1, 2
+)
+SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(max(CASE WHEN day_offset = 0 THEN n END)
+              OVER (PARTITION BY cohort_day) AS BIGINT) AS cohort_size,
+       round(CAST(n AS DOUBLE)
+             / max(CASE WHEN day_offset = 0 THEN n END)
+                 OVER (PARTITION BY cohort_day), 6) AS retention_rate
+FROM tri
+"""
+
+
+def _q_events_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-granularity cohort retention — exercises the week-offset branch
+    (date_trunc('week') pins both sides to Mondays, so datediff/7 is
+    exact). Same single-event-shuffle shape as the daily triangle."""
+    return RTN.cohort_retention(_t(spark, sf_dir, "events"), granularity="week")
+
+
+_ORACLE_EVENTS_RETENTION_WEEKLY = """
+WITH act AS (
+  SELECT DISTINCT user_id AS uid, CAST(date_trunc('week', ts) AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), c AS (
+  SELECT uid, min(day) AS cohort_day FROM act GROUP BY uid
+), tri AS (
+  SELECT c.cohort_day,
+         datediff('week', c.cohort_day, a.day) AS day_offset,
          count(*) AS n
   FROM act a JOIN c USING (uid) GROUP BY 1, 2
 )
@@ -3970,12 +4032,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ttl,vector}.py untouched so the tail evidence stays valid (additive
     seams went to NEW modules per the PLANS note-50 rule).
 
-    Round-10 window plan (for the next rotation): lead with the fourteen
+    Round-10 window plan (for the next rotation): lead with the sixteen
     pending-first-grade queries born after this window filled
     (events_asof_join, events_range_join, corpus_summary, dedup_editdist,
     dedup_editdist_segment, events_funnel, events_retention,
     events_active_users, tfidf_terms, source_overlap, events_anomaly,
-    embedding_screen, dims_profile, dedup_rate_by_source — all
+    embedding_screen, dims_profile, dedup_rate_by_source,
+    events_retention_weekly, events_conversion_lag — all
     sf0.01-parity-green
     locally, pinned by tests/test_driver_contract.py r10_rotation_pins),
     then any query whose operator files r10 touches (run `python
@@ -4099,6 +4162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_screen": _q_embedding_screen,
         "dims_profile": _q_dims_profile,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "events_retention_weekly": _q_events_retention_weekly,
+        "events_conversion_lag": _q_events_conversion_lag,
     }
 
 
@@ -4221,4 +4286,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_screen": _ORACLE_EMBEDDING_SCREEN,
         "dims_profile": _ORACLE_DIMS_PROFILE,
         "dedup_rate_by_source": _ORACLE_DEDUP_RATE,
+        "events_retention_weekly": _ORACLE_EVENTS_RETENTION_WEEKLY,
+        "events_conversion_lag": _ORACLE_EVENTS_CONVERSION_LAG,
     }

@@ -51,7 +51,7 @@ def _horizon_seconds(horizon: str | int) -> int:
     return int(m.group(1)) * _UNIT_SECONDS.get(m.group(2), 1)
 
 
-def funnel(
+def user_chain_times(
     events: DataFrame,
     *,
     steps: Sequence[str],
@@ -60,9 +60,10 @@ def funnel(
     event_col: str = "event_type",
     horizon: str | int = "1d",
 ) -> DataFrame:
-    """Per-step funnel counts: (step, step_name, n_users, frac_of_first),
-    one row per step in order, frac_of_first = n_users / step-1 users
-    rounded to 6 (NULL when step 1 is empty)."""
+    """Per-user chain state: (u, r) where r[j] is the user's earliest
+    qualifying step-j+1 timestamp (NULL once the chain breaks) — the
+    shared fold behind `funnel` (counts) and `conversion_lags`
+    (per-user latency)."""
     if not steps:
         raise ValueError("steps must be non-empty")
     if len(set(steps)) != len(steps):
@@ -113,7 +114,26 @@ def funnel(
 
         return F.transform(acc, _slot)
 
-    reached = per_user.select(F.aggregate("evs", init, _fold).alias("r"))
+    return per_user.select(F.col("u"), F.aggregate("evs", init, _fold).alias("r"))
+
+
+def funnel(
+    events: DataFrame,
+    *,
+    steps: Sequence[str],
+    by: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    horizon: str | int = "1d",
+) -> DataFrame:
+    """Per-step funnel counts: (step, step_name, n_users, frac_of_first),
+    one row per step in order, frac_of_first = n_users / step-1 users
+    rounded to 6 (NULL when step 1 is empty)."""
+    k = len(steps)
+    reached = user_chain_times(
+        events, steps=steps, by=by, ts_col=ts_col, event_col=event_col,
+        horizon=horizon,
+    ).select("r")
     counts = reached.agg(
         *[F.count(F.get("r", j)).alias(f"c{j}") for j in range(k)]
     )
@@ -131,3 +151,33 @@ def funnel(
         ]
     )
     return counts.select(F.explode(rows).alias("x")).select("x.*")
+
+
+def conversion_lags(
+    events: DataFrame,
+    *,
+    steps: Sequence[str],
+    by: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    horizon: str | int = "1d",
+) -> DataFrame:
+    """Per completing user, the latency of each chain hop and end-to-end:
+    (user, lag_us_1 .. lag_us_{k-1}, lag_us_total), microsecond longs —
+    the time-to-convert distribution behind every funnel chart.  Only
+    users who reach the FINAL step appear.  Same single user-keyed shuffle
+    as `funnel` (the shared fold); lags are timestamp differences in
+    microseconds, so they are timezone-free and integer-exact."""
+    k = len(steps)
+    if k < 2:
+        raise ValueError("conversion lags need at least 2 steps")
+    chain = user_chain_times(
+        events, steps=steps, by=by, ts_col=ts_col, event_col=event_col,
+        horizon=horizon,
+    )
+    t = [F.unix_micros(F.get("r", j)) for j in range(k)]
+    return chain.where(F.get("r", k - 1).isNotNull()).select(
+        F.col("u").alias(by),
+        *[(t[j + 1] - t[j]).alias(f"lag_us_{j + 1}") for j in range(k - 1)],
+        (t[k - 1] - t[0]).alias("lag_us_total"),
+    )

@@ -137,3 +137,46 @@ def test_step_validation(spark):
         funnel(df, steps=())
     with pytest.raises(ValueError):
         funnel(df, steps=("a", "a"))
+
+
+# --- conversion_lags --------------------------------------------------------
+
+def test_conversion_lags_match_chain(spark):
+    import datetime as dt
+
+    from mcp_synaptic_spark.operators.funnel import conversion_lags
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1 completes: view@0 -> click@30 -> purchase@100
+        (1, ts(0), "view"), (1, ts(30), "click"), (1, ts(100), "purchase"),
+        # user 2 stalls after click
+        (2, ts(0), "view"), (2, ts(10), "click"),
+        # user 3: purchase before any view -> never completes
+        (3, ts(5), "purchase"), (3, ts(50), "view"),
+        # user 4 completes with same-timestamp steps (inclusive boundary)
+        (4, ts(7), "view"), (4, ts(7), "click"), (4, ts(7), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r.user_id: (r.lag_us_1, r.lag_us_2, r.lag_us_total)
+        for r in conversion_lags(
+            df, steps=("view", "click", "purchase"), horizon=300
+        ).collect()
+    }
+    assert out == {
+        1: (30_000_000, 70_000_000, 100_000_000),
+        4: (0, 0, 0),
+    }
+
+
+def test_conversion_lags_requires_two_steps(spark):
+    import pytest as _pytest
+
+    from mcp_synaptic_spark.operators.funnel import conversion_lags
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    with _pytest.raises(ValueError):
+        conversion_lags(df, steps=("view",))

@@ -150,6 +150,8 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "embedding_screen": (f"{_PKG}/operators/embedding_qa.py",) + TBL,
     "dims_profile": (f"{_PKG}/operators/embedding_qa.py",) + TBL,
     "dedup_rate_by_source": DEDUP + TBL,
+    "events_retention_weekly": (f"{_PKG}/operators/retention.py",) + TBL,
+    "events_conversion_lag": (f"{_PKG}/operators/funnel.py", f"{_PKG}/functions/ttl.py") + TBL,
     "embed_texts": EMB,
     "multimodal_features": MM,
     "frame_sample": MM,
