@@ -30,6 +30,7 @@ from mcp_synaptic_spark.operators import funnel as FN
 from mcp_synaptic_spark.operators import retention as RTN
 from mcp_synaptic_spark.operators import terms as TM
 from mcp_synaptic_spark.operators.embedding_qa import dims_profile, embedding_screen
+from mcp_synaptic_spark.operators.text_qa import text_screen
 from mcp_synaptic_spark.operators import memory as M
 from mcp_synaptic_spark.operators import rag as R
 from mcp_synaptic_spark.operators import retrieval as RT
@@ -3992,6 +3993,40 @@ FROM x GROUP BY dim
 """
 
 
+def _q_text_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document transport-damage screen (operators/text_qa.py):
+    control chars, U+FFFD mojibake tombstones, pathological line length,
+    non-ASCII ratio. ONE scan, ZERO shuffles, fully codegen (plan-pinned
+    in tests/test_text_qa.py); regex classes use only \\x escapes so the
+    identical pattern text parses the same under Java regex and RE2."""
+    return text_screen(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_TEXT_SCREEN = """
+WITH s AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         CAST(len(string_split(text, chr(10))) AS INT) AS n_lines,
+         CAST(list_max(list_transform(string_split(text, chr(10)),
+                                      x -> length(x))) AS INT) AS max_line_len,
+         length(regexp_replace(text,
+                '[\\x20-\\x7E\\x09\\x0A\\x0D]', '', 'g')) AS n_non_ascii,
+         regexp_matches(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]')
+           AS has_control,
+         contains(text, chr(65533)) AS has_replacement
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, CAST(n_chars AS INT) AS n_chars, n_lines, max_line_len,
+       round(CASE WHEN n_chars > 0
+                  THEN CAST(n_non_ascii AS DOUBLE) / n_chars
+                  ELSE 0.0 END, 6) AS non_ascii_ratio,
+       has_control, has_replacement,
+       max_line_len > 4000 AS long_line,
+       (has_control OR has_replacement OR max_line_len > 4000) AS is_suspect
+FROM s
+"""
+
+
 def _q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dup rate per source (operators/dedup.py dedup_rate_by_group):
     the crawl-health number. Digest-only distinct — the exchange carries
@@ -4032,13 +4067,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ttl,vector}.py untouched so the tail evidence stays valid (additive
     seams went to NEW modules per the PLANS note-50 rule).
 
-    Round-10 window plan (for the next rotation): lead with the sixteen
+    Round-10 window plan (for the next rotation): lead with the seventeen
     pending-first-grade queries born after this window filled
     (events_asof_join, events_range_join, corpus_summary, dedup_editdist,
     dedup_editdist_segment, events_funnel, events_retention,
     events_active_users, tfidf_terms, source_overlap, events_anomaly,
     embedding_screen, dims_profile, dedup_rate_by_source,
-    events_retention_weekly, events_conversion_lag — all
+    events_retention_weekly, events_conversion_lag, text_screen — all
     sf0.01-parity-green
     locally, pinned by tests/test_driver_contract.py r10_rotation_pins),
     then any query whose operator files r10 touches (run `python
@@ -4164,6 +4199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "events_retention_weekly": _q_events_retention_weekly,
         "events_conversion_lag": _q_events_conversion_lag,
+        "text_screen": _q_text_screen,
     }
 
 
@@ -4288,4 +4324,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rate_by_source": _ORACLE_DEDUP_RATE,
         "events_retention_weekly": _ORACLE_EVENTS_RETENTION_WEEKLY,
         "events_conversion_lag": _ORACLE_EVENTS_CONVERSION_LAG,
+        "text_screen": _ORACLE_TEXT_SCREEN,
     }

@@ -103,6 +103,7 @@ def test_no_query_left_ungraded_behind_the_window():
         "dedup_rate_by_source",
         "events_retention_weekly",
         "events_conversion_lag",
+        "text_screen",
     }
     out = [q for q in pending if q not in window and q not in r10_rotation_pins]
     assert out == [], f"pending-first-grade queries left in the tail: {out}"

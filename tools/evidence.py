@@ -152,6 +152,7 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "dedup_rate_by_source": DEDUP + TBL,
     "events_retention_weekly": (f"{_PKG}/operators/retention.py",) + TBL,
     "events_conversion_lag": (f"{_PKG}/operators/funnel.py", f"{_PKG}/functions/ttl.py") + TBL,
+    "text_screen": (f"{_PKG}/operators/text_qa.py",) + TBL,
     "embed_texts": EMB,
     "multimodal_features": MM,
     "frame_sample": MM,
