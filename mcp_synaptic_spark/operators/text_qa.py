@@ -28,6 +28,18 @@ ASCII_CLASS = "[\\x20-\\x7E\\x09\\x0A\\x0D]"
 REPLACEMENT_CHAR = "�"
 
 
+def suspect_expr(text_col: str = "text", *, max_line: int = 4000):
+    """The screen's verdict as ONE reusable column expression (control OR
+    replacement OR long-line) — what a streaming front door filters on
+    without joining the full screen output back onto the stream."""
+    t = F.col(text_col)
+    return (
+        t.rlike(CONTROL_CLASS)
+        | F.contains(t, F.lit(REPLACEMENT_CHAR))
+        | (F.array_max(F.transform(F.split(t, "\\n"), F.length)) > max_line)
+    )
+
+
 def text_screen(
     docs: DataFrame,
     *,

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..operators.pipeline import chunk_documents
 from ..operators.text_analysis import GATE_RULES, quality_gate
+from ..operators.text_qa import suspect_expr
 from .dedup_stream import streaming_exact_dedup
 
 __all__ = ["ingest_pipeline", "admit_stream"]
@@ -45,10 +46,18 @@ def ingest_pipeline(
     watermark: str = "1 hour",
     chunk_words: int = 100,
     overlap: int = 20,
+    transport_screen: bool = True,
+    max_line: int = 4000,
 ) -> DataFrame:
-    """gate → exact-dedup → chunk over a (streaming or batch) documents
-    frame. Output: one row per surviving chunk
+    """transport-screen → gate → exact-dedup → chunk over a (streaming or
+    batch) documents frame. Output: one row per surviving chunk
     (id, chunk_idx, chunk_text, n_chunk_words, start_word).
+
+    ``transport_screen`` (default on, r9) drops encoding-damaged rows
+    (control chars / U+FFFD / minified mile-long lines — text_qa.py)
+    BEFORE the content-quality gate: damage flags are cheap zero-shuffle
+    column expressions, and a mojibake doc can otherwise sail through
+    length/stopword rules and poison the dedup index downstream.
 
     Works identically on a batch DataFrame (the stream==batch test relies
     on exactly that), with one semantic caveat inherent to streaming
@@ -70,6 +79,14 @@ def ingest_pipeline(
                 "clobber it — rename one of them first"
             )
         docs = docs.withColumnRenamed(id_col, "doc_id")
+    if transport_screen:
+        # same no-join discipline as the gate: the suspect verdict is a
+        # single column expression (text_qa.suspect_expr), so it filters
+        # the stream directly instead of joining text_screen's output back
+        docs = docs.where(
+            F.col(content_col).isNotNull()
+            & ~suspect_expr(content_col, max_line=max_line)
+        )
     # carry the payload THROUGH the gate (keep_cols) instead of joining the
     # verdicts back to the input — that join would be a stream-stream
     # self-join with unbounded state

@@ -38,3 +38,44 @@ def test_screen_zero_shuffle(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_suspect_expr_matches_screen_flags(spark):
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.text_qa import suspect_expr
+
+    rows = [
+        (1, "clean"), (2, "ctl \x01"), (3, "bad �"), (4, "y" * 9000),
+        (5, "multi\nline\nfine"),
+    ]
+    df = _docs(spark, rows)
+    via_expr = {
+        r.doc_id for r in df.where(suspect_expr("text", max_line=4000)).collect()
+    }
+    via_screen = {
+        r.doc_id for r in text_screen(df, max_line=4000).collect() if r.is_suspect
+    }
+    assert via_expr == via_screen == {2, 3, 4}
+
+
+def test_ingest_pipeline_transport_screen_rejects_damage(spark, tmp_path):
+    """A mojibake doc that would PASS the content-quality rules must be
+    dropped by the front door's transport screen (and kept when the screen
+    is explicitly disabled)."""
+    from mcp_synaptic_spark.streaming.ingest import ingest_pipeline
+
+    good = "the quick brown fox jumps over the lazy dog and keeps running " * 3
+    bad = good[:30] + "�" + good[30:]
+    df = spark.createDataFrame(
+        [(1, good), (2, bad)], "doc_id long, text string"
+    )
+    kept = {r.doc_id for r in ingest_pipeline(df, chunk_words=50, overlap=0).collect()}
+    assert kept == {1}
+    kept_off = {
+        r.doc_id
+        for r in ingest_pipeline(
+            df, chunk_words=50, overlap=0, transport_screen=False
+        ).collect()
+    }
+    assert kept_off == {1, 2}
