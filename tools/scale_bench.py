@@ -1011,6 +1011,33 @@ def main() -> None:
         )
     )
 
+    # --- text-QA tier: identical docs ×rep ⇒ per-row verdicts replicate,
+    # so row/suspect/char totals all scale by exactly rep ------------------
+    from mcp_synaptic_spark.operators.text_qa import text_screen
+
+    ts_totals = timed(
+        "text_screen_10x",
+        lambda: tuple(
+            text_screen(docs)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.count(F.when(F.col("is_suspect"), 1)).alias("suspect"),
+                F.sum("n_chars").alias("chars"),
+            )
+            .collect()[0]
+        ),
+    )
+    bt = (
+        text_screen(base_docs)
+        .agg(
+            F.count(F.lit(1)), F.count(F.when(F.col("is_suspect"), 1)), F.sum("n_chars")
+        )
+        .collect()[0]
+    )
+    checks["text_screen_totals_scale_by_rep"] = bool(
+        ts_totals == (rep * bt[0], rep * bt[1], rep * bt[2])
+    )
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "scale_validation_wall_clock",
