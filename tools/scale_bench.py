@@ -883,6 +883,29 @@ def main() -> None:
         au == {d: (rep * a, rep * w) for d, (a, w) in base_au.items()}
     )
 
+    # --- conversion-lag tier: replica users carry identical event times, so
+    # the per-user lag multiset scales by exactly rep -----------------------
+    from mcp_synaptic_spark.operators.funnel import conversion_lags
+
+    from collections import Counter
+
+    lag_rows = timed(
+        "events_conversion_lag_10x",
+        lambda: conversion_lags(
+            ev, steps=("view", "click", "purchase"), horizon="1d"
+        ).collect(),
+    )
+    lags = Counter((r["lag_us_1"], r["lag_us_2"], r["lag_us_total"]) for r in lag_rows)
+    base_lags = Counter(
+        (r["lag_us_1"], r["lag_us_2"], r["lag_us_total"])
+        for r in conversion_lags(
+            base_ev, steps=("view", "click", "purchase"), horizon="1d"
+        ).collect()
+    )
+    checks["conversion_lag_multiset_scales_by_rep"] = bool(
+        lags == Counter({k: rep * n for k, n in base_lags.items()})
+    )
+
     # --- terms tier: replication multiplies tf/df/N by rep but keeps the
     # per-source vocabularies identical, so the tfidf top-k must equal the
     # expectation computed from base aggregates via the formula, and the
