@@ -95,3 +95,36 @@ def test_rolling_window_one_equals_dau(spark):
     assert df.where(F.col("dau") != F.col("rolling_au")).count() == 0
     with pytest.raises(ValueError):
         RET.rolling_active_users(df, window_days=0)
+
+
+def test_retention_and_active_users_on_seeded_random_feeds(spark):
+    """Seeded random (user, day, hour) feeds vs the pure-Python model —
+    covers multi-cohort overlap, gaps, and single-day users (Spark
+    round-trips are too slow for per-example hypothesis here)."""
+    import random
+
+    rng = random.Random(29)
+    for trial in range(3):
+        rows = [
+            (rng.randint(1, 12), rng.randint(1, 20), rng.randint(0, 23))
+            for _ in range(rng.randint(5, 120))
+        ]
+        ev = _events(spark, rows)
+        naive = _naive_retention(rows)
+        got = {
+            (r.cohort_day.day, r.day_offset): r.n_users
+            for r in RET.cohort_retention(ev).collect()
+        }
+        assert got == naive, f"trial {trial}"
+        k = rng.randint(1, 9)
+        act = {(u, d) for u, d, _ in rows}
+        days = sorted({d for _, d in act})
+        au = {
+            r.day.day: (r.dau, r.rolling_au)
+            for r in RET.rolling_active_users(ev, window_days=k).collect()
+        }
+        for d in days:
+            dau = len({u for u, dd in act if dd == d})
+            wau = len({u for u, dd in act if d - k + 1 <= dd <= d})
+            assert au[d] == (dau, wau), f"trial {trial} day {d}"
+        assert set(au) == set(days)
