@@ -3945,9 +3945,10 @@ WITH s AS (
          CAST(coalesce(len(embedding), -1) AS INT) AS n_dims,
          coalesce(len(embedding), -1) != 64 AS bad_dim,
          coalesce(list_aggregate(
-             list_transform(embedding, x -> isnan(x) OR isinf(x)), 'bool_or'
+             list_transform(embedding, x -> x IS NULL OR isnan(x) OR isinf(x)),
+             'bool_or'
          ), FALSE) AS nonfinite,
-         coalesce(list_aggregate(
+         coalesce(len(embedding) > 0 AND list_aggregate(
              list_transform(embedding, x -> x = 0.0), 'bool_and'
          ), FALSE) AS zero,
          sqrt(list_sum(list_transform(embedding, x -> x * x))) AS raw_norm
@@ -3982,14 +3983,22 @@ WITH x AS (
   SELECT CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS dim,
          unnest(embedding) AS x
   FROM embeddings WHERE embedding IS NOT NULL
+), f AS (
+  SELECT dim,
+         CASE WHEN x IS NULL OR isnan(x) OR isinf(x) THEN NULL ELSE x END AS fin,
+         (x IS NULL OR isnan(x) OR isinf(x)) AS dmg
+  FROM x
 )
 SELECT dim, CAST(count(*) AS BIGINT) AS n,
-       CAST(count(CASE WHEN x != 0.0 THEN 1 END) AS BIGINT) AS n_nonzero,
-       min(x) AS min_x, max(x) AS max_x,
-       round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
-         AS mean_x,
-       (count(CASE WHEN x != 0.0 THEN 1 END) = 0 OR min(x) = max(x)) AS is_dead
-FROM x GROUP BY dim
+       CAST(count(CASE WHEN fin != 0.0 THEN 1 END) AS BIGINT) AS n_nonzero,
+       CAST(count(CASE WHEN dmg THEN 1 END) AS BIGINT) AS n_damaged,
+       min(fin) AS min_x, max(fin) AS max_x,
+       round(CASE WHEN count(fin) > 0
+             THEN CAST(sum(CAST(fin AS DECIMAL(28,12))) AS DOUBLE) / count(fin)
+             END, 6) AS mean_x,
+       (count(CASE WHEN fin != 0.0 THEN 1 END) = 0 OR min(fin) = max(fin))
+         AS is_dead
+FROM f GROUP BY dim
 """
 
 

@@ -21,21 +21,22 @@ ROUNDED score keeps the cross-engine tie-break deterministic even when
 the two engines' ln() differ in the last ulp.
 
 Physical shape: tokenize with a codegen split/explode (no Python in the
-hot path), then
+hot path), then ONE token-volume shuffle to (term, group, doc) grain;
+df attaches as a window count over term (a doc has one group, so the
+per-(doc, term) row count per term IS df) and the tf groupBy reuses the
+term hash partitioning (hash(term) already co-locates every (group, term)
+pair — no new exchange).  N is the one extra pass (a null-mask-only scan:
+docs-with-text is not derivable from any vocab-grain aggregate, and Spark
+plans no exchange reuse across aggregation grains — measured, r9 review),
+attached as the engine's 1-row broadcast.  Top-k is a window rank per
+group over vocab-sized rows.
 
-    tf   : groupBy(group, term).count()          [shuffle 1 — token-volume]
-    df   : groupBy(term).agg(count_distinct(doc))[shuffle 2 — token-volume]
-    join : tf ⋈ df on term                       [both already aggregated:
-           vocab-sized inputs, AQE picks the strategy]
-    N    : 1-row broadcast (the engine's standard stats-attach pattern)
-    topk : window rank per group over vocab-sized rows
-
-Both token-volume shuffles carry (key, count) pairs with map-side partial
-aggregation — the wire volume is vocab-bounded per partition, not
+The token-volume shuffle carries (key, count) pairs with map-side partial
+aggregation — wire volume is vocab-bounded per partition, not
 token-bounded.  Skew: natural-language term frequency is Zipfian, but the
 partial agg collapses each partition's duplicates before the exchange, so
-the hot term costs one row per upstream partition.  No stage reads the
-corpus twice.
+the hot term costs one row per upstream partition.  Corpus scans: exactly
+TWO (main chain + N), pinned in tests/test_plan_shapes.py.
 """
 
 from __future__ import annotations
@@ -71,23 +72,36 @@ def tfidf_terms(
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
     toks = tokens(docs, text_col=text_col, extra_cols=(group_col, id_col))
-    tf = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    # (doc, term) grain first: a document has ONE group, so the row count
+    # per term over this relation IS df — attached as a window aggregate
+    # (hash-partitioned by term), which removes the separate df branch and
+    # its second corpus scan (Spark does not reuse the exchange across the
+    # two aggregation grains — measured, r9 review). The groupBy(group,
+    # term) that follows needs no new exchange either: hash(term) already
+    # co-locates every (group, term) pair.
+    per_doc = toks.groupBy("term", group_col, id_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("term")
+    per_doc = per_doc.withColumn("df", F.count(F.lit(1)).over(w))
+    tf = per_doc.groupBy(group_col, "term").agg(
+        F.sum("c").alias("tf"), F.first("df").alias("df")
+    )
+    # N is the one remaining second pass: docs-with-text is not derivable
+    # from any vocab-grain aggregate without re-consuming the chain (no
+    # exchange reuse), and the scan it costs reads only the text column's
+    # null mask
     n = (
         docs.where(F.col(text_col).isNotNull())
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    scored = (
-        tf.join(df, "term")
-        .join(F.broadcast(n))
-        .withColumn(
-            "score",
-            F.round(
-                F.col("tf")
-                * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
-                6,
-            ),
-        )
+    scored = tf.join(F.broadcast(n)).withColumn(
+        "score",
+        F.round(
+            F.col("tf")
+            * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+            6,
+        ),
     )
     w = Window.partitionBy(group_col).orderBy(F.col("score").desc(), F.col("term"))
     return (
@@ -108,40 +122,42 @@ def group_vocab_overlap(
     pair (group_a < group_b) with vocab sizes, intersection size, and
     jaccard rounded to 6dp.
 
-    Physical shape: ONE tokenize pass → distinct (group, term) [the only
-    token-volume shuffle; everything after is vocab-sized] → self equi-join
-    on term for intersections + a groupBy for sizes.  The per-term join
-    fan-out is bounded by |groups|² regardless of corpus size, and the
-    G×G result is tiny, so this stays two vocab-sized shuffles at 100 TB.
+    Physical shape: tokenize → distinct (group, term) with the group's
+    vocab size attached as a WINDOW count (no separate sizes branch — the
+    exchange is not reused across aggregation grains, so a sizes groupBy
+    would re-scan the corpus; measured, r9 review) → self equi-join on
+    term for intersections, vocab_a/vocab_b riding the join sides.  The
+    self-join still evaluates its input twice (two corpus scans — Spark
+    plans no exchange reuse here either), the per-term fan-out is bounded
+    by |groups|² regardless of corpus size, and the G×G result is tiny.
     Groups with no tokens simply don't appear (their Jaccard with anything
     is 0/undefined)."""
+    w = Window.partitionBy("g")
     gt = (
         tokens(docs, text_col=text_col, extra_cols=(group_col,))
         .select(F.col(group_col).alias("g"), "term")
         .distinct()
+        .withColumn("vocab", F.count(F.lit(1)).over(w))
     )
-    sizes = gt.groupBy("g").agg(F.count(F.lit(1)).alias("vocab"))
     a, b = gt.alias("a"), gt.alias("b")
     inter = (
         a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.g") < F.col("b.g")))
         .groupBy(F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("g").alias("group_a"), F.col("vocab").alias("vocab_a"))
-    sb = sizes.select(F.col("g").alias("group_b"), F.col("vocab").alias("vocab_b"))
-    return (
-        inter.join(F.broadcast(sa), "group_a")
-        .join(F.broadcast(sb), "group_b")
-        .select(
-            "group_a",
-            "group_b",
-            "vocab_a",
-            "vocab_b",
-            "n_common",
-            F.round(
-                F.col("n_common")
-                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.vocab")).alias("vocab_a"),
+            F.first(F.col("b.vocab")).alias("vocab_b"),
         )
+    )
+    return inter.select(
+        "group_a",
+        "group_b",
+        "vocab_a",
+        "vocab_b",
+        "n_common",
+        F.round(
+            F.col("n_common")
+            / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
     )

@@ -37,9 +37,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ._pandas import series_to_micros
+
 OUTPUT_SCHEMA = T.StructType(
     [
-        T.StructField("event_type", T.StringType(), False),
+        # nullable: a NULL type is a legitimate group (batch twin keeps it)
+        T.StructField("event_type", T.StringType(), True),
         T.StructField("bucket_start", T.TimestampType(), False),
         T.StructField("n_events", T.LongType(), False),
         T.StructField("mean_prior", T.DoubleType(), True),
@@ -87,11 +90,7 @@ def rate_anomalies_stream(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            # normalize to ns first: pandas 2.x may hand datetime64[us]
-            t_us = (
-                pd.to_datetime(pdf["t"]).astype("datetime64[ns]").astype("int64")
-                // 1000
-            )
+            t_us = series_to_micros(pdf["t"])
             for b, n in (t_us // b_us).value_counts().items():
                 b = int(b) * b_us
                 buf[b] = buf.get(b, 0) + int(n)

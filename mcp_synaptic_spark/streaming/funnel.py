@@ -42,10 +42,13 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.funnel import _horizon_seconds
+from ._pandas import series_to_micros
 
 OUTPUT_SCHEMA = T.StructType(
     [
-        T.StructField("key", T.StringType(), False),
+        # nullable: a NULL user key is a legitimate group (the batch twin
+        # groups it too) and must not fail the Arrow conversion
+        T.StructField("key", T.StringType(), True),
         T.StructField("steps_reached", T.IntegerType(), False),
     ]
 )
@@ -93,13 +96,7 @@ def funnel_updates_stream(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            # normalize to ns before the int cast: pandas 2.x may hand the
-            # Arrow batch over as datetime64[us], and a bare astype("int64")
-            # would then be off by 1000×
-            t_us = (
-                pd.to_datetime(pdf["t"]).astype("datetime64[ns]").astype("int64")
-                // 1000
-            ).tolist()
+            t_us = series_to_micros(pdf["t"]).tolist()
             pending.extend(zip(t_us, (int(s) for s in pdf["s"])))
 
         wm_us = state.getCurrentWatermarkMs() * 1000

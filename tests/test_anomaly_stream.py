@@ -4,12 +4,11 @@ exactness under bounded out-of-order arrival, flush via event-time timeout."""
 from __future__ import annotations
 
 import datetime as dt
-import glob
 import math
-import os
-import shutil
 
 from mcp_synaptic_spark.streaming.anomaly import rate_anomalies_stream
+
+from stream_utils import replayed_stream
 
 SCHEMA = "user_id long, ts timestamp, event_type string"
 
@@ -18,25 +17,8 @@ def _ts(s):
     return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
 
 
-def _write_batches(spark, tmp_path, batches):
-    src = str(tmp_path / "src")
-    os.makedirs(src)
-    for i, rows in enumerate(batches):
-        stage = str(tmp_path / f"stage{i}")
-        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dest = os.path.join(src, f"batch{i:03d}.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
-    return src
-
-
 def _run(spark, tmp_path, batches, **kw):
-    src = _write_batches(spark, tmp_path, batches)
-    schema = spark.createDataFrame([], SCHEMA).schema
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-    )
+    stream = replayed_stream(spark, tmp_path, batches, SCHEMA)
     name = f"anomaly_stream_{abs(hash(str(tmp_path))) % 10**8}"
     q = (
         rate_anomalies_stream(stream, **kw)

@@ -4,14 +4,11 @@ out-of-order arrival, and stream == batch on ordered feeds."""
 from __future__ import annotations
 
 import datetime as dt
-import glob
-import os
-import shutil
-
-from pyspark.sql import functions as F
 
 from mcp_synaptic_spark.operators.funnel import funnel
 from mcp_synaptic_spark.streaming.funnel import funnel_updates_stream
+
+from stream_utils import replayed_stream
 
 SCHEMA = "user_id long, ts timestamp, event_type string"
 
@@ -20,27 +17,8 @@ def _ts(s):
     return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
 
 
-def _write_batches(spark, tmp_path, batches):
-    """One parquet file per micro-batch, mod-times forced increasing so the
-    file source (maxFilesPerTrigger=1) replays them in order."""
-    src = str(tmp_path / "src")
-    os.makedirs(src)
-    for i, rows in enumerate(batches):
-        stage = str(tmp_path / f"stage{i}")
-        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dest = os.path.join(src, f"batch{i:03d}.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
-    return src
-
-
 def _run(spark, tmp_path, batches, **kw):
-    src = _write_batches(spark, tmp_path, batches)
-    schema = spark.createDataFrame([], SCHEMA).schema
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-    )
+    stream = replayed_stream(spark, tmp_path, batches, SCHEMA)
     name = f"funnel_stream_{abs(hash(str(tmp_path))) % 10**8}"
     q = (
         funnel_updates_stream(stream, **kw)
@@ -130,3 +108,31 @@ def test_monotone_updates_and_quiet_user_flush(spark, tmp_path):
     )
     assert got["5"] == 2
     assert got["9"] == 1  # view-only participant
+
+
+def test_null_user_key_streams_like_batch(spark, tmp_path):
+    """A NULL user_id is a legitimate group in the batch fold; the stream
+    must carry it (nullable output key) instead of failing the Arrow
+    conversion — r9 review finding."""
+    steps = ("view", "click")
+    batches = [
+        [(None, _ts(0), "view"), (None, _ts(10), "click"), (1, _ts(5), "view")],
+        [(9, _ts(5_000), "view")],
+        [(9, _ts(9_000), "view")],
+    ]
+    got = _run(
+        spark, tmp_path, batches,
+        steps=steps, horizon=60, watermark_delay="0 seconds",
+    )
+    assert got[None] == 2
+    assert got["1"] == 1
+
+    batch = {
+        r["step"]: r["n_users"]
+        for r in funnel(
+            spark.createDataFrame(batches[0] + batches[1] + batches[2], SCHEMA),
+            steps=steps, horizon=60,
+        ).collect()
+    }
+    stream_counts = {j + 1: sum(1 for d in got.values() if d >= j + 1) for j in range(2)}
+    assert stream_counts == batch

@@ -148,13 +148,27 @@ def test_anomaly_single_scan_window_moments(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
-def test_tfidf_no_range_exchange_stats_attach_is_one_row(spark):
-    """r9: tf/df aggregations hash-partition with map-side partials; the
-    per-group top-k sorts within hash partitions (window), never a global
-    range exchange. The N attach is the engine's 1-row broadcast pattern —
-    the only nested-loop join allowed is that single 1-row build."""
+def test_tfidf_two_scans_df_as_window(spark):
+    """r9 (review fix): df rides a window count over the term-partitioned
+    per-doc-term relation, so the corpus is scanned exactly TWICE (main
+    chain + the null-mask-only N branch) — the tf/df two-branch form
+    scanned it three times because Spark plans no exchange reuse across
+    aggregation grains. No range exchange; the N attach is the engine's
+    1-row broadcast pattern (the only nested-loop join allowed)."""
     plan = _plan(spark, "tfidf_terms")
+    assert plan.count("Scan parquet") == 2
     assert "Exchange rangepartitioning" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan  # map-side combine on the token volume
+
+
+def test_overlap_two_scans_sizes_as_window(spark):
+    """r9 (review fix): vocab sizes ride a window count on the distinct
+    (group, term) relation instead of a separate groupBy branch — two
+    corpus scans (the term self-join's two sides), no broadcast size
+    joins, no range exchange."""
+    plan = _plan(spark, "source_overlap")
+    assert plan.count("Scan parquet") == 2
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan

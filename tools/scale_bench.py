@@ -993,15 +993,19 @@ def main() -> None:
     # mean comparison divides by rep (multiplying the 6dp-rounded base mean
     # by rep amplifies its rounding error past any fixed gate — the r9 100×
     # false negative); z is scale-free so it compares directly
+    def _z_eq(a, b):
+        # None-safe: one-sided None must record a FAILED check, not crash
+        # the harness with abs(None - float)
+        if (a is None) != (b is None):
+            return False
+        return a is None or abs(a - b) <= 1e-5
+
     checks["anomaly_z_invariant_means_scale_by_rep"] = bool(
         set(an) == set(base_an)
         and all(
             an[k][0] == rep * base_an[k][0]
             and abs(an[k][1] / rep - base_an[k][1]) <= 2e-6
-            and (
-                (an[k][2] is None and base_an[k][2] is None)
-                or abs(an[k][2] - base_an[k][2]) <= 1e-5
-            )
+            and _z_eq(an[k][2], base_an[k][2])
             and an[k][3] == base_an[k][3]
             for k in base_an
         )
