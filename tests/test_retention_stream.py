@@ -1,0 +1,98 @@
+"""Streaming retention updates (streaming/retention.py): cohort-min
+finality under bounded out-of-order arrival, stream == batch triangle."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from mcp_synaptic_spark.operators.retention import cohort_retention
+from mcp_synaptic_spark.streaming.retention import retention_updates_stream
+
+from stream_utils import replayed_stream
+
+SCHEMA = "user_id long, ts timestamp, event_type string"
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def _run(spark, tmp_path, batches, **kw):
+    stream = replayed_stream(spark, tmp_path, batches, SCHEMA)
+    name = f"retention_stream_{abs(hash(str(tmp_path))) % 10**8}"
+    q = (
+        retention_updates_stream(stream, **kw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_late_earlier_day_still_sets_the_cohort(spark, tmp_path):
+    """User 1's day-2 event arrives first; their day-1 event arrives later
+    but inside the watermark delay. The fold must wait until day 1 is
+    closed, so the cohort is day 1 and day 2 emits as offset 1 — an
+    as-arrival fold would have emitted (cohort=day2, offset=0) and then
+    needed a retraction."""
+    batches = [
+        [(1, _ts(2, 5), "view")],
+        [(1, _ts(1, 3), "view")],                 # late, within delay
+        [(9, _ts(20), "view")], [(9, _ts(28), "view")],  # advance + flush
+    ]
+    got = {
+        (r.key, r.cohort_day.day, r.day_offset)
+        for r in _run(spark, tmp_path, batches, watermark_delay="2 days")
+    }
+    assert ("1", 1, 0) in got and ("1", 1, 1) in got
+    assert not any(k == "1" and c == 2 for k, c, _ in got)
+
+
+def test_stream_triangle_equals_batch(spark, tmp_path):
+    import random
+
+    rng = random.Random(41)
+    rows = sorted(
+        (
+            (rng.randrange(8), _ts(rng.randrange(1, 12), rng.randrange(24)), "view")
+            for _ in range(200)
+        ),
+        key=lambda r: r[1],
+    )
+    advancers = [(99, _ts(25), "view"), (99, _ts(28), "view")]
+    batches = [rows[:70], rows[70:140], rows[140:], [advancers[0]], [advancers[1]]]
+    out = _run(spark, tmp_path, batches, watermark_delay="0 seconds")
+    # the advancer's own LAST day can never close below the final watermark
+    # (nothing later exists to move it past the day end) — that tail-open
+    # day is the one row a stream cannot know yet, so compare on the data
+    # users, whose days all closed
+    tri = {}
+    for r in out:
+        if r.key == "99":
+            continue
+        k = (r.cohort_day, r.day_offset)
+        tri[k] = tri.get(k, 0) + 1
+    batch = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in cohort_retention(
+            spark.createDataFrame(rows, SCHEMA)
+        ).collect()
+    }
+    assert tri == batch
+
+
+def test_each_offset_emitted_exactly_once(spark, tmp_path):
+    """Repeated activity on the same day (and replays of nearby days) must
+    not re-emit an offset."""
+    batches = [
+        [(1, _ts(1, h), "view") for h in range(5)]
+        + [(1, _ts(3, h), "view") for h in range(3)],
+        [(1, _ts(3, 9), "view"), (1, _ts(1, 9), "view")],
+        [(9, _ts(20), "view")], [(9, _ts(28), "view")],
+    ]
+    out = [r for r in _run(spark, tmp_path, batches, watermark_delay="3 days") if r.key == "1"]
+    assert sorted((r.cohort_day.day, r.day_offset) for r in out) == [(1, 0), (1, 2)]
