@@ -14,6 +14,11 @@ once, final on emission.  Downstream, the live triangle is just
     SELECT cohort_day, day_offset, count(*) FROM updates GROUP BY 1, 2
 
 — an ordinary streaming aggregation over this operator's append output.
+Streaming DAU falls out of the same rows for free (each is one distinct
+(user, active-day) pair, final on emission):
+
+    SELECT date_add(cohort_day, day_offset) AS day, count(*) AS dau
+    FROM updates GROUP BY 1
 
 State per user: the folded cohort day + the set of already-emitted offsets
 (calendar-bounded, the batch operator's own skew envelope) + the buffer of
