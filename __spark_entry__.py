@@ -86,12 +86,17 @@ def _with_query_vec(emb: DataFrame, qid: int) -> DataFrame:
     # constant-propagated, the equality folds to true, and the planner is
     # back to a BNLJ. vec_id is nullable in the parquet schema, so the
     # optimizer cannot fold vec_id*0 -> 0 (null * 0 is null) and the
-    # equi-key survives to drive a BroadcastHashJoin.
+    # equi-key survives to drive a BroadcastHashJoin. The coalesce makes
+    # the key NULL-SAFE on the corpus side (a NULL vec_id would otherwise
+    # yield a NULL key that the inner join silently drops — ADVICE r9)
+    # while staying non-foldable: the optimizer can't prove vec_id*0 is
+    # always 0-or-null, so coalesce(vec_id*0, 0) doesn't fold either.
+    _qk = F.coalesce(F.col("vec_id") * 0, F.lit(0)).cast("int")
     qrow = emb.where(F.col("vec_id") == qid).select(
-        F.col("embedding").alias("qv"), (F.col("vec_id") * 0).cast("int").alias("_qk")
+        F.col("embedding").alias("qv"), _qk.alias("_qk")
     )
     return (
-        emb.withColumn("_qk", (F.col("vec_id") * 0).cast("int"))
+        emb.withColumn("_qk", _qk)
         .join(F.broadcast(qrow), "_qk")
         .drop("_qk")
     )

@@ -107,16 +107,29 @@ def bm25_index_write(
     reproduces bm25_search's arithmetic bit-for-bit).
 
     Idempotent with a staleness guard (the mllib_lsh_index_write contract):
-    an existing index is reused only while its recorded (n_docs, n_buckets)
-    still match the corpus — serving a stale index against a regenerated
-    dataset is the silent divergence the guard exists to catch.
+    an existing index is reused only while its recorded (n_docs, n_buckets,
+    corpus fingerprint) still match the corpus — serving a stale index
+    against a regenerated dataset is the silent divergence the guard exists
+    to catch. The fingerprint is an order-independent bit_xor of
+    xxhash64(id, content) folded into the SAME one-pass agg as the doc
+    count (ADVICE r9: a regenerated corpus with an unchanged doc count
+    previously slipped the guard), so the guard costs one narrow scan
+    either way.
     """
     meta_path = os.path.join(path, _META)
-    n_docs = docs.count()
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.col(id_col), F.col(content_col))).alias("fp"),
+    ).first()
+    n_docs, corpus_fp = int(stats["n"]), int(stats["fp"] or 0)
     if not overwrite and os.path.exists(meta_path):
         with open(meta_path) as f:
             have = json.load(f)
-        if have.get("n_docs") == n_docs and have.get("n_buckets") == n_buckets:
+        if (
+            have.get("n_docs") == n_docs
+            and have.get("n_buckets") == n_buckets
+            and have.get("corpus_fp") == corpus_fp
+        ):
             return
     per_doc = docs.select(
         F.col(id_col).alias("id"), _tokens_expr(content_col).alias("toks")
@@ -139,6 +152,7 @@ def bm25_index_write(
                 "n_docs": n_docs,
                 "avgdl": float(stats_row["avgdl"]) if stats_row["avgdl"] is not None else 0.0,
                 "n_buckets": n_buckets,
+                "corpus_fp": corpus_fp,
                 "id_col": id_col,
             },
             f,

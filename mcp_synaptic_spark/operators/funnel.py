@@ -79,8 +79,17 @@ def user_chain_times(
     step_idx = F.create_map(
         *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
     )[F.col(event_col)]
+    # NULL user keys are dropped (as retention._activity does): without the
+    # guard every anonymous event collapses into one pseudo-user whose mixed
+    # events can jointly complete a chain — and the relational form (the
+    # oracle's k-1 self-JOINs USING the user key) drops NULLs after step 1
+    # anyway, so keeping them would diverge the two forms (ADVICE r9).
     ev = (
-        events.where(F.col(event_col).isin(list(steps)) & F.col(ts_col).isNotNull())
+        events.where(
+            F.col(event_col).isin(list(steps))
+            & F.col(ts_col).isNotNull()
+            & F.col(by).isNotNull()
+        )
         .select(
             F.col(by).alias("u"),
             F.col(ts_col).alias("t"),

@@ -341,7 +341,9 @@ class TxnTable:
         re-filters against the winner's live set, so the check-then-insert
         is atomic at commit granularity. Batch-internal duplicate keys are
         collapsed arbitrarily (dropDuplicates) — pre-dedup the batch when
-        which-copy-wins matters. No directory is rewritten: the insert is
+        which-copy-wins matters. NULL-key rows are DROPPED, never inserted
+        (a NULL can't be arbitrated: the anti-join existence check never
+        matches it, so it would re-insert on every call). No directory is rewritten: the insert is
         a pure live-set append, so concurrent put_if_absent writers never
         invalidate each other's data files, only force a re-filter."""
         import shutil
@@ -354,8 +356,15 @@ class TxnTable:
                 )
             live = self._read_commit(v)["live"]
             existing = self._read_dirs([d["dir"] for d in live])
-            fresh = updates.dropDuplicates([self.key_col]).join(
-                existing.select(self.key_col), self.key_col, "left_anti"
+            # NULL keys are rejected outright: the left_anti existence check
+            # can never match a NULL (SQL null equality), so a NULL-key row
+            # would be treated as fresh and re-inserted on EVERY call —
+            # breaking the exactly-one-insertion arbitration contract
+            # (ADVICE r9). A keyed table has no meaningful NULL key anyway.
+            fresh = (
+                updates.where(F.col(self.key_col).isNotNull())
+                .dropDuplicates([self.key_col])
+                .join(existing.select(self.key_col), self.key_col, "left_anti")
             )
             name, stats = self._write_data_dir(fresh)
             if stats["n"] == 0:

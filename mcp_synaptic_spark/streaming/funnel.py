@@ -46,8 +46,9 @@ from ._pandas import series_to_micros
 
 OUTPUT_SCHEMA = T.StructType(
     [
-        # nullable: a NULL user key is a legitimate group (the batch twin
-        # groups it too) and must not fail the Arrow conversion
+        # NULL user keys are FILTERED before the groupBy (matching the
+        # batch twin's user_chain_times guard — ADVICE r9), so the
+        # nullability here is only schema conservatism, never a live group.
         T.StructField("key", T.StringType(), True),
         T.StructField("steps_reached", T.IntegerType(), False),
     ]
@@ -146,7 +147,14 @@ def funnel_updates_stream(
     # document the contract instead of fighting the optimizer.
     ev = (
         events_stream.withWatermark(ts_col, watermark_delay)
-        .where(F.col(event_col).isin(list(steps)) & F.col(ts_col).isNotNull())
+        .where(
+            F.col(event_col).isin(list(steps))
+            & F.col(ts_col).isNotNull()
+            # NULL user keys dropped, matching the batch twin (ADVICE r9:
+            # a NULL pseudo-user's mixed events could jointly complete a
+            # chain neither form should count)
+            & F.col(by).isNotNull()
+        )
         .select(
             F.col(by).cast("string").alias("key"),
             F.col(ts_col).alias("t"),

@@ -44,7 +44,9 @@ _DAY_US = 86_400_000_000
 
 OUTPUT_SCHEMA = T.StructType(
     [
-        # nullable: a NULL user key is a legitimate group (batch twin keeps it)
+        # NULL user keys are FILTERED before the groupBy (matching the batch
+        # twin: cohort_retention._activity drops them — ADVICE r9), so the
+        # nullability here is only schema conservatism, never a live group.
         T.StructField("key", T.StringType(), True),
         T.StructField("cohort_day", T.DateType(), False),
         T.StructField("day_offset", T.IntegerType(), False),
@@ -109,7 +111,7 @@ def retention_updates_stream(
 
     ev = (
         events_stream.withWatermark(ts_col, watermark_delay)
-        .where(F.col(ts_col).isNotNull())
+        .where(F.col(ts_col).isNotNull() & F.col(by).isNotNull())
         .select(F.col(by).cast("string").alias("key"), F.col(ts_col).alias("t"))
     )
     return ev.groupBy("key").applyInPandasWithState(

@@ -85,6 +85,24 @@ def test_staleness_guard_rebuilds_on_corpus_change(spark, docs, tmp_path):
     assert _rows(probed) == _rows(bm25_search(docs, QUERY, k=10))
 
 
+def test_staleness_guard_catches_same_count_content_change(spark, docs, tmp_path):
+    """ADVICE r9: a regenerated corpus with an UNCHANGED doc count slipped
+    the old (n_docs, n_buckets) guard and served stale postings. The
+    content fingerprint in the manifest must force the rebuild."""
+    path = str(tmp_path / "idx")
+    bm25_index_write(docs, path)
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.lit("zzzznewword only here")).otherwise(
+            F.col("text")
+        ),
+    )
+    bm25_index_write(mutated, path)  # same n_docs — fp must differ
+    probed = bm25_search_indexed(spark, path, "zzzznewword", k=5)
+    assert _rows(probed) == _rows(bm25_search(mutated, "zzzznewword", k=5))
+    assert len(_rows(probed)) == 1
+
+
 def test_dl_denormalized_and_df_consistent(spark, docs, index_path):
     postings, meta = bm25_index_load(spark, index_path)
     # dl rides every posting row: exactly one distinct dl per doc

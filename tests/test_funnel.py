@@ -172,6 +172,21 @@ def test_conversion_lags_match_chain(spark):
     }
 
 
+def test_null_users_never_complete_a_chain(spark):
+    """NULL user_ids are dropped (ADVICE r9): anonymous events must not
+    collapse into one pseudo-user — here the NULL rows would jointly
+    complete view->click if kept, which the relational/oracle form (JOIN
+    USING user_id) never counts."""
+    rows = [
+        (None, _ts(0), "view"), (None, _ts(10), "click"),
+        (1, _ts(0), "view"),
+    ]
+    out = {r.step: r.n_users for r in funnel(
+        _df(spark, rows), steps=("view", "click"), horizon=60
+    ).collect()}
+    assert out == {1: 1, 2: 0}
+
+
 def test_conversion_lags_requires_two_steps(spark):
     import pytest as _pytest
 

@@ -111,9 +111,10 @@ def test_monotone_updates_and_quiet_user_flush(spark, tmp_path):
 
 
 def test_null_user_key_streams_like_batch(spark, tmp_path):
-    """A NULL user_id is a legitimate group in the batch fold; the stream
-    must carry it (nullable output key) instead of failing the Arrow
-    conversion — r9 review finding."""
+    """NULL user_ids are dropped by BOTH forms (ADVICE r9): anonymous
+    events must not collapse into one pseudo-user whose mixed events
+    jointly complete a chain, and the relational (oracle) form drops
+    NULLs after step 1 anyway. Stream and batch must agree on that."""
     steps = ("view", "click")
     batches = [
         [(None, _ts(0), "view"), (None, _ts(10), "click"), (1, _ts(5), "view")],
@@ -124,7 +125,7 @@ def test_null_user_key_streams_like_batch(spark, tmp_path):
         spark, tmp_path, batches,
         steps=steps, horizon=60, watermark_delay="0 seconds",
     )
-    assert got[None] == 2
+    assert None not in got  # anonymous events form no group
     assert got["1"] == 1
 
     batch = {

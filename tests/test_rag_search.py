@@ -153,3 +153,21 @@ def test_hybrid_rrf_equal_scores_tie_break_on_id(spark):
     sem = spark.createDataFrame([(3, 1), (7, 2)], "doc_id LONG, rank INT")
     out = [r.doc_id for r in hybrid_search_rrf(lex, sem, k=2).collect()]
     assert out == [3, 7]  # identical rrf; ascending id wins
+
+
+def test_with_query_vec_keeps_null_vec_id_rows(spark):
+    """The entry helper's broadcast equi-key must be NULL-SAFE (ADVICE r9):
+    a NULL vec_id row previously got a NULL join key and was silently
+    dropped by the inner join — and the plan must still be a
+    BroadcastHashJoin (the non-foldable-key contract), not a BNLJ."""
+    import __spark_entry__ as entry
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (None, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = entry._with_query_vec(emb, 0)
+    assert out.count() == 3  # NULL vec_id row survives
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

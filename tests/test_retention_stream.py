@@ -85,6 +85,23 @@ def test_stream_triangle_equals_batch(spark, tmp_path):
     assert tri == batch
 
 
+def test_null_user_key_dropped_like_batch(spark, tmp_path):
+    """NULL user_ids form no cohort in EITHER form (ADVICE r9): the batch
+    twin's _activity drops them, so the stream must too — otherwise it
+    emits NULL-cohort rows the batch triangle never produces."""
+    batches = [
+        [(None, _ts(1), "view"), (None, _ts(2), "view"), (1, _ts(1), "view")],
+        [(9, _ts(20), "view")], [(9, _ts(28), "view")],  # advance + flush
+    ]
+    out = _run(spark, tmp_path, batches, watermark_delay="0 seconds")
+    assert not any(r.key is None for r in out)
+    assert ("1", 1, 0) in {(r.key, r.cohort_day.day, r.day_offset) for r in out}
+    # and the batch triangle over the same rows has no NULL-keyed cohorts
+    rows = batches[0] + batches[1] + batches[2]
+    batch = cohort_retention(spark.createDataFrame(rows, SCHEMA)).collect()
+    assert sum(r.n_users for r in batch if r.day_offset == 0) == 2  # users 1, 9
+
+
 def test_each_offset_emitted_exactly_once(spark, tmp_path):
     """Repeated activity on the same day (and replays of nearby days) must
     not re-emit an offset."""

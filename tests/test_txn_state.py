@@ -545,6 +545,22 @@ def test_put_if_absent_threaded_exactly_one_insertion(spark, tmp_path):
     assert set(rows) == {"seed", "contested", "own-A", "own-B"}
 
 
+def test_put_if_absent_null_keys_dropped(spark, tmp_path):
+    """A NULL key can't be arbitrated (the anti-join existence check never
+    matches NULL, so it would re-insert on EVERY call — ADVICE r9): NULL
+    rows are dropped, idempotently, and never land in the table."""
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _rows(spark, ("seed", None, "0")))
+    for _ in range(2):  # second call must not re-insert either
+        v, ins = t.put_if_absent(_rows(spark, (None, None, "ghost")))
+        assert v == 0 and ins.count() == 0
+    assert t.read().where(f"{t.key_col} IS NULL").count() == 0
+    # mixed batch: non-NULL rows still land exactly once
+    _, ins = t.put_if_absent(_rows(spark, (None, None, "ghost"), ("k", None, "x")))
+    assert [r.key for r in ins.collect()] == ["k"]
+    assert t.read().count() == 2
+
+
 def test_put_if_absent_batch_internal_dupes_collapse(spark, tmp_path):
     path = str(tmp_path / "t")
     t = TxnTable.create(spark, path, _rows(spark, ("seed", None, "0")))

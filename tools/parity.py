@@ -97,9 +97,15 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        sys.exit(f"unknown queries: {sorted(unknown)}")
+    # the summary counts the SELECTED set (a subset run used to print the
+    # full-registry denominator — VERDICT r9 What's-wrong #3)
+    selected = [n for n in qs if not only or n in only]
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
+        if name not in selected:
             continue
         try:
             sdf = fn(spark, sf_dir)
@@ -151,7 +157,11 @@ def main():
             continue
         print(f"PASS {name}: rows={len(sr)}")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass" + (f"; FAILED: {failures}" if failures else ""))
+    print(
+        f"\n{len(selected) - len(failures)}/{len(selected)} queries pass"
+        + (f" (subset of {len(qs)})" if len(selected) < len(qs) else "")
+        + (f"; FAILED: {failures}" if failures else "")
+    )
     sys.exit(1 if failures else 0)
 
 
