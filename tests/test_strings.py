@@ -85,6 +85,22 @@ def test_both_arms_match_brute_force(spark, k):
     assert seg == truth
 
 
+@pytest.mark.parametrize("k", [0, 2])
+def test_replicated_corpus_expands_exactly(spark, k):
+    """r10 exact-dup pre-collapse (VERDICT r9 #2): at duplication factor 5
+    the heavy stages see each distinct key once and the expansion must
+    reproduce the full id-level contract — every intra-group 0-distance
+    pair and every cross-group pair — identically to brute force."""
+    base = _corpus(seed=7, n_base=6)
+    rows = [(rep * 1000 + i, s) for rep in range(5) for i, s in base]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = _truth(rows, k)
+    exact = set(map(tuple, edit_distance_pairs_exact(df, max_distance=k).collect()))
+    seg = set(map(tuple, edit_distance_pairs_segment(df, max_distance=k).collect()))
+    assert exact == truth
+    assert seg == truth
+
+
 def test_key_len_truncates_before_compare(spark):
     # prefixes equal within 32 chars, tails wildly different
     rows = [(1, "x" * 32 + "aaaa"), (2, "x" * 32 + "zzzzzzzzzzzz"), (3, "y" * 40)]
@@ -116,9 +132,11 @@ def test_auto_routes_by_pair_budget(spark):
 
 def test_auto_routing_decision_is_visible_in_the_plan(spark):
     """The router constant is a measured crossover (strings.py docstring);
-    pin the DECISION at both shapes: under the ceiling the plan is the
-    broadcast banded join (no hash exchange anywhere), over it the segment
-    arm's candidate distinct introduces hash partitioning."""
+    pin the DECISION at both shapes: under the ceiling the pair machinery
+    is the broadcast banded join (no segment-key exchange — the only hash
+    exchanges are the r10 exact-dup collapse/expansion, which both arms
+    share), over it the segment arm's (ilen, i, seg) candidate join
+    appears."""
     rows = _corpus(seed=5, n_base=10)
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -128,8 +146,11 @@ def test_auto_routing_decision_is_visible_in_the_plan(spark):
     exact_plan = plan(edit_distance_pairs(df, max_distance=2))
     seg_plan = plan(edit_distance_pairs(df, max_distance=2, max_exact_pairs=1))
     assert "BroadcastExchange" in exact_plan
-    assert "Exchange hashpartitioning" not in exact_plan
-    assert "Exchange hashpartitioning" in seg_plan
+    assert "ilen" not in exact_plan  # no segment machinery below the ceiling
+    assert "ilen" in seg_plan
+    # no CartesianProduct in either arm — pairs always ride equi-joins
+    assert "CartesianProduct" not in exact_plan
+    assert "CartesianProduct" not in seg_plan
 
 
 def test_method_validation(spark):
