@@ -4062,43 +4062,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     after 50), so the graded window rotates per round until every oracled
     query has a green CORRECTNESS row in some round.
 
-    Round-9 window (this file): executes exactly the plan the r8 contract
-    pinned. Slots 1-2 are the two queries born after the r8 window filled
-    (dedup_incremental, memory_snapshot_read — their only prior evidence is
-    local/judge parity; EVIDENCE.json window_round was null). Then every
-    query whose OPERATOR FILES r9 touches: dedup.py (simhash auto-cap
-    default, atomic index manifest, TxnTable-arbitrated append),
-    pipeline.py (measured-constant semantic-decon router), similarity.py
-    (BRP probe rewritten to a pruned single-scan), state/txn.py (numeric
-    zone-map stats for timestamps, put_if_absent) — their green rows must
-    postdate the code. Then the r9-new bm25_search_indexed (graded in its
-    birth round), the nine r6-stamped oldest-ledger refreshes, and the
-    rag.py family (the oldest remaining r7 rows) filling the window to
-    exactly 50. The tail holds only queries green in CORRECTNESS_r08 (or
-    r7 with files verifiably unchanged — EVIDENCE.json enforces both);
-    r9 deliberately leaves text_analysis.py, retrieval.py, rag.py,
-    memory.py, documents.py, tables.py, expiry.py and functions/{text,
-    ttl,vector}.py untouched so the tail evidence stays valid (additive
-    seams went to NEW modules per the PLANS note-50 rule).
+    Rotation history: r9 graded the dedup.py/pipeline.py/similarity.py/
+    txn.py families (all touched that round), the r9-new
+    bm25_search_indexed, and the r6-stamped refreshes; its 17 tail-born
+    analytics queries rode the contract's escape hatch into r10 (the
+    generalized pin in tests/test_driver_contract.py).
 
-    Round-10 window plan (for the next rotation): lead with the seventeen
-    pending-first-grade queries born after this window filled
-    (events_asof_join, events_range_join, corpus_summary, dedup_editdist,
-    dedup_editdist_segment, events_funnel, events_retention,
-    events_active_users, tfidf_terms, source_overlap, events_anomaly,
-    embedding_screen, dims_profile, dedup_rate_by_source,
-    events_retention_weekly, events_conversion_lag, text_screen — all
-    sf0.01-parity-green
-    locally, pinned by tests/test_driver_contract.py r10_rotation_pins),
-    then any query whose operator files r10 touches (run `python
-    tools/evidence.py check` after each edit — it names exactly which tail
-    queries an edit stales), then the oldest ledger rounds (after r9 those
-    are the r7-stamped memory.py / documents.py / tables.py families).
-    Everything else will hold r8/r9 evidence."""
+    Round-10 window (this file): executes exactly the plan the r9 contract
+    pinned. Slots 1-17 are the seventeen analytics-tier queries born after
+    the r9 window filled (EVIDENCE.json window_round was null; their only
+    prior evidence is local/judge parity) — the largest first-grade backlog
+    the project has carried. Then every query whose operator files r10
+    touches: state/txn.py (put_if_absent NULL-key rejection) stales
+    memory_upsert_txn / memory_upsert_ckpt / memory_snapshot_read /
+    dedup_incremental (txn.py newly added to its file set — the arbitrated
+    index append runs through TxnTable), and operators/bm25_index.py
+    (corpus-fingerprint staleness guard) stales bm25_search_indexed. The
+    r10-touched funnel.py / terms.py / strings.py queries are already in
+    the first seventeen. The remaining 28 slots refresh the ENTIRE
+    r7-stamped ledger cohort (memory.py, documents.py, tables.py,
+    functions/ttl.py families) — after this rotation no ledger row is
+    older than r8.
+
+    Round-11 window plan (for the next rotation): lead with any query
+    whose operator files r11 touches (run `python tools/evidence.py check`
+    after each edit — it names exactly which tail queries an edit stales),
+    then the r8-stamped cohort (token_stats, quality_score, lang_id,
+    lang_distribution, fingerprint, repetition_stats, quality_gate,
+    bm25_search, hybrid_search, assemble_context, search_by_metadata,
+    doc_summary, doc_change_feed, orders_page, memory_report, events_json,
+    props_keys, max_score — the oldest rows after r10), then r9-stamped
+    families as space allows. Everything else will hold r9/r10 evidence."""
     return {
-        # --- r9 graded window (50): see docstring for the rotation logic
-        "dedup_incremental": _q_dedup_incremental,
+        # --- r10 graded window (50): see docstring for the rotation logic
+        # 17 pending-first-grade analytics queries (r9 contract pins)
+        "events_asof_join": _q_events_asof_join,
+        "events_range_join": _q_events_range_join,
+        "corpus_summary": _q_corpus_summary,
+        "dedup_editdist": _q_dedup_editdist,
+        "dedup_editdist_segment": _q_dedup_editdist_segment,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "events_active_users": _q_events_active_users,
+        "tfidf_terms": _q_tfidf_terms,
+        "source_overlap": _q_source_overlap,
+        "events_anomaly": _q_events_anomaly,
+        "embedding_screen": _q_embedding_screen,
+        "dims_profile": _q_dims_profile,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "events_retention_weekly": _q_events_retention_weekly,
+        "events_conversion_lag": _q_events_conversion_lag,
+        "text_screen": _q_text_screen,
+        # r10-touched operator files: state/txn.py, operators/bm25_index.py
+        "memory_upsert_txn": _q_memory_upsert_txn,
+        "memory_upsert_ckpt": _q_memory_upsert_ckpt,
         "memory_snapshot_read": _q_memory_snapshot_read,
+        "dedup_incremental": _q_dedup_incremental,
+        "bm25_search_indexed": _q_bm25_search_indexed,
+        # r7-stamped ledger refresh: tables.py family
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "orders_semi_join": _q_orders_semi_join,
+        "customers_anti_join": _q_customers_anti_join,
+        "orders_rollup": _q_orders_rollup,
+        # r7-stamped ledger refresh: ttl-functions family
+        "parse_ttl": _q_parse_ttl,
+        "time_until_expiry": _q_time_until_expiry,
+        # r7-stamped ledger refresh: memory.py family
+        "filter_tags_created": _q_filter_tags_created,
+        "memory_list": _q_memory_list,
+        "memory_list_expired": _q_memory_list_expired,
+        "memory_list_by_keys": _q_memory_list_by_keys,
+        "memory_stats": _q_memory_stats,
+        "memory_stats_by_type": _q_memory_stats_by_type,
+        "cleanup_expired_count": _q_cleanup_expired_count,
+        "memories_live_count": _q_memories_live_count,
+        "memory_upsert": _q_memory_upsert,
+        "memory_touch": _q_memory_touch,
+        "memory_delete": _q_memory_delete,
+        "memory_exists": _q_memory_exists,
+        "memory_update": _q_memory_update,
+        # r7-stamped ledger refresh: documents.py family
+        "doc_add": _q_doc_add,
+        "doc_get": _q_doc_get,
+        "doc_update": _q_doc_update,
+        "doc_delete": _q_doc_delete,
+        "doc_stats": _q_doc_stats,
+        # ---- entry 50 ends here ------------------------------------------
+        # tail: every entry below is green in CORRECTNESS_r08/r09 with
+        # operator files unchanged since (EVIDENCE.json + tools/evidence.py
+        # enforce it)
         "dedup_exact": _q_dedup_exact,
         "dedup_keep_first": _q_dedup_keep_first,
         "dedup_minhash": _q_dedup_minhash,
@@ -4129,9 +4185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_quantized_topk": _q_ann_quantized_topk,
         "ann_ivf_sq8_topk": _q_ann_ivf_sq8_topk,
-        "memory_upsert_txn": _q_memory_upsert_txn,
-        "memory_upsert_ckpt": _q_memory_upsert_ckpt,
-        "bm25_search_indexed": _q_bm25_search_indexed,
         "sanitize": _q_sanitize,
         "ts_parse_multi": _q_ts_parse_multi,
         "embed_texts": _q_embed_texts,
@@ -4147,9 +4200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "find_similar": _q_find_similar,
         "batch_topk": _q_batch_topk,
         "token_budget_select": _q_token_budget_select,
-        # ---- entry 50 ends here ------------------------------------------
-        # tail: every entry below is green in CORRECTNESS_r08 with operator
-        # files unchanged since (EVIDENCE.json + tools/evidence.py enforce it)
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -4168,52 +4218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "props_keys": _q_props_keys,
         "max_score": _q_max_score,
-        "doc_add": _q_doc_add,
-        "doc_get": _q_doc_get,
-        "doc_update": _q_doc_update,
-        "doc_delete": _q_doc_delete,
-        "doc_stats": _q_doc_stats,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q6": _q_tpch_q6,
-        "top_orders_per_customer": _q_top_orders_per_customer,
-        "orders_semi_join": _q_orders_semi_join,
-        "customers_anti_join": _q_customers_anti_join,
-        "orders_rollup": _q_orders_rollup,
-        "parse_ttl": _q_parse_ttl,
-        "time_until_expiry": _q_time_until_expiry,
-        "filter_tags_created": _q_filter_tags_created,
-        "memory_list": _q_memory_list,
-        "memory_list_expired": _q_memory_list_expired,
-        "memory_list_by_keys": _q_memory_list_by_keys,
-        "memory_stats": _q_memory_stats,
-        "memory_stats_by_type": _q_memory_stats_by_type,
-        "cleanup_expired_count": _q_cleanup_expired_count,
-        "memories_live_count": _q_memories_live_count,
-        "memory_upsert": _q_memory_upsert,
-        "memory_touch": _q_memory_touch,
-        "memory_delete": _q_memory_delete,
-        "memory_exists": _q_memory_exists,
-        "memory_update": _q_memory_update,
         "knn_classify": _q_knn_classify,
-        "events_asof_join": _q_events_asof_join,
-        "events_range_join": _q_events_range_join,
-        "corpus_summary": _q_corpus_summary,
-        "dedup_editdist": _q_dedup_editdist,
-        "dedup_editdist_segment": _q_dedup_editdist_segment,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "events_active_users": _q_events_active_users,
-        "tfidf_terms": _q_tfidf_terms,
-        "source_overlap": _q_source_overlap,
-        "events_anomaly": _q_events_anomaly,
-        "embedding_screen": _q_embedding_screen,
-        "dims_profile": _q_dims_profile,
-        "dedup_rate_by_source": _q_dedup_rate_by_source,
-        "events_retention_weekly": _q_events_retention_weekly,
-        "events_conversion_lag": _q_events_conversion_lag,
-        "text_screen": _q_text_screen,
     }
 
 

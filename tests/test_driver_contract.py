@@ -25,40 +25,44 @@ def test_every_query_has_an_oracle():
 
 
 def test_graded_window_holds_the_round_targets():
-    """The driver grades the FIRST 50 dict entries only. The r9 window must
-    hold (a) the two queries pending their FIRST driver grade (tail-born in
-    r8, pinned by the r8 contract), (b) every query whose operator files r9
-    touches, (c) the r9-new queries (graded in their birth round), (d) the
-    r6-stamped oldest-ledger refreshes the r8 verdict ordered."""
+    """The driver grades the FIRST 50 dict entries only. The r10 window must
+    hold (a) the seventeen analytics queries pending their FIRST driver
+    grade (tail-born in r9, pinned by the r9 contract's escape hatch),
+    (b) every query whose operator files r10 touches, (c) the entire
+    r7-stamped ledger cohort (the oldest rows — after this rotation
+    nothing predates r8)."""
     names = list(entry.queries())
     assert len(names) >= 96
     window = set(names[:50])
-    pending_first_grade = ("dedup_incremental", "memory_snapshot_read")
-    r9_touched = (
-        # dedup.py: simhash auto-cap default, atomic manifest, txn append
-        "dedup_exact", "dedup_keep_first", "dedup_minhash", "dedup_simhash",
-        "dedup_simhash_capped", "dedup_ngram_jaccard", "dedup_embedding",
-        "dedup_embedding_lsh", "dedup_substring", "dedup_substring_apply",
-        # clustering/pipeline compositions ride dedup.py's file set
-        "dedup_semantic", "dedup_clusters", "dedup_clusters_twostar",
-        "dedup_apply_clusters", "corpus_prep_pipeline",
-        # pipeline.py: measured-constant semantic-decon router
-        "decontaminate", "decontaminate_semantic", "train_test_split",
-        "pii_redact", "stratified_sample", "dedup_within_doc", "source_cap",
-        "source_mix", "pack_sequences", "chunk_documents",
-        # similarity.py: BRP probe rewrite
-        "ann_lsh_topk", "ann_mllib_lsh", "ann_ivf_topk", "ann_quantized_topk",
-        "ann_ivf_sq8_topk",
-        # state/txn.py: numeric timestamp zone-maps + put_if_absent
-        "memory_upsert_txn", "memory_upsert_ckpt",
+    pending_first_grade = (
+        "events_asof_join", "events_range_join", "corpus_summary",
+        "dedup_editdist", "dedup_editdist_segment", "events_funnel",
+        "events_retention", "events_active_users", "tfidf_terms",
+        "source_overlap", "events_anomaly", "embedding_screen",
+        "dims_profile", "dedup_rate_by_source", "events_retention_weekly",
+        "events_conversion_lag", "text_screen",
     )
-    r9_new = ("bm25_search_indexed", "token_budget_select")
-    r6_refresh = (
-        "sanitize", "ts_parse_multi", "embed_texts", "events_hourly",
-        "events_sliding", "events_sessions", "frame_sample",
-        "memory_access_replay", "multimodal_features",
+    r10_touched = (
+        # state/txn.py: put_if_absent NULL-key rejection (+ the arbitrated
+        # dedup-index append rides txn.py, newly in its file set)
+        "memory_upsert_txn", "memory_upsert_ckpt", "memory_snapshot_read",
+        "dedup_incremental",
+        # operators/bm25_index.py: corpus-fingerprint staleness guard
+        "bm25_search_indexed",
+        # funnel.py / terms.py / strings.py queries are in the pins above
     )
-    for must_grade in pending_first_grade + r9_touched + r9_new + r6_refresh:
+    r7_refresh = (
+        "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+        "top_orders_per_customer", "orders_semi_join",
+        "customers_anti_join", "orders_rollup", "parse_ttl",
+        "time_until_expiry", "filter_tags_created", "memory_list",
+        "memory_list_expired", "memory_list_by_keys", "memory_stats",
+        "memory_stats_by_type", "cleanup_expired_count",
+        "memories_live_count", "memory_upsert", "memory_touch",
+        "memory_delete", "memory_exists", "memory_update", "doc_add",
+        "doc_get", "doc_update", "doc_delete", "doc_stats",
+    )
+    for must_grade in pending_first_grade + r10_touched + r7_refresh:
         assert must_grade in window, f"{must_grade} rotated out of the graded window"
 
 
@@ -82,30 +86,14 @@ def test_no_query_left_ungraded_behind_the_window():
     pending = [q for q, row in ledger.items() if row.get("window_round") is None]
     # The r8 escape hatch, used once per round at most: queries born AFTER
     # the round's window filled (every slot already required by touched
-    # files / first-grade pins / the r6-refresh order) may wait in the tail
-    # ONLY if named here — this list IS the next round's mandatory rotation
-    # (dedup_incremental / memory_snapshot_read rode it from r8 into r9 and
-    # were graded; the r10 window must open with these).
-    r10_rotation_pins = {
-        "events_asof_join",
-        "events_range_join",
-        "corpus_summary",
-        "dedup_editdist",
-        "dedup_editdist_segment",
-        "events_funnel",
-        "events_retention",
-        "events_active_users",
-        "tfidf_terms",
-        "source_overlap",
-        "events_anomaly",
-        "embedding_screen",
-        "dims_profile",
-        "dedup_rate_by_source",
-        "events_retention_weekly",
-        "events_conversion_lag",
-        "text_screen",
-    }
-    out = [q for q in pending if q not in window and q not in r10_rotation_pins]
+    # files / first-grade pins / the oldest-ledger refresh order) may wait
+    # in the tail ONLY if named here — this list IS the next round's
+    # mandatory rotation (dedup_incremental / memory_snapshot_read rode it
+    # r8→r9; the seventeen analytics queries rode it r9→r10; all were
+    # graded on schedule). r10 births none: the window opened with every
+    # pending query inside it.
+    r11_rotation_pins: set[str] = set()
+    out = [q for q in pending if q not in window and q not in r11_rotation_pins]
     assert out == [], f"pending-first-grade queries left in the tail: {out}"
 
 

@@ -5,8 +5,11 @@ from __future__ import annotations
 
 import datetime as dt
 
-from mcp_synaptic_spark.operators.retention import cohort_retention
-from mcp_synaptic_spark.streaming.retention import retention_updates_stream
+from mcp_synaptic_spark.operators.retention import cohort_retention, rolling_active_users
+from mcp_synaptic_spark.streaming.retention import (
+    active_users_updates_stream,
+    retention_updates_stream,
+)
 
 from stream_utils import replayed_stream
 
@@ -113,3 +116,110 @@ def test_each_offset_emitted_exactly_once(spark, tmp_path):
     ]
     out = [r for r in _run(spark, tmp_path, batches, watermark_delay="3 days") if r.key == "1"]
     assert sorted((r.cohort_day.day, r.day_offset) for r in out) == [(1, 0), (1, 2)]
+
+
+# --- active-users twin (r10, VERDICT r9 #4) --------------------------------
+
+
+def _run_au(spark, tmp_path, batches, **kw):
+    stream = replayed_stream(spark, tmp_path, batches, SCHEMA)
+    name = f"au_stream_{abs(hash(str(tmp_path))) % 10**8}"
+    q = (
+        active_users_updates_stream(stream, **kw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_au"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def _au_view(rows, exclude=("99",)):
+    """The documented live view over the twin's append rows:
+    (day, dau, rolling_au) with the observed-day clamp."""
+    agg = {}
+    for r in rows:
+        if r.key in exclude:
+            continue
+        dau, rau = agg.get(r.day, (0, 0))
+        agg[r.day] = (dau + (1 if r.is_active_day else 0), rau + 1)
+    return {d: v for d, v in agg.items() if v[0] > 0}
+
+
+def test_active_users_stream_equals_batch(spark, tmp_path):
+    import random
+
+    rng = random.Random(43)
+    rows = sorted(
+        (
+            (rng.randrange(8), _ts(rng.randrange(1, 12), rng.randrange(24)), "view")
+            for _ in range(200)
+        ),
+        key=lambda r: r[1],
+    )
+    # the advancer pushes the watermark past max_day + window so every data
+    # user's report day closes
+    advancers = [(99, _ts(25), "view"), (99, _ts(28), "view")]
+    batches = [rows[:70], rows[70:140], rows[140:], [advancers[0]], [advancers[1]]]
+    out = _run_au(spark, tmp_path, batches, window_days=7, watermark_delay="0 seconds")
+    got = _au_view(out)
+    batch = {
+        r.day: (r.dau, r.rolling_au)
+        for r in rolling_active_users(
+            spark.createDataFrame(rows, SCHEMA), window_days=7
+        ).collect()
+    }
+    assert got == batch
+
+
+def test_active_users_late_day_still_counts(spark, tmp_path):
+    """User 1's day-1 event arrives after their day-3 event but inside the
+    watermark delay: day 1 must still emit as an active day and contribute
+    to the trailing windows of days 1..7."""
+    batches = [
+        [(1, _ts(3, 5), "view")],
+        [(1, _ts(1, 3), "view")],                 # late, within delay
+        [(9, _ts(20), "view")], [(9, _ts(28), "view")],
+    ]
+    out = [
+        r for r in _run_au(
+            spark, tmp_path, batches, window_days=3, watermark_delay="3 days"
+        )
+        if r.key == "1"
+    ]
+    got = sorted((r.day.day, r.is_active_day) for r in out)
+    # active on 1 and 3; window (w=3) presence on 1..5 with own-days flagged
+    assert got == [(1, True), (2, False), (3, True), (4, False), (5, False)]
+
+
+def test_active_users_exactly_once_per_report_day(spark, tmp_path):
+    """Repeated activity on the same day and overlapping windows must not
+    re-emit a (user, report day) row."""
+    batches = [
+        [(1, _ts(1, h), "view") for h in range(5)]
+        + [(1, _ts(2, h), "view") for h in range(3)],
+        [(1, _ts(2, 9), "view"), (1, _ts(1, 9), "view")],
+        [(9, _ts(20), "view")], [(9, _ts(28), "view")],
+    ]
+    out = [
+        r for r in _run_au(
+            spark, tmp_path, batches, window_days=3, watermark_delay="2 days"
+        )
+        if r.key == "1"
+    ]
+    days = [(r.day.day, r.is_active_day) for r in out]
+    assert sorted(days) == [(1, True), (2, True), (3, False), (4, False)]
+    assert len(days) == len(set(days))  # no duplicates
+
+
+def test_active_users_null_user_dropped(spark, tmp_path):
+    batches = [
+        [(None, _ts(1), "view"), (1, _ts(1), "view")],
+        [(9, _ts(20), "view")], [(9, _ts(28), "view")],
+    ]
+    out = _run_au(spark, tmp_path, batches, window_days=2, watermark_delay="0 seconds")
+    assert not any(r.key is None for r in out)
+    assert any(r.key == "1" and r.is_active_day for r in out)

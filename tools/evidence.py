@@ -107,7 +107,9 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "dedup_embedding_lsh": DEDUP + SIM,
     "dedup_substring": DEDUP,
     "dedup_substring_apply": DEDUP,
-    "dedup_incremental": DEDUP,
+    # the arbitrated index append runs through TxnTable.put_if_absent, so
+    # txn.py edits stale this query's evidence too (r10)
+    "dedup_incremental": DEDUP + (f"{_PKG}/state/txn.py",),
     "ann_lsh_topk": SIM,
     "ann_mllib_lsh": SIM,
     "ann_ivf_topk": SIM,
