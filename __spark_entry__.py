@@ -29,6 +29,7 @@ from mcp_synaptic_spark.operators import strings as SG
 from mcp_synaptic_spark.operators import funnel as FN
 from mcp_synaptic_spark.operators import retention as RTN
 from mcp_synaptic_spark.operators import terms as TM
+from mcp_synaptic_spark.operators import drift as DR
 from mcp_synaptic_spark.operators.embedding_qa import dims_profile, embedding_screen
 from mcp_synaptic_spark.operators.text_qa import text_screen
 from mcp_synaptic_spark.operators import memory as M
@@ -4057,6 +4058,87 @@ FROM documents GROUP BY 1
 """
 
 
+def _drift_snapshots(spark: SparkSession, sf_dir: str):
+    """Even/odd doc_id halves of the documents table — a deterministic
+    snapshot pair for the drift queries (the even half is 'yesterday',
+    the odd half 'today')."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1)
+
+
+def _q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI distribution drift of n_chars between the even/odd doc_id
+    snapshot halves over fixed boundaries (operators/drift.py
+    distribution_drift): the between-snapshot monitor a 100 TB ingest
+    alarms on. One scan per snapshot, one bucket-grain shuffle, totals as
+    a global window over the |buckets|-row table - r10, tail-born
+    (window full), pinned for the r11 rotation."""
+    a, b = _drift_snapshots(spark, sf_dir)
+    return DR.distribution_drift(
+        a, b, value_col="n_chars", boundaries=[150, 250, 350, 450]
+    )
+
+
+def _q_corpus_drift_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI drift of the lang mix between the same snapshot
+    halves (operators/drift.py categorical_drift) - r10, tail-born
+    (window full), pinned for the r11 rotation."""
+    a, b = _drift_snapshots(spark, sf_dir)
+    return DR.categorical_drift(a, b, value_col="lang")
+
+
+_ORACLE_CORPUS_DRIFT = """
+WITH t AS (
+  SELECT CASE WHEN n_chars IS NULL THEN 5
+              WHEN n_chars < 150 THEN 0
+              WHEN n_chars < 250 THEN 1
+              WHEN n_chars < 350 THEN 2
+              WHEN n_chars < 450 THEN 3
+              ELSE 4 END AS ord,
+         CASE WHEN n_chars IS NULL THEN '(null)'
+              WHEN n_chars < 150 THEN '(-inf, 150)'
+              WHEN n_chars < 250 THEN '[150, 250)'
+              WHEN n_chars < 350 THEN '[250, 350)'
+              WHEN n_chars < 450 THEN '[350, 450)'
+              ELSE '[450, inf)' END AS bucket,
+         (doc_id % 2) AS side
+  FROM documents
+), c AS (
+  SELECT bucket,
+         CAST(count(*) FILTER (side = 0) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (side = 1) AS BIGINT) AS n_b
+  FROM t GROUP BY bucket
+), w AS (
+  SELECT bucket, n_a, n_b,
+         greatest(n_a / CAST(sum(n_a) OVER () AS DOUBLE), 1e-6) AS fa,
+         greatest(n_b / CAST(sum(n_b) OVER () AS DOUBLE), 1e-6) AS fb
+  FROM c
+)
+SELECT bucket, n_a, n_b,
+       round(fa, 6) AS frac_a, round(fb, 6) AS frac_b,
+       round((fa - fb) * ln(fa / fb), 6) AS psi
+FROM w
+"""
+
+_ORACLE_CORPUS_DRIFT_LANG = """
+WITH c AS (
+  SELECT coalesce(lang, '(null)') AS bucket,
+         CAST(count(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (doc_id % 2 = 1) AS BIGINT) AS n_b
+  FROM documents GROUP BY 1
+), w AS (
+  SELECT bucket, n_a, n_b,
+         greatest(n_a / CAST(sum(n_a) OVER () AS DOUBLE), 1e-6) AS fa,
+         greatest(n_b / CAST(sum(n_b) OVER () AS DOUBLE), 1e-6) AS fb
+  FROM c
+)
+SELECT bucket, n_a, n_b,
+       round(fa, 6) AS frac_a, round(fb, 6) AS frac_b,
+       round((fa - fb) * ln(fa / fb), 6) AS psi
+FROM w
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver grades dict entries in order (it stops
     after 50), so the graded window rotates per round until every oracled
@@ -4219,6 +4301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_keys": _q_props_keys,
         "max_score": _q_max_score,
         "knn_classify": _q_knn_classify,
+        # r10 tail-born (window already full) — pinned for the r11 rotation
+        "corpus_drift": _q_corpus_drift,
+        "corpus_drift_lang": _q_corpus_drift_lang,
     }
 
 
@@ -4344,4 +4429,6 @@ def oracle_sql() -> dict[str, str]:
         "events_retention_weekly": _ORACLE_EVENTS_RETENTION_WEEKLY,
         "events_conversion_lag": _ORACLE_EVENTS_CONVERSION_LAG,
         "text_screen": _ORACLE_TEXT_SCREEN,
+        "corpus_drift": _ORACLE_CORPUS_DRIFT,
+        "corpus_drift_lang": _ORACLE_CORPUS_DRIFT_LANG,
     }

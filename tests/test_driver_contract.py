@@ -90,9 +90,10 @@ def test_no_query_left_ungraded_behind_the_window():
     # in the tail ONLY if named here — this list IS the next round's
     # mandatory rotation (dedup_incremental / memory_snapshot_read rode it
     # r8→r9; the seventeen analytics queries rode it r9→r10; all were
-    # graded on schedule). r10 births none: the window opened with every
-    # pending query inside it.
-    r11_rotation_pins: set[str] = set()
+    # graded on schedule). r10 births two: the drift queries landed after
+    # the window filled (every slot required by the 17 first-grade pins,
+    # the touched txn/bm25 files, and the whole-r7-cohort refresh).
+    r11_rotation_pins: set[str] = {"corpus_drift", "corpus_drift_lang"}
     out = [q for q in pending if q not in window and q not in r11_rotation_pins]
     assert out == [], f"pending-first-grade queries left in the tail: {out}"
 

@@ -173,6 +173,8 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "chunk_documents": PIPE,
     "decontaminate_semantic": PIPE + SIM,
     "corpus_prep_pipeline": PIPE + DEDUP + CLUST,
+    "corpus_drift": (f"{_PKG}/operators/drift.py",) + TBL,
+    "corpus_drift_lang": (f"{_PKG}/operators/drift.py",) + TBL,
 }
 
 #: last driver-graded round for queries that are OUTSIDE the r8 window at

@@ -62,7 +62,7 @@ def build_corpus(spark, rep: int):
 
 def main() -> None:
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE_r09.json"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE_r10.json"
     spark = get_spark("scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
