@@ -831,6 +831,40 @@ def main() -> None:
     )
     checks["editdist_auto_routes_segment"] = bool(n_docs * n_docs > ED_CEILING)
 
+    # --- drift tier: replication preserves the even/odd doc_id split (the
+    # replica offset rep·10M is even) so bucket FRACTIONS are invariant —
+    # per-bucket psi must equal the base corpus's exactly (ratio-based, no
+    # rounding-amplification concern) and counts must scale by exactly rep.
+    from mcp_synaptic_spark.operators.drift import distribution_drift
+
+    def _drift(frame):
+        # the replicated corpus carries no n_chars column — derive it the
+        # same way on BOTH sides so the invariance check compares like
+        # definitions
+        frame = frame.withColumn("n_chars", F.length("text"))
+        return distribution_drift(
+            frame.where(F.col("doc_id") % 2 == 0),
+            frame.where(F.col("doc_id") % 2 == 1),
+            value_col="n_chars",
+            boundaries=[150, 250, 350, 450],
+        )
+
+    drift_rows = timed(
+        "corpus_drift_10x", lambda: {r["bucket"]: r for r in _drift(docs).collect()}
+    )
+    base_drift = {r["bucket"]: r for r in _drift(base_docs).collect()}
+    checks["drift_psi_invariant_under_replication"] = bool(
+        set(drift_rows) == set(base_drift)
+        and all(drift_rows[b]["psi"] == base_drift[b]["psi"] for b in base_drift)
+    )
+    checks["drift_counts_scale_by_rep"] = bool(
+        all(
+            drift_rows[b]["n_a"] == base_drift[b]["n_a"] * rep
+            and drift_rows[b]["n_b"] == base_drift[b]["n_b"] * rep
+            for b in base_drift
+        )
+    )
+
     # --- funnel tier: per-user replication ⇒ counts scale exactly by rep ---
     from mcp_synaptic_spark.operators.funnel import funnel
 
