@@ -4166,15 +4166,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     functions/ttl.py families) — after this rotation no ledger row is
     older than r8.
 
-    Round-11 window plan (for the next rotation): lead with any query
-    whose operator files r11 touches (run `python tools/evidence.py check`
-    after each edit — it names exactly which tail queries an edit stales),
-    then the r8-stamped cohort (token_stats, quality_score, lang_id,
-    lang_distribution, fingerprint, repetition_stats, quality_gate,
-    bm25_search, hybrid_search, assemble_context, search_by_metadata,
-    doc_summary, doc_change_feed, orders_page, memory_report, events_json,
-    props_keys, max_score — the oldest rows after r10), then r9-stamped
-    families as space allows. Everything else will hold r9/r10 evidence."""
+    Round-11 window plan (for the next rotation): lead with the two
+    tail-born drift queries (corpus_drift, corpus_drift_lang — pinned in
+    tests/test_driver_contract.py r11_rotation_pins), then any query whose
+    operator files r11 touches (run `python tools/evidence.py check` after
+    each edit — it names exactly which tail queries an edit stales; NOTE
+    the long-deferred rag.py compiled-dot restructure — see
+    _with_query_vec's docstring — stales the whole RAG family, so doing it
+    in r11 puts rag_search/rag_search_filtered/find_similar/batch_topk/
+    pairwise_similarity/knn_classify/hybrid_search/assemble_context in the
+    window), then the r8-stamped cohort (token_stats, quality_score,
+    lang_id, lang_distribution, fingerprint, repetition_stats,
+    quality_gate, bm25_search, hybrid_search, assemble_context,
+    search_by_metadata, doc_summary, doc_change_feed, orders_page,
+    memory_report, events_json, props_keys, max_score — the oldest rows
+    after r10), then r9-stamped families as space allows. Everything else
+    will hold r9/r10 evidence."""
     return {
         # --- r10 graded window (50): see docstring for the rotation logic
         # 17 pending-first-grade analytics queries (r9 contract pins)
