@@ -69,8 +69,12 @@ def _psi_table(tagged: DataFrame, bucket: Column, order: Column) -> DataFrame:
     counts = counts.withColumn("_tot_a", F.sum("n_a").over(w)).withColumn(
         "_tot_b", F.sum("n_b").over(w)
     )
-    frac_a = F.greatest(F.col("n_a") / F.col("_tot_a"), F.lit(EPS))
-    frac_b = F.greatest(F.col("n_b") / F.col("_tot_b"), F.lit(EPS))
+    # try_divide: an EMPTY snapshot has total 0 — the NULL quotient falls
+    # through greatest() to the EPS clamp (every bucket "vanished"), the
+    # same treatment the textbook gives an empty side; a plain `/` raises
+    # DIVIDE_BY_ZERO under ANSI mode (Spark 4 default)
+    frac_a = F.greatest(F.try_divide(F.col("n_a"), F.col("_tot_a")), F.lit(EPS))
+    frac_b = F.greatest(F.try_divide(F.col("n_b"), F.col("_tot_b")), F.lit(EPS))
     return (
         counts.select(
             "bucket",

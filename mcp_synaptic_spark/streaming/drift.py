@@ -109,8 +109,9 @@ def psi_vs_baseline(window_counts: DataFrame, baseline: DataFrame, *, value_col:
     # buckets — re-attach the global total)
     tot_b_val = F.first("_tot_b", ignorenulls=True).over(Window.partitionBy())
     joined = joined.withColumn("_tot_b", F.coalesce(F.col("_tot_b"), tot_b_val))
-    frac_w = F.greatest(F.col("n") / F.col("_tot_w"), F.lit(EPS))
-    frac_b = F.greatest(F.col("n_base") / F.col("_tot_b"), F.lit(EPS))
+    # try_divide for ANSI safety (degenerate empty sides → NULL → EPS clamp)
+    frac_w = F.greatest(F.try_divide(F.col("n"), F.col("_tot_w")), F.lit(EPS))
+    frac_b = F.greatest(F.try_divide(F.col("n_base"), F.col("_tot_b")), F.lit(EPS))
     return joined.select(
         "window_start",
         "bucket",

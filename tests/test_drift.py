@@ -140,3 +140,18 @@ def test_single_scan_per_input_and_tiny_window(spark):
     assert "Join" not in plan
     # the only range exchange allowed is the final |buckets|-row sort
     assert plan.count("Exchange rangepartitioning") <= 1
+
+
+def test_empty_snapshot_side_is_all_eps(spark):
+    """ANSI-mode edge (Spark 4 default): an empty snapshot must eps-clamp
+    every bucket instead of raising DIVIDE_BY_ZERO — try_divide path."""
+    a = _num(spark, [])
+    b = _num(spark, [1.0, 30.0])
+    out = {
+        r.bucket: (r.n_a, r.n_b, r.psi)
+        for r in distribution_drift(a, b, value_col="x", boundaries=[20]).collect()
+    }
+    assert out == {
+        "(-inf, 20)": (0, 1, _psi(0, 1, 1, 2)),  # fa clamps to EPS
+        "[20, inf)": (0, 1, _psi(0, 1, 1, 2)),
+    }

@@ -462,3 +462,97 @@ def test_quantize_matches_model(spark, vecs):
         r = out[i]
         assert r.qvec == want and r.vmin == vmin
         assert all(0 <= q <= 255 for q in r.qvec)
+
+
+# --- r10: edit-distance collapse/expansion vs brute force -------------------
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10**6),
+            st.text(alphabet="abc", min_size=0, max_size=8),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(0, 2),
+)
+def test_editdist_collapse_expansion_matches_brute_force(spark, rows, k):
+    """Duplication-heavy random corpora (a 3-letter alphabet over short
+    strings collides constantly): the r10 exact-dup pre-collapse plus
+    expansion must reproduce the naive all-pairs result on both arms."""
+    from mcp_synaptic_spark.operators.strings import (
+        edit_distance_pairs_exact,
+        edit_distance_pairs_segment,
+    )
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for x in range(1, m + 1):
+            prev, d[0] = d[0], x
+            for y in range(1, n + 1):
+                cur = d[y]
+                d[y] = min(d[y] + 1, d[y - 1] + 1, prev + (a[x - 1] != b[y - 1]))
+                prev = cur
+        return d[n]
+
+    truth = {
+        (ia, ib, lev(a, b))
+        for ia, a in rows
+        for ib, b in rows
+        if ia < ib and lev(a, b) <= k
+    }
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = set(map(tuple, edit_distance_pairs_exact(df, max_distance=k).collect()))
+    seg = set(map(tuple, edit_distance_pairs_segment(df, max_distance=k).collect()))
+    assert exact == truth
+    assert seg == truth
+
+
+# --- r10: PSI drift vs textbook model ---------------------------------------
+
+
+@PROP
+@given(
+    st.lists(st.one_of(st.none(), st.floats(0, 100, allow_nan=False)), max_size=30),
+    st.lists(st.one_of(st.none(), st.floats(0, 100, allow_nan=False)), min_size=1, max_size=30),
+)
+def test_distribution_drift_matches_textbook_psi(spark, a_vals, b_vals):
+    import math
+
+    from mcp_synaptic_spark.operators.drift import EPS, NULL_BUCKET, distribution_drift
+
+    bounds = [20.0, 50.0, 80.0]
+    a = spark.createDataFrame([(v,) for v in a_vals], "x double")
+    b = spark.createDataFrame([(v,) for v in b_vals], "x double")
+    out = {
+        r.bucket: (r.n_a, r.n_b, r.psi)
+        for r in distribution_drift(a, b, value_col="x", boundaries=bounds).collect()
+    }
+
+    def bucket(v):
+        if v is None:
+            return NULL_BUCKET
+        for lo, hi, name in (
+            (None, 20.0, "(-inf, 20)"),
+            (20.0, 50.0, "[20, 50)"),
+            (50.0, 80.0, "[50, 80)"),
+        ):
+            if v < hi:
+                return name
+        return "[80, inf)"
+
+    from collections import Counter
+
+    ca, cb = Counter(map(bucket, a_vals)), Counter(map(bucket, b_vals))
+    ta, tb = len(a_vals), len(b_vals)
+    expect = {}
+    for bk in set(ca) | set(cb):
+        fa = max(ca[bk] / ta, EPS) if ta else EPS
+        fb = max(cb[bk] / tb, EPS) if tb else EPS
+        expect[bk] = (ca[bk], cb[bk], round((fa - fb) * math.log(fa / fb), 6))
+    assert out == expect
