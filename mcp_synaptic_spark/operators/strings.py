@@ -69,13 +69,16 @@ from pyspark.sql import functions as F
 from ..util import release_scoped_caches as _release_stale
 from ..util import scoped_cache as _scoped_cache
 
-# Above this many N² candidate pairs ``edit_distance_pairs`` routes to the
-# segment arm.  Both arms are exact, so unlike dedup.py:AUTO_EXACT_MAX_PAIRS
-# (where the exact arm carries an audit contract) this is a pure performance
-# router, and the constant comes from the measured crossover (PLANS.md note
-# 68; local[32], 32-char keys, k=2): the segment arm is flat ~1.7 s where
-# the banded-quadratic arm passes it between 2000 docs (4e6 pairs, 1.1 s vs
-# 1.7 s) and 3500 docs (1.2e7 pairs, 2.7 s vs 1.7 s).
+# Above this many DISTINCT-KEY² candidate pairs ``edit_distance_pairs``
+# routes to the segment arm (distinct keys, not rows: since the r10
+# pre-collapse both arms' pair machinery runs at representative grain).
+# Both arms are exact, so unlike dedup.py:AUTO_EXACT_MAX_PAIRS (where the
+# exact arm carries an audit contract) this is a pure performance router,
+# and the constant comes from the measured crossover (PLANS.md note 68;
+# local[32], 32-char keys, k=2, corpora with distinct≈N so the number
+# carries over unchanged): the segment arm is flat ~1.7 s where the
+# banded-quadratic arm passes it between 2000 keys (4e6 pairs, 1.1 s vs
+# 1.7 s) and 3500 keys (1.2e7 pairs, 2.7 s vs 1.7 s).
 AUTO_EXACT_MAX_PAIRS = 8_000_000
 
 
@@ -332,16 +335,25 @@ def edit_distance_pairs(
     dist = levenshtein(key_a, key_b) <= max_distance.
 
     ``method``: 'exact' pins the quadratic audit arm, 'segment' the
-    PassJoin arm, 'auto' (default) picks by corpus size — N² pairs above
-    ``max_exact_pairs`` route to the segment arm.  Both arms produce the
-    SAME rows, so the switch never changes results, only the plan — the
-    dedup.py:369 auto-switch scheme with an exactness guarantee instead
-    of a recall argument.
+    PassJoin arm, 'auto' (default) picks by DISTINCT-key count — since the
+    r10 exact-dup pre-collapse, both arms' pair machinery runs on one
+    representative per distinct key, so the exact arm's cost is quadratic
+    in distinct keys, not rows; the router budgets accordingly
+    (approx_count_distinct: a single partial-agg scan, and a 5% rsd is
+    irrelevant to a performance-only crossover).  A 100×-duplicated
+    boilerplate corpus now correctly routes to the banded audit arm
+    instead of paying the segment machinery for 1% as many effective
+    keys.  Both arms produce the SAME rows, so the switch never changes
+    results, only the plan — the dedup.py:369 auto-switch scheme with an
+    exactness guarantee instead of a recall argument.
     """
     if method not in ("auto", "exact", "segment"):
         raise ValueError(f"unknown method {method!r}")
     if method == "auto":
-        n = docs.count()
+        key: Column = F.col(key_col)
+        if key_len is not None:
+            key = F.substring(key, 1, key_len)
+        n = docs.agg(F.approx_count_distinct(key).alias("n")).first()["n"]
         method = "exact" if n * n <= max_exact_pairs else "segment"
     fn = edit_distance_pairs_exact if method == "exact" else edit_distance_pairs_segment
     return fn(

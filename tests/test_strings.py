@@ -159,3 +159,24 @@ def test_method_validation(spark):
         edit_distance_pairs(df, method="nope")
     with pytest.raises(ValueError):
         edit_distance_pairs_exact(df, max_distance=-1)
+
+
+def test_auto_routes_on_distinct_keys_not_rows(spark):
+    """r10: the router budget is distinct-key² (the collapse makes the
+    exact arm quadratic in distinct keys only). A corpus whose row count
+    blows the ceiling but whose distinct-key count doesn't must take the
+    banded audit arm — visible as no segment machinery in the plan."""
+    import math
+
+    n_rows = int(math.isqrt(AUTO_EXACT_MAX_PAIRS)) + 500  # rows² > ceiling
+    df = (
+        spark.range(n_rows)
+        .selectExpr("id AS doc_id", "concat('key-', id % 40) AS text")
+    )  # 40 distinct keys: distinct² = 1600 << ceiling
+    plan = (
+        edit_distance_pairs(df, max_distance=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ilen" not in plan  # exact arm chosen
