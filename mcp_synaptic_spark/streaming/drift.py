@@ -35,12 +35,18 @@ def windowed_bucket_counts_stream(
     value_col: str = "event_type",
     ts_col: str = "ts",
     window: str = "1 day",
+    slide: str | None = None,
     watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """(window_start, window_end, bucket, n) append rows — one per
-    (tumbling window, category), emitted exactly once when the window
-    closes below the watermark.  NULL categories fold into the batch
-    twin's '(null)' bucket; NULL timestamps are dropped (no window)."""
+    (window, category), emitted exactly once when the window closes below
+    the watermark.  ``slide`` (< window) turns the tumbling window into a
+    sliding one — ROLLING drift, each event counted in window/slide
+    overlapping mixes, the way a dashboard watches "last 24 h drift every
+    hour"; the exactly-once-per-(window, bucket) contract is unchanged
+    because emission is still on window close.  NULL categories fold into
+    the batch twin's '(null)' bucket; NULL timestamps are dropped (no
+    window)."""
     ev = (
         events_stream.withWatermark(ts_col, watermark_delay)
         .where(F.col(ts_col).isNotNull())
@@ -51,7 +57,7 @@ def windowed_bucket_counts_stream(
             ),
         )
     )
-    win = F.window("_t", window)
+    win = F.window("_t", window, slide) if slide else F.window("_t", window)
     return (
         ev.groupBy(win.alias("w"), "bucket")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -101,3 +101,26 @@ def test_psi_view_matches_batch_categorical_drift(spark, tmp_path):
             ).collect()
         }
         assert got == batch, day
+
+
+def test_sliding_windows_roll_the_mix(spark, tmp_path):
+    """slide < window: each event lands in window/slide overlapping mixes
+    (rolling drift), still exactly once per (window, bucket)."""
+    batches = [
+        [(1, _ts(1, 6), "view"), (2, _ts(2, 6), "click")],
+        [(9, _ts(20), "view")], [(9, _ts(28), "view")],
+    ]
+    out = _run(
+        spark, tmp_path, batches,
+        window="2 days", slide="1 day", watermark_delay="0 seconds",
+    )
+    # the day-1 view appears in the windows starting day 0 and day 1;
+    # the day-2 click in those starting day 1 and day 2
+    by_win = {}
+    for r in out:
+        if r.window_start < dt.datetime(2024, 1, 3):  # data windows (first starts Dec 31)
+            by_win.setdefault(r.window_start.day, {})[r.bucket] = r.n
+    assert by_win[1] == {"view": 1, "click": 1}  # overlap window holds both
+    assert sum(n for mix in by_win.values() for n in mix.values()) == 4  # 2 events x 2 windows
+    keys = [(r.window_start, r.bucket) for r in out]
+    assert len(keys) == len(set(keys))
