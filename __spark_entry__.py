@@ -3680,7 +3680,12 @@ def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_EVENTS_FUNNEL = """
 WITH s1 AS (
-  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+  SELECT user_id, min(ts) AS t FROM events
+  -- NULL users / NULL ts dropped to match the engine (ADVICE r9 /
+  -- r10 review: without this, s1 counts the NULL pseudo-user group
+  -- and users whose only step-1 events have NULL ts)
+  WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
 ), s2 AS (
   SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
   WHERE e.event_type = 'click' AND e.ts >= s1.t AND e.ts <= s1.t + INTERVAL 1 DAY
@@ -3714,7 +3719,12 @@ def _q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_EVENTS_CONVERSION_LAG = """
 WITH s1 AS (
-  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+  SELECT user_id, min(ts) AS t FROM events
+  -- NULL users / NULL ts dropped to match the engine (ADVICE r9 /
+  -- r10 review: without this, s1 counts the NULL pseudo-user group
+  -- and users whose only step-1 events have NULL ts)
+  WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
 ), s2 AS (
   SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
   WHERE e.event_type = 'click' AND e.ts >= s1.t AND e.ts <= s1.t + INTERVAL 1 DAY

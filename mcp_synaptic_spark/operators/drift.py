@@ -111,7 +111,14 @@ def distribution_drift(
     row per bucket — (bucket, n_a, n_b, frac_a, frac_b, psi), bucket
     labels carrying the interval — in bucket order; ``sum(psi)`` is the
     headline score.  Fixed boundaries (never quantiles of either side)
-    keep the score reproducible and the bucketing a pure projection."""
+    keep the score reproducible and the bucketing a pure projection.
+
+    ``null_bucket=False`` excludes NULL rows from the comparison ENTIRELY
+    — they leave the totals too, so the visible fractions still sum to 1
+    and an asymmetric null share cannot leak into every bucket's psi term
+    (r10 review: a post-hoc row filter would have kept NULLs in the
+    denominators).  The default keeps them as their own bucket, where a
+    null-share shift shows up as that bucket's own psi contribution."""
     bs = list(boundaries)
     if not bs or any(bs[i] >= bs[i + 1] for i in range(len(bs) - 1)):
         raise ValueError("boundaries must be non-empty and strictly ascending")
@@ -126,10 +133,10 @@ def distribution_drift(
         prev = cut
     label = label.otherwise(F.lit(_interval(prev, None)))
     order = order.otherwise(F.lit(len(bs)))
-    out = _psi_table(_tag_union(a, b, [value_col]), label, order)
+    tagged = _tag_union(a, b, [value_col])
     if not null_bucket:
-        out = out.where(F.col("bucket") != NULL_BUCKET)
-    return out
+        tagged = tagged.where(v.isNotNull())
+    return _psi_table(tagged, label, order)
 
 
 def _interval(lo: float | None, hi: float | None) -> str:

@@ -350,10 +350,13 @@ def edit_distance_pairs(
     if method not in ("auto", "exact", "segment"):
         raise ValueError(f"unknown method {method!r}")
     if method == "auto":
-        key: Column = F.col(key_col)
-        if key_len is not None:
-            key = F.substring(key, 1, key_len)
-        n = docs.agg(F.approx_count_distinct(key).alias("n")).first()["n"]
+        # count over _string_keys itself so the router's key definition can
+        # never drift from the keys the arms actually pair on (r10 review)
+        n = (
+            _string_keys(docs, id_col, key_col, key_len)
+            .agg(F.approx_count_distinct("key").alias("n"))
+            .first()["n"]
+        )
         method = "exact" if n * n <= max_exact_pairs else "segment"
     fn = edit_distance_pairs_exact if method == "exact" else edit_distance_pairs_segment
     return fn(

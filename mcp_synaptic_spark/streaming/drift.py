@@ -40,8 +40,10 @@ def windowed_bucket_counts_stream(
 ) -> DataFrame:
     """(window_start, window_end, bucket, n) append rows — one per
     (window, category), emitted exactly once when the window closes below
-    the watermark.  ``slide`` (< window) turns the tumbling window into a
-    sliding one — ROLLING drift, each event counted in window/slide
+    the watermark.  ``slide`` (≤ window: Spark's analyzer itself rejects a
+    larger slide with PARAMETER_CONSTRAINT_VIOLATION, so gapped/sampling
+    windows cannot be constructed silently — verified r10) turns the
+    tumbling window into a sliding one — ROLLING drift, each event counted in window/slide
     overlapping mixes, the way a dashboard watches "last 24 h drift every
     hour"; the exactly-once-per-(window, bucket) contract is unchanged
     because emission is still on window close.  NULL categories fold into

@@ -62,6 +62,30 @@ def test_numeric_bucket_order_and_null_toggle(spark):
         a, b, value_col="x", boundaries=[1, 4], null_bucket=False
     ).collect()
     assert [r.bucket for r in no_null] == ["(-inf, 1)", "[1, 4)", "[4, inf)"]
+    # null_bucket=False excludes NULLs from the TOTALS too (r10 review):
+    # side A has 2 non-null rows, so fractions are halves, not thirds
+    assert {r.bucket: r.frac_a for r in no_null} == {
+        "(-inf, 1)": 0.5, "[1, 4)": 0.5, "[4, inf)": EPS,
+    }
+
+
+def test_null_toggle_does_not_leak_null_share_into_buckets(spark):
+    """r10 review scenario: identical non-null distributions with an
+    asymmetric null share must score ZERO drift when null_bucket=False."""
+    a = _num(spark, [5.0] + [None] * 9)
+    b = _num(spark, [5.0])
+    rows = distribution_drift(
+        a, b, value_col="x", boundaries=[10], null_bucket=False
+    ).collect()
+    assert all(r.psi == 0.0 for r in rows)
+    # with the default null bucket the same shift IS the signal, carried
+    # by the null bucket's own term, not smeared over the others
+    with_null = {
+        r.bucket: r.psi
+        for r in distribution_drift(a, b, value_col="x", boundaries=[10]).collect()
+    }
+    assert with_null[NULL_BUCKET] > 10  # 0.9 vs eps
+    assert abs(with_null["(-inf, 10)"]) < 3  # (0.1 vs 1.0), not eps-exploded
 
 
 def test_boundary_values_fall_in_right_closed_left_bucket(spark):

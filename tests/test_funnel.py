@@ -195,3 +195,41 @@ def test_conversion_lags_requires_two_steps(spark):
     df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
     with _pytest.raises(ValueError):
         conversion_lags(df, steps=("view",))
+
+
+def test_oracle_parity_with_null_users_and_null_ts(spark, tmp_path):
+    """The sf0.01 events table has no NULL user_ids, so the driver's hash
+    gate never exercises the NULL paths — run the REAL events_funnel /
+    events_conversion_lag oracle SQL against a synthetic table containing
+    a NULL-user chain and a NULL-ts-only user, and require bit-equality
+    with the Spark queries (r10 review: the oracle's s1 previously
+    counted both at step 1, the engine neither)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from tools.parity import norm_rows
+
+    rows = [
+        (None, _ts(0), "view"), (None, _ts(10), "click"), (None, _ts(20), "purchase"),
+        (1, _ts(0), "view"), (1, _ts(30), "click"), (1, _ts(100), "purchase"),
+        (2, _ts(0), "view"),
+        (3, None, "view"),  # only NULL-ts step-1 events
+    ]
+    _df(spark, rows).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    for q in ("events_funnel", "events_conversion_lag"):
+        sdf = entry.queries()[q](spark, str(tmp_path))
+        scols, srows = norm_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+        res = con.execute(entry.oracle_sql()[q]).fetchall()
+        ocols, orows = norm_rows([d[0] for d in con.description], res)
+        assert scols == ocols, q
+        assert srows == orows, q
+    # and the NULL pseudo-user's complete chain counted nowhere
+    out = {r.step: r.n_users for r in funnel(
+        _df(spark, rows), steps=("view", "click", "purchase"), horizon="1d"
+    ).collect()}
+    assert out == {1: 2, 2: 1, 3: 1}

@@ -829,7 +829,14 @@ def main() -> None:
     checks["editdist_zero_pairs_match_prefix_groups"] = bool(
         n_ed_zero == int(grp["twice"]) // 2
     )
-    checks["editdist_auto_routes_segment"] = bool(n_docs * n_docs > ED_CEILING)
+    # the auto-router budgets on DISTINCT truncated keys since r10 (both
+    # arms collapse exact dups first) — predict its decision the same way
+    n_ed_keys = (
+        docs.where(F.col("text").isNotNull())
+        .agg(F.approx_count_distinct(F.substring("text", 1, 32)).alias("n"))
+        .collect()[0]["n"]
+    )
+    checks["editdist_auto_routes_segment"] = bool(n_ed_keys * n_ed_keys > ED_CEILING)
 
     # --- drift tier: replication preserves the even/odd doc_id split (the
     # replica offset rep·10M is even) so bucket FRACTIONS are invariant —
