@@ -124,3 +124,19 @@ def test_sliding_windows_roll_the_mix(spark, tmp_path):
     assert sum(n for mix in by_win.values() for n in mix.values()) == 4  # 2 events x 2 windows
     keys = [(r.window_start, r.bucket) for r in out]
     assert len(keys) == len(set(keys))
+
+
+def test_psi_view_empty_baseline_degenerate(spark):
+    """An EMPTY baseline must eps-clamp every stream bucket (max drift)
+    instead of dividing by a zero/NULL total — batch-only check on the
+    live-view helper."""
+    sink = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2), "view", 4)],
+        "window_start timestamp, window_end timestamp, bucket string, n long",
+    )
+    baseline = spark.createDataFrame([], "event_type string")
+    rows = psi_vs_baseline(sink, baseline, value_col="event_type").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.bucket, r.n, r.frac_w) == ("view", 4, 1.0)
+    assert r.frac_base == 1e-06 and r.psi > 10

@@ -223,3 +223,29 @@ def test_active_users_null_user_dropped(spark, tmp_path):
     out = _run_au(spark, tmp_path, batches, window_days=2, watermark_delay="0 seconds")
     assert not any(r.key is None for r in out)
     assert any(r.key == "1" and r.is_active_day for r in out)
+
+
+def test_active_users_state_removal_and_reseed(spark, tmp_path):
+    """A user whose trailing window fully drains has their state REMOVED;
+    when they return much later the re-seeded state must emit the new
+    report days exactly once with no duplicates of the old ones (the
+    docstring's re-seed safety argument: new folds sit above the old
+    watermark, so new report days are strictly later)."""
+    batches = [
+        [(1, _ts(1, 5), "view")],
+        [(9, _ts(15), "view")],                   # drain user 1's window
+        [(1, _ts(20, 5), "view")],                # user 1 returns
+        [(9, _ts(27), "view")], [(9, _ts(29), "view")],  # close + flush
+    ]
+    out = [
+        r for r in _run_au(
+            spark, tmp_path, batches, window_days=3, watermark_delay="0 seconds"
+        )
+        if r.key == "1"
+    ]
+    got = sorted((r.day.day, r.is_active_day) for r in out)
+    assert got == [
+        (1, True), (2, False), (3, False),        # first activity burst
+        (20, True), (21, False), (22, False),     # post-reseed burst
+    ]
+    assert len(got) == len(set(got))
