@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ._pandas import series_to_micros
+from ._pandas import require_utc_session, series_to_micros
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -137,6 +137,7 @@ def rate_anomalies_stream(
                 ],
             )
 
+    require_utc_session(events_stream)
     ev = (
         events_stream.withWatermark(ts_col, watermark_delay)
         .where(F.col(ts_col).isNotNull())

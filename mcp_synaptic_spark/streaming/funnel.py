@@ -42,7 +42,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.funnel import _horizon_seconds
-from ._pandas import series_to_micros
+from ._pandas import require_utc_session, series_to_micros
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -145,6 +145,7 @@ def funnel_updates_stream(
     # non-step rows past the filter for watermark purposes are defeated by
     # predicate pushdown (verified against the parquet file source), so we
     # document the contract instead of fighting the optimizer.
+    require_utc_session(events_stream)
     ev = (
         events_stream.withWatermark(ts_col, watermark_delay)
         .where(

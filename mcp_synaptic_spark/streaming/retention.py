@@ -38,9 +38,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ._pandas import series_to_micros
-
-_DAY_US = 86_400_000_000
+from ._pandas import (
+    DAY_US as _DAY_US,
+    accumulate_days,
+    drain_closed_days,
+    require_utc_session,
+)
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -99,17 +102,11 @@ def retention_updates_stream(
             buf = set(int(b) for b in buf_raw)
         else:
             cohort, emitted, buf = None, set(), set()
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            buf.update(int(d) for d in (series_to_micros(pdf["t"]) // _DAY_US))
+        accumulate_days(pdfs, buf)
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         out = []
-        for d in sorted(buf):
-            if (d + 1) * _DAY_US > wm_us:
-                break  # this day (and all later ones) still open to arrivals
-            buf.discard(d)
+        for d in drain_closed_days(buf, wm_us):
             if cohort is None:
                 cohort = d  # provably the min: older rows can no longer arrive
             off = d - cohort
@@ -126,6 +123,7 @@ def retention_updates_stream(
         if out:
             yield pd.DataFrame(out, columns=["key", "cohort_day", "day_offset"])
 
+    require_utc_session(events_stream)
     ev = (
         events_stream.withWatermark(ts_col, watermark_delay)
         .where(F.col(ts_col).isNotNull() & F.col(by).isNotNull())
@@ -197,18 +195,11 @@ def active_users_updates_stream(
             buf = set(int(x) for x in buf_raw)
         else:
             last, folded, buf = None, set(), set()
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            buf.update(int(d) for d in (series_to_micros(pdf["t"]) // _DAY_US))
+        accumulate_days(pdfs, buf)
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         wm_day = wm_us // _DAY_US  # first still-open day; r closed iff r < wm_day
-        for d in sorted(buf):
-            if (d + 1) * _DAY_US > wm_us:
-                break
-            buf.discard(d)
-            folded.add(d)
+        folded.update(drain_closed_days(buf, wm_us))
 
         out = []
         if folded:
@@ -237,10 +228,13 @@ def active_users_updates_stream(
             pending = []
             if buf:
                 pending.append((min(buf) + 1) * (_DAY_US // 1000))
-            if folded and last is not None and max(folded) + w - 1 > last:
-                pending.append((last + 2) * (_DAY_US // 1000))  # next report day's end
-            elif folded and last is None:
-                pending.append((min(folded) + 1) * (_DAY_US // 1000))
+            if folded:
+                # folded non-empty ⟹ last was set when its days closed, and
+                # the prune keeps only d > last+1-w ⟹ max(folded)+w-1 > last:
+                # the next report day (last+1) always has a pending
+                # contribution — arm its day-end (r10 review: the previous
+                # extra guards here were provably always-true/unreachable)
+                pending.append((last + 2) * (_DAY_US // 1000))
             if pending:
                 state.setTimeoutTimestamp(
                     max(min(pending), state.getCurrentWatermarkMs() + 1)
@@ -248,6 +242,7 @@ def active_users_updates_stream(
         if out:
             yield pd.DataFrame(out, columns=["key", "day", "is_active_day"])
 
+    require_utc_session(events_stream)
     ev = (
         events_stream.withWatermark(ts_col, watermark_delay)
         .where(F.col(ts_col).isNotNull() & F.col(by).isNotNull())

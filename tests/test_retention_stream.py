@@ -249,3 +249,22 @@ def test_active_users_state_removal_and_reseed(spark, tmp_path):
         (20, True), (21, False), (22, False),     # post-reseed burst
     ]
     assert len(got) == len(set(got))
+
+
+def test_non_utc_session_is_rejected_at_construction(spark, tmp_path):
+    """r10 review: pandas-side event times arrive in the SESSION timezone
+    while the watermark clock is UTC epoch — a non-UTC session would skew
+    every day-close test. The twins must refuse loudly at construction
+    instead of silently undercounting."""
+    import pytest
+
+    stream = replayed_stream(spark, tmp_path, [[(1, _ts(1), "view")]], SCHEMA)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timeZone"):
+            retention_updates_stream(stream)
+        with pytest.raises(ValueError, match="timeZone"):
+            active_users_updates_stream(stream)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
