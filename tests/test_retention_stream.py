@@ -262,9 +262,16 @@ def test_non_utc_session_is_rejected_at_construction(spark, tmp_path):
     tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
+        from mcp_synaptic_spark.streaming.anomaly import rate_anomalies_stream
+        from mcp_synaptic_spark.streaming.funnel import funnel_updates_stream
+
         with pytest.raises(ValueError, match="timeZone"):
             retention_updates_stream(stream)
         with pytest.raises(ValueError, match="timeZone"):
             active_users_updates_stream(stream)
+        with pytest.raises(ValueError, match="timeZone"):
+            funnel_updates_stream(stream, steps=("view", "click"))
+        with pytest.raises(ValueError, match="timeZone"):
+            rate_anomalies_stream(stream)
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
