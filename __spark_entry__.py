@@ -4157,148 +4157,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotation history: r9 graded the dedup.py/pipeline.py/similarity.py/
     txn.py families (all touched that round), the r9-new
     bm25_search_indexed, and the r6-stamped refreshes; its 17 tail-born
-    analytics queries rode the contract's escape hatch into r10 (the
-    generalized pin in tests/test_driver_contract.py).
+    analytics queries rode the contract's escape hatch into r10. r10
+    first-graded those seventeen, re-graded the r10-touched txn/bm25
+    queries, and refreshed the whole r7-stamped cohort (nothing predates
+    r8 afterward); its two tail-born drift queries rode the escape hatch
+    into r11 (the generalized pin in tests/test_driver_contract.py).
 
-    Round-10 window (this file): executes exactly the plan the r9 contract
-    pinned. Slots 1-17 are the seventeen analytics-tier queries born after
-    the r9 window filled (EVIDENCE.json window_round was null; their only
-    prior evidence is local/judge parity) — the largest first-grade backlog
-    the project has carried. Then every query whose operator files r10
-    touches: state/txn.py (put_if_absent NULL-key rejection) stales
-    memory_upsert_txn / memory_upsert_ckpt / memory_snapshot_read /
-    dedup_incremental (txn.py newly added to its file set — the arbitrated
-    index append runs through TxnTable), and operators/bm25_index.py
-    (corpus-fingerprint staleness guard) stales bm25_search_indexed. The
-    r10-touched funnel.py / terms.py / strings.py queries are already in
-    the first seventeen. The remaining 28 slots refresh the ENTIRE
-    r7-stamped ledger cohort (memory.py, documents.py, tables.py,
-    functions/ttl.py families) — after this rotation no ledger row is
-    older than r8.
+    Round-11 window (this file): executes the plan the r10 contract pinned.
+    Slots 1-2 are the two tail-born drift queries (their FIRST driver
+    grade — r11_rotation_pins in the r10 contract test). Slots 3-20 retire
+    the ENTIRE r8-stamped ledger cohort (the oldest rows after the r10
+    rotation). Then every query whose operator files r11 touches: the
+    rag.py compiled-dot restructure (threshold applied after top-k, cosine
+    built as one parsed fixed-dim expression) stales the whole RAG family
+    (rag.py + functions/vector.py), the _write_cells_sidecar fence stales
+    the similarity.py family (which shares functions/vector.py), and the
+    bm25_index.py fingerprint-fold fix (ADVICE r10: bit_xor is a weak
+    multiset hash) stales bm25_search_indexed. The remaining slots refresh
+    r9-stamped dedup/clustering/embedder rows. After this rotation no
+    ledger row is older than r9.
 
-    Round-11 window plan (for the next rotation): lead with the two
-    tail-born drift queries (corpus_drift, corpus_drift_lang — pinned in
-    tests/test_driver_contract.py r11_rotation_pins), then any query whose
-    operator files r11 touches (run `python tools/evidence.py check` after
-    each edit — it names exactly which tail queries an edit stales; NOTE
-    the long-deferred rag.py compiled-dot restructure — see
-    _with_query_vec's docstring — stales the whole RAG family, so doing it
-    in r11 puts rag_search/rag_search_filtered/find_similar/batch_topk/
-    pairwise_similarity/knn_classify/hybrid_search/assemble_context in the
-    window), then the r8-stamped cohort (token_stats, quality_score,
-    lang_id, lang_distribution, fingerprint, repetition_stats,
-    quality_gate, bm25_search, hybrid_search, assemble_context,
-    search_by_metadata, doc_summary, doc_change_feed, orders_page,
-    memory_report, events_json, props_keys, max_score — the oldest rows
-    after r10), then r9-stamped families as space allows. Everything else
-    will hold r9/r10 evidence."""
+    Round-12 window plan (for the next rotation): no query is pending a
+    first grade (the r11 escape-hatch pin list is empty unless r11 births
+    new queries after the window freezes); lead with any query whose
+    operator files r12 touches, then the oldest ledger rows (the r9-stamped
+    pipeline.py / streaming-windows / multimodal families:
+    corpus_prep_pipeline, decontaminate, train_test_split, pii_redact,
+    stratified_sample, dedup_within_doc, source_cap, source_mix,
+    pack_sequences, chunk_documents, token_budget_select, events_hourly,
+    events_sliding, events_sessions, frame_sample, multimodal_features,
+    sanitize — after grading them nothing predates r10)."""
     return {
-        # --- r10 graded window (50): see docstring for the rotation logic
-        # 17 pending-first-grade analytics queries (r9 contract pins)
-        "events_asof_join": _q_events_asof_join,
-        "events_range_join": _q_events_range_join,
-        "corpus_summary": _q_corpus_summary,
-        "dedup_editdist": _q_dedup_editdist,
-        "dedup_editdist_segment": _q_dedup_editdist_segment,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "events_active_users": _q_events_active_users,
-        "tfidf_terms": _q_tfidf_terms,
-        "source_overlap": _q_source_overlap,
-        "events_anomaly": _q_events_anomaly,
-        "embedding_screen": _q_embedding_screen,
-        "dims_profile": _q_dims_profile,
-        "dedup_rate_by_source": _q_dedup_rate_by_source,
-        "events_retention_weekly": _q_events_retention_weekly,
-        "events_conversion_lag": _q_events_conversion_lag,
-        "text_screen": _q_text_screen,
-        # r10-touched operator files: state/txn.py, operators/bm25_index.py
-        "memory_upsert_txn": _q_memory_upsert_txn,
-        "memory_upsert_ckpt": _q_memory_upsert_ckpt,
-        "memory_snapshot_read": _q_memory_snapshot_read,
-        "dedup_incremental": _q_dedup_incremental,
-        "bm25_search_indexed": _q_bm25_search_indexed,
-        # r7-stamped ledger refresh: tables.py family
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q6": _q_tpch_q6,
-        "top_orders_per_customer": _q_top_orders_per_customer,
-        "orders_semi_join": _q_orders_semi_join,
-        "customers_anti_join": _q_customers_anti_join,
-        "orders_rollup": _q_orders_rollup,
-        # r7-stamped ledger refresh: ttl-functions family
-        "parse_ttl": _q_parse_ttl,
-        "time_until_expiry": _q_time_until_expiry,
-        # r7-stamped ledger refresh: memory.py family
-        "filter_tags_created": _q_filter_tags_created,
-        "memory_list": _q_memory_list,
-        "memory_list_expired": _q_memory_list_expired,
-        "memory_list_by_keys": _q_memory_list_by_keys,
-        "memory_stats": _q_memory_stats,
-        "memory_stats_by_type": _q_memory_stats_by_type,
-        "cleanup_expired_count": _q_cleanup_expired_count,
-        "memories_live_count": _q_memories_live_count,
-        "memory_upsert": _q_memory_upsert,
-        "memory_touch": _q_memory_touch,
-        "memory_delete": _q_memory_delete,
-        "memory_exists": _q_memory_exists,
-        "memory_update": _q_memory_update,
-        # r7-stamped ledger refresh: documents.py family
-        "doc_add": _q_doc_add,
-        "doc_get": _q_doc_get,
-        "doc_update": _q_doc_update,
-        "doc_delete": _q_doc_delete,
-        "doc_stats": _q_doc_stats,
-        # ---- entry 50 ends here ------------------------------------------
-        # tail: every entry below is green in CORRECTNESS_r08/r09 with
-        # operator files unchanged since (EVIDENCE.json + tools/evidence.py
-        # enforce it)
-        "dedup_exact": _q_dedup_exact,
-        "dedup_keep_first": _q_dedup_keep_first,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash_capped": _q_dedup_simhash_capped,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "dedup_substring": _q_dedup_substring,
-        "dedup_substring_apply": _q_dedup_substring_apply,
-        "dedup_semantic": _q_dedup_semantic,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_clusters_twostar": _q_dedup_clusters_twostar,
-        "dedup_apply_clusters": _q_dedup_apply_clusters,
-        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
-        "decontaminate": _q_decontaminate,
-        "decontaminate_semantic": _q_decontaminate_semantic,
-        "train_test_split": _q_train_test_split,
-        "pii_redact": _q_pii_redact,
-        "stratified_sample": _q_stratified_sample,
-        "dedup_within_doc": _q_dedup_within_doc,
-        "source_cap": _q_source_cap,
-        "source_mix": _q_source_mix,
-        "pack_sequences": _q_pack_sequences,
-        "chunk_documents": _q_chunk_documents,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_mllib_lsh": _q_ann_mllib_lsh,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_quantized_topk": _q_ann_quantized_topk,
-        "ann_ivf_sq8_topk": _q_ann_ivf_sq8_topk,
-        "sanitize": _q_sanitize,
-        "ts_parse_multi": _q_ts_parse_multi,
-        "embed_texts": _q_embed_texts,
-        "events_hourly": _q_events_hourly,
-        "events_sliding": _q_events_sliding,
-        "events_sessions": _q_events_sessions,
-        "frame_sample": _q_frame_sample,
-        "memory_access_replay": _q_memory_access_replay,
-        "multimodal_features": _q_multimodal_features,
-        "pairwise_similarity": _q_pairwise_similarity,
-        "rag_search": _q_rag_search,
-        "rag_search_filtered": _q_rag_search_filtered,
-        "find_similar": _q_find_similar,
-        "batch_topk": _q_batch_topk,
-        "token_budget_select": _q_token_budget_select,
+        # --- r11 graded window (50): see docstring for the rotation logic
+        # first driver grade for the r10 tail-born drift pair (contract pins)
+        "corpus_drift": _q_corpus_drift,
+        "corpus_drift_lang": _q_corpus_drift_lang,
+        # r8-stamped ledger cohort retired (oldest rows after r10)
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -4317,10 +4211,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "props_keys": _q_props_keys,
         "max_score": _q_max_score,
+        # r11-touched: operators/rag.py + functions/vector.py (compiled-dot
+        # restructure — threshold after top-k, single parsed cosine)
+        "rag_search": _q_rag_search,
+        "rag_search_filtered": _q_rag_search_filtered,
+        "find_similar": _q_find_similar,
+        "batch_topk": _q_batch_topk,
+        "pairwise_similarity": _q_pairwise_similarity,
         "knn_classify": _q_knn_classify,
-        # r10 tail-born (window already full) — pinned for the r11 rotation
-        "corpus_drift": _q_corpus_drift,
-        "corpus_drift_lang": _q_corpus_drift_lang,
+        # r11-touched: operators/similarity.py (cells-sidecar fence) +
+        # functions/vector.py (shared with the RAG family above)
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_mllib_lsh": _q_ann_mllib_lsh,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_quantized_topk": _q_ann_quantized_topk,
+        "ann_ivf_sq8_topk": _q_ann_ivf_sq8_topk,
+        "dedup_semantic": _q_dedup_semantic,
+        "decontaminate_semantic": _q_decontaminate_semantic,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        # r11-touched: operators/bm25_index.py (fingerprint sum fold)
+        "bm25_search_indexed": _q_bm25_search_indexed,
+        # r9-stamped ledger refresh: dedup.py / clustering.py / embedder
+        # families (the oldest rows that fit after the touched files)
+        "dedup_exact": _q_dedup_exact,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_capped": _q_dedup_simhash_capped,
+        "dedup_substring": _q_dedup_substring,
+        "dedup_substring_apply": _q_dedup_substring_apply,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_twostar": _q_dedup_clusters_twostar,
+        "dedup_apply_clusters": _q_dedup_apply_clusters,
+        "embed_texts": _q_embed_texts,
+        "ts_parse_multi": _q_ts_parse_multi,
+        "memory_access_replay": _q_memory_access_replay,
+        # ---- entry 50 ends here ------------------------------------------
+        # tail: every entry below is green in CORRECTNESS_r09/r10 with
+        # operator files unchanged since (EVIDENCE.json + tools/evidence.py
+        # enforce it)
+        "events_asof_join": _q_events_asof_join,
+        "events_range_join": _q_events_range_join,
+        "corpus_summary": _q_corpus_summary,
+        "dedup_editdist": _q_dedup_editdist,
+        "dedup_editdist_segment": _q_dedup_editdist_segment,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "events_active_users": _q_events_active_users,
+        "tfidf_terms": _q_tfidf_terms,
+        "source_overlap": _q_source_overlap,
+        "events_anomaly": _q_events_anomaly,
+        "embedding_screen": _q_embedding_screen,
+        "dims_profile": _q_dims_profile,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "events_retention_weekly": _q_events_retention_weekly,
+        "events_conversion_lag": _q_events_conversion_lag,
+        "text_screen": _q_text_screen,
+        "memory_upsert_txn": _q_memory_upsert_txn,
+        "memory_upsert_ckpt": _q_memory_upsert_ckpt,
+        "memory_snapshot_read": _q_memory_snapshot_read,
+        "dedup_incremental": _q_dedup_incremental,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "orders_semi_join": _q_orders_semi_join,
+        "customers_anti_join": _q_customers_anti_join,
+        "orders_rollup": _q_orders_rollup,
+        "parse_ttl": _q_parse_ttl,
+        "time_until_expiry": _q_time_until_expiry,
+        "filter_tags_created": _q_filter_tags_created,
+        "memory_list": _q_memory_list,
+        "memory_list_expired": _q_memory_list_expired,
+        "memory_list_by_keys": _q_memory_list_by_keys,
+        "memory_stats": _q_memory_stats,
+        "memory_stats_by_type": _q_memory_stats_by_type,
+        "cleanup_expired_count": _q_cleanup_expired_count,
+        "memories_live_count": _q_memories_live_count,
+        "memory_upsert": _q_memory_upsert,
+        "memory_touch": _q_memory_touch,
+        "memory_delete": _q_memory_delete,
+        "memory_exists": _q_memory_exists,
+        "memory_update": _q_memory_update,
+        "doc_add": _q_doc_add,
+        "doc_get": _q_doc_get,
+        "doc_update": _q_doc_update,
+        "doc_delete": _q_doc_delete,
+        "doc_stats": _q_doc_stats,
+        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
+        "decontaminate": _q_decontaminate,
+        "train_test_split": _q_train_test_split,
+        "pii_redact": _q_pii_redact,
+        "stratified_sample": _q_stratified_sample,
+        "dedup_within_doc": _q_dedup_within_doc,
+        "source_cap": _q_source_cap,
+        "source_mix": _q_source_mix,
+        "pack_sequences": _q_pack_sequences,
+        "chunk_documents": _q_chunk_documents,
+        "sanitize": _q_sanitize,
+        "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
+        "events_sessions": _q_events_sessions,
+        "frame_sample": _q_frame_sample,
+        "multimodal_features": _q_multimodal_features,
+        "token_budget_select": _q_token_budget_select,
     }
 
 

@@ -25,44 +25,40 @@ def test_every_query_has_an_oracle():
 
 
 def test_graded_window_holds_the_round_targets():
-    """The driver grades the FIRST 50 dict entries only. The r10 window must
-    hold (a) the seventeen analytics queries pending their FIRST driver
-    grade (tail-born in r9, pinned by the r9 contract's escape hatch),
-    (b) every query whose operator files r10 touches, (c) the entire
-    r7-stamped ledger cohort (the oldest rows — after this rotation
-    nothing predates r8)."""
+    """The driver grades the FIRST 50 dict entries only. The r11 window must
+    hold (a) the two drift queries pending their FIRST driver grade
+    (tail-born in r10, pinned by the r10 contract's escape hatch),
+    (b) every query whose operator files r11 touches — the rag.py/
+    functions/vector.py compiled-dot restructure (whole RAG family), the
+    similarity.py cells-sidecar fence (ANN/semantic family), and the
+    bm25_index.py fingerprint-fold fix, (c) the entire r8-stamped ledger
+    cohort (the oldest rows — after this rotation nothing predates r9)."""
     names = list(entry.queries())
     assert len(names) >= 96
     window = set(names[:50])
-    pending_first_grade = (
-        "events_asof_join", "events_range_join", "corpus_summary",
-        "dedup_editdist", "dedup_editdist_segment", "events_funnel",
-        "events_retention", "events_active_users", "tfidf_terms",
-        "source_overlap", "events_anomaly", "embedding_screen",
-        "dims_profile", "dedup_rate_by_source", "events_retention_weekly",
-        "events_conversion_lag", "text_screen",
-    )
-    r10_touched = (
-        # state/txn.py: put_if_absent NULL-key rejection (+ the arbitrated
-        # dedup-index append rides txn.py, newly in its file set)
-        "memory_upsert_txn", "memory_upsert_ckpt", "memory_snapshot_read",
-        "dedup_incremental",
-        # operators/bm25_index.py: corpus-fingerprint staleness guard
+    pending_first_grade = ("corpus_drift", "corpus_drift_lang")
+    r11_touched = (
+        # operators/rag.py + functions/vector.py: threshold-after-top-k
+        # restructure, single parsed fixed-dim cosine
+        "rag_search", "rag_search_filtered", "find_similar", "batch_topk",
+        "pairwise_similarity", "knn_classify", "hybrid_search",
+        "assemble_context", "max_score",
+        # operators/similarity.py (cells-sidecar fence) + shared vector.py
+        "ann_lsh_topk", "ann_mllib_lsh", "ann_ivf_topk",
+        "ann_quantized_topk", "ann_ivf_sq8_topk", "dedup_semantic",
+        "decontaminate_semantic", "dedup_embedding", "dedup_embedding_lsh",
+        # operators/bm25_index.py: multiset-safe corpus fingerprint
         "bm25_search_indexed",
-        # funnel.py / terms.py / strings.py queries are in the pins above
     )
-    r7_refresh = (
-        "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-        "top_orders_per_customer", "orders_semi_join",
-        "customers_anti_join", "orders_rollup", "parse_ttl",
-        "time_until_expiry", "filter_tags_created", "memory_list",
-        "memory_list_expired", "memory_list_by_keys", "memory_stats",
-        "memory_stats_by_type", "cleanup_expired_count",
-        "memories_live_count", "memory_upsert", "memory_touch",
-        "memory_delete", "memory_exists", "memory_update", "doc_add",
-        "doc_get", "doc_update", "doc_delete", "doc_stats",
+    r8_refresh = (
+        "token_stats", "quality_score", "lang_id", "lang_distribution",
+        "fingerprint", "repetition_stats", "quality_gate", "bm25_search",
+        "search_by_metadata", "doc_summary", "doc_change_feed",
+        "orders_page", "memory_report", "events_json", "props_keys",
+        # hybrid_search / assemble_context / max_score are r8-stamped too,
+        # already required via r11_touched above
     )
-    for must_grade in pending_first_grade + r10_touched + r7_refresh:
+    for must_grade in pending_first_grade + r11_touched + r8_refresh:
         assert must_grade in window, f"{must_grade} rotated out of the graded window"
 
 
@@ -89,12 +85,12 @@ def test_no_query_left_ungraded_behind_the_window():
     # files / first-grade pins / the oldest-ledger refresh order) may wait
     # in the tail ONLY if named here — this list IS the next round's
     # mandatory rotation (dedup_incremental / memory_snapshot_read rode it
-    # r8→r9; the seventeen analytics queries rode it r9→r10; all were
-    # graded on schedule). r10 births two: the drift queries landed after
-    # the window filled (every slot required by the 17 first-grade pins,
-    # the touched txn/bm25 files, and the whole-r7-cohort refresh).
-    r11_rotation_pins: set[str] = {"corpus_drift", "corpus_drift_lang"}
-    out = [q for q in pending if q not in window and q not in r11_rotation_pins]
+    # r8→r9; the seventeen analytics queries rode it r9→r10; the two drift
+    # queries rode it r10→r11; all were graded on schedule). r11 births no
+    # new queries, so the list is empty — any pending-first-grade query
+    # must already sit inside the window.
+    r12_rotation_pins: set[str] = set()
+    out = [q for q in pending if q not in window and q not in r12_rotation_pins]
     assert out == [], f"pending-first-grade queries left in the tail: {out}"
 
 
