@@ -110,16 +110,22 @@ def bm25_index_write(
     an existing index is reused only while its recorded (n_docs, n_buckets,
     corpus fingerprint) still match the corpus — serving a stale index
     against a regenerated dataset is the silent divergence the guard exists
-    to catch. The fingerprint is an order-independent bit_xor of
+    to catch. The fingerprint is an order-independent SUM of
     xxhash64(id, content) folded into the SAME one-pass agg as the doc
     count (ADVICE r9: a regenerated corpus with an unchanged doc count
     previously slipped the guard), so the guard costs one narrow scan
-    either way.
+    either way. Sum, not bit_xor (ADVICE r10): xor is a weak multiset
+    hash — any row occurring an even number of times cancels out (a fully
+    doubled corpus xors to 0), while a sum carries duplicate multiplicity;
+    it runs in DECIMAL(38,0) so ANSI mode can't overflow-error and the
+    fold is exact (|corpus| · 2^63 < 10^38 up to ~5·10^18 rows).
     """
     meta_path = os.path.join(path, _META)
     stats = docs.agg(
         F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64(F.col(id_col), F.col(content_col))).alias("fp"),
+        F.sum(
+            F.xxhash64(F.col(id_col), F.col(content_col)).cast("decimal(38,0)")
+        ).alias("fp"),
     ).first()
     n_docs, corpus_fp = int(stats["n"]), int(stats["fp"] or 0)
     if not overwrite and os.path.exists(meta_path):

@@ -103,6 +103,33 @@ def test_staleness_guard_catches_same_count_content_change(spark, docs, tmp_path
     assert len(_rows(probed)) == 1
 
 
+def test_staleness_guard_catches_even_multiplicity_regeneration(spark, tmp_path):
+    """ADVICE r10: the old bit_xor fingerprint was a weak multiset hash —
+    any (id, content) row occurring an EVEN number of times cancelled out,
+    so two different corpora made of doubled rows both fingerprinted to 0
+    with equal n_docs and the guard served stale postings. The sum fold
+    carries multiplicity, so the regeneration must rebuild."""
+    path = str(tmp_path / "idx")
+    a = spark.createDataFrame(
+        [(0, "alpha alpha beta"), (0, "alpha alpha beta"),
+         (1, "gamma delta"), (1, "gamma delta")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(0, "zzzznewword here"), (0, "zzzznewword here"),
+         (1, "epsilon zeta"), (1, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    bm25_index_write(a, path)
+    bm25_index_write(b, path)  # same n_docs, all-even multiplicities
+    # a stale (corpus-a) index has no posting for the b-only term at all;
+    # per-query score parity is out of scope here — duplicated ids are
+    # outside the index's unique-id contract, the guard just must rebuild
+    probed = bm25_search_indexed(spark, path, "zzzznewword", k=5)
+    rows = _rows(probed)
+    assert len(rows) == 1 and rows[0][0] == 0
+
+
 def test_dl_denormalized_and_df_consistent(spark, docs, index_path):
     postings, meta = bm25_index_load(spark, index_path)
     # dl rides every posting row: exactly one distinct dl per doc
