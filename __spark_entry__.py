@@ -75,14 +75,21 @@ def _with_query_vec(emb: DataFrame, qid: int) -> DataFrame:
     whole-stage-codegen probe loop and the surrounding pipeline keeps its
     codegen spans (a BNLJ breaks them).
 
-    The cosine itself deliberately stays the HOF fold here: the dim-64
-    UNROLLED form, appearing 3x in this pipeline (pushed condition +
-    distance + score), overflows the JVM's 64 KB generated-method limit -
-    the whole stage falls back to interpreted AND the ~6*dim py4j Column
-    calls add ~2 s of plan-build per query (measured: HOF 0.4-0.5 s/query
-    at sf0.1 vs 2.3-4.5 s unrolled, both joins). The compiled-dot form
-    needs the single-occurrence restructure in rag.py (threshold applied
-    after the top-k limit, which is set-identical) - r10, window-blocked."""
+    r11: rag.py now applies the threshold AFTER the top-k limit
+    (set-identical; proof in rag_search's docstring), so no filter
+    referencing the cosine is ever pushed into this join's condition —
+    the scored projection computes the cosine ONCE per corpus row either
+    way. The cosine itself STAYS the HOF fold on this 1xN path by
+    MEASUREMENT, not by the old 3-copy argument: the r11 interleaved A/B
+    (PLANS note 97) put the restructured unrolled dim-64 form at 0.55-0.65s
+    per query vs 0.28-0.38s for the restructured HOF at sf0.1 — the full
+    fixed-dim cosine is ~320 unrolled terms (dot + two norms, norms twice
+    via the zero-guard CASE) and exceeds what HotSpot will JIT, while the
+    pairwise dedup paths that DO win with unrolled code use the bare
+    64-term dot_fixed against precomputed norms (dedup.py). Passing the
+    query vector as the NAME "qv" (not F.col) keeps the plan-build cheap
+    and leaves the compiled path one keyword away (dim=64) if a future
+    box JITs it."""
     # The key must be NON-FOLDABLE on both sides: lit(0) keys get
     # constant-propagated, the equality folds to true, and the planner is
     # back to a BNLJ. vec_id is nullable in the parquet schema, so the
@@ -106,7 +113,7 @@ def _with_query_vec(emb: DataFrame, qid: int) -> DataFrame:
 def _q_rag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     res = R.rag_search(
-        _with_query_vec(emb, 0), F.col("qv"), id_col="vec_id", threshold=0.0, limit=10
+        _with_query_vec(emb, 0), "qv", id_col="vec_id", threshold=0.0, limit=10
     )
     return res.select("vec_id", "distance", "score", "rank")
 
@@ -117,7 +124,7 @@ def _q_max_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage table). One corpus scan, partial max per partition merged into
     a single row — no sort, no shuffle of scores."""
     emb = _t(spark, sf_dir, "embeddings")
-    scored = R.score_against(_with_query_vec(emb, 0), F.col("qv"), "embedding")
+    scored = R.score_against(_with_query_vec(emb, 0), "qv", "embedding")
     return scored.agg(
         F.max("score").alias("max_score"), F.min("distance").alias("min_distance")
     )
@@ -128,7 +135,7 @@ def _q_rag_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     res = R.rag_search(
         _with_query_vec(emb, 0),
-        F.col("qv"),
+        "qv",
         documents=docs,
         id_col="vec_id",
         doc_id_col="doc_id",
@@ -2373,8 +2380,8 @@ def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
     )
     sem = R.rag_search(
-        _with_query_vec(emb, 0), F.col("qv"), id_col="vec_id", threshold=0.0, limit=20,
-        max_results=20,
+        _with_query_vec(emb, 0), "qv", id_col="vec_id", threshold=0.0, limit=20,
+        max_results=20, dim=64,
     ).select(F.col("vec_id").alias("doc_id"), "rank")
     return RT.hybrid_search_rrf(lex, sem, k=10)
 
@@ -2414,7 +2421,8 @@ def _q_assemble_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     docs = _t(spark, sf_dir, "documents")
     topk = R.rag_search(
-        _with_query_vec(emb, 0), F.col("qv"), id_col="vec_id", threshold=0.0, limit=5, max_results=5
+        _with_query_vec(emb, 0), "qv", id_col="vec_id", threshold=0.0, limit=5, max_results=5,
+        dim=64,
     ).select("vec_id", "score", "rank")
     ranked = topk.join(docs, topk["vec_id"] == docs["doc_id"]).select(
         F.col("rank"), F.col("text").alias("content")

@@ -51,7 +51,11 @@ def _sim(a: Column | str, b: Column | str, dim: int | None) -> Column:
 
 
 def score_against(
-    embeddings: DataFrame, query: Column, vec_col: str = "embedding", *, dim: int | None = None
+    embeddings: DataFrame,
+    query: Column | str,
+    vec_col: str = "embedding",
+    *,
+    dim: int | None = None,
 ) -> DataFrame:
     """Append distance/score columns for one query vector (X17 + X18).
 
@@ -59,8 +63,16 @@ def score_against(
     self-match can give cos = 1 + 2e-16, whose distance rounds to -0.0 —
     bit-different from 0.0 under value-hash comparison. The oracle SQL
     applies the identical clamp.
+
+    ``query`` may be a column NAME (preferred on hot paths with ``dim``
+    set: the whole unrolled cosine is then built as ONE parsed SQL
+    expression — see functions/vector.py:dot_fixed) or a Column
+    (computed/literal vectors). The textual duplication of the cosine in
+    distance + score is erased at runtime by whole-stage codegen's
+    subexpression elimination — both columns read one evaluated slot.
     """
-    sim = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), _sim(F.col(vec_col), query, dim)))
+    a: Column | str = vec_col if isinstance(query, str) else F.col(vec_col)
+    sim = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), _sim(a, query, dim)))
     return embeddings.withColumn("distance", F.round(F.lit(1.0) - sim, ROUND_DP)).withColumn(
         "score", F.round(distance_to_score(F.lit(1.0) - sim), ROUND_DP)
     )
@@ -83,16 +95,29 @@ def rag_search(
     """Q13 — the flagship pipeline (reference rag/database/search.py:21-101).
 
     embed query → (optional metadata pre-filter) → cosine → score=max(0,1−d)
-    → threshold filter → top-k (k = min(limit, max_results), reference
-    search.py:38) → 1-based rank assigned AFTER the threshold filter
-    (search.py:89-98).
+    → top-k (k = min(limit, max_results), reference search.py:38) →
+    threshold filter → 1-based rank (search.py:89-98).
 
-    Physical shape: corpus scan with the filter and projection pushed to
-    parquet; per-partition top-k heap (TakeOrderedAndProject) — the corpus is
-    never shuffled; the k surviving rows then join `documents` (broadcast —
-    k ≤ 100 rows).
+    The threshold is applied AFTER the top-k limit — set-identical to the
+    reference's filter-then-top-k at any threshold: if ≥ k rows clear the
+    threshold, the k best overall all clear it (both forms = the k best);
+    if fewer do, the overall top-k contains every clearing row (they are
+    the global head) and the post-filter keeps exactly those. Rank is
+    assigned after the filter either way, over the same rows in the same
+    total order. The placement matters physically (r9-r10 measurement,
+    PLANS): a pre-top-k threshold referencing the scored corpus gets
+    pushed into the broadcast join's condition, where the cosine evaluates
+    INTERPRETED per corpus row and a third textual copy of it overflows
+    the JVM's 64 KB codegen budget in unrolled form; post-limit it touches
+    ≤ k rows and the scan pipeline keeps one codegen'd cosine (CSE merges
+    the distance/score pair).
+
+    Physical shape: corpus scan with the projection pushed to parquet;
+    per-partition top-k heap (TakeOrderedAndProject) — the corpus is never
+    shuffled; the k surviving rows then join `documents` (broadcast — k ≤
+    100 rows).
     """
-    if not isinstance(query, Column):
+    if not isinstance(query, (Column, str)):
         query = query_vector_lit(query)
     k = min(limit, max_results)
 
@@ -103,9 +128,9 @@ def rag_search(
         scored = scored.where(metadata_predicate)
 
     topk = (
-        scored.where(F.col("score") >= threshold)
-        .orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
+        scored.orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
         .limit(k)
+        .where(F.col("score") >= threshold)
     )
     # rank over ≤k rows — the single-partition window is on the tiny result set,
     # never on the corpus.
@@ -127,13 +152,17 @@ def find_similar(
 ) -> DataFrame:
     """Q16 — docs similar to a given doc, excluding itself
     (reference rag/retrieval.py:100-136: fetch k+1 then filter id ≠ target).
+
+    The similarity threshold moves after the top-k limit — set-identical
+    (the rag_search argument); the self-exclusion stays BEFORE the top-k,
+    it shapes the candidate set.
     """
     target_vec = F.first(F.col(vec_col))
     qrow = embeddings.where(F.col(id_col) == target_id).agg(target_vec.alias("qv"))
     # single-row broadcast cross join — the query vector rides along with every task
     scored = score_against(
         embeddings.crossJoin(F.broadcast(qrow)),
-        F.col("qv"),
+        "qv",
         vec_col,
         dim=dim,
     ).drop("qv")
@@ -141,9 +170,9 @@ def find_similar(
     if documents is not None:
         scored = scored.join(documents, scored[id_col] == documents[doc_id_col]).drop(documents[doc_id_col])
     topk = (
-        scored.where(F.col("score") >= threshold)
-        .orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
+        scored.orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
         .limit(limit)
+        .where(F.col("score") >= threshold)
     )
     w = Window.orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
     return topk.withColumn("rank", F.row_number().over(w))

@@ -91,17 +91,30 @@ def test_quality_gate_fused_single_scan(spark):
 def test_query_vector_join_is_hash_join_not_bnlj(spark):
     """r9: attaching the query vector plans as a BroadcastHashJoin on the
     constant-derived key — a crossJoin would plan as a
-    BroadcastNestedLoopJoin, which breaks the stage's codegen spans. (The
-    cosine itself deliberately remains the HOF fold on this path: the
-    unrolled dim-64 form overflows the 64 KB generated-method limit when
-    it appears 3× in one pipeline and the whole stage falls back to
-    interpreted — see _with_query_vec's docstring; the measured HOF form
-    is 5-8× faster per query at every graded scale.)"""
+    BroadcastNestedLoopJoin, which breaks the stage's codegen spans.
+
+    r11: the threshold-after-top-k restructure removed the pushed
+    join-condition copy of the cosine; the cosine itself deliberately
+    REMAINS the HOF fold on this 1xN path — the r11 interleaved A/B
+    (PLANS note 97) measured the restructured unrolled dim-64 form 1.5-2x
+    SLOWER per query than the HOF (the ~320-term fixed-dim cosine exceeds
+    HotSpot's JIT budget), unlike the pairwise paths whose bare 64-term
+    dot_fixed wins. BHJ pin intact."""
     for q in ("rag_search", "max_score"):
         plan = _plan(spark, q)
         assert "BroadcastNestedLoopJoin" not in plan, q
         assert "CartesianProduct" not in plan, q
         assert "BroadcastHashJoin" in plan, q
+
+
+def test_rag_threshold_not_pushed_into_join_condition(spark):
+    """r11: the score threshold evaluates AFTER the top-k limit (≤ k rows),
+    never inside the broadcast join condition where it would re-evaluate
+    the cosine interpreted per corpus row. The join must be a plain
+    equi-join: no pushed non-key condition mentioning the score columns."""
+    plan = _plan(spark, "rag_search")
+    join_line = next(l for l in plan.splitlines() if "BroadcastHashJoin" in l)
+    assert "round" not in join_line and "score" not in join_line, join_line
 
 
 def test_exact_near_dup_arm_is_blocked_hash_join(spark):
