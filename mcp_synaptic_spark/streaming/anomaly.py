@@ -23,6 +23,15 @@ Scale: state per type = 3 longs + the buckets inside the lateness window
 groupBy(type) any per-type aggregation needs.  Bucket partial counts are
 pre-aggregated per micro-batch by the Arrow fold, so state writes are
 O(buckets), not O(events).
+
+Timezone model (r11): buckets are OFFSET-PRESERVING truncations of the
+event instant — u − (local mod bucket), where local is the serializer's
+session-local wall clock and u the JVM-computed unix_micros — which is
+exactly the batch operator's date_trunc grid (java.time truncatedTo keeps
+the instant's zone offset, so a fall-back hour's two passes are two
+distinct bucket instants rendering the same wall time; pinned by the NYC
+test).  Every row of bucket b has u < b + bucket, so closure and timeouts
+are pure UTC arithmetic against the watermark under ANY session zone.
 """
 
 from __future__ import annotations
@@ -37,7 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ._pandas import require_utc_session, series_to_micros
+from ._pandas import series_to_micros
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -90,14 +99,24 @@ def rate_anomalies_stream(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            t_us = series_to_micros(pdf["t"])
-            for b, n in (t_us // b_us).value_counts().items():
-                b = int(b) * b_us
+            # OFFSET-PRESERVING truncation, the batch date_trunc semantics
+            # (java.time truncatedTo keeps the instant's zone offset): the
+            # bucket instant is u - (local mod b). The repeated fall-back
+            # hour therefore stays TWO buckets (distinct instants rendering
+            # the same wall time), exactly like the batch grid — pinned by
+            # the NYC fall-back test. l is the serializer's session-local
+            # wall clock, u the JVM unix_micros true epoch.
+            l_us = series_to_micros(pdf["t"])
+            u_us = pdf["tu"]
+            for b, n in (u_us - (l_us % b_us)).value_counts().items():
+                b = int(b)
                 buf[b] = buf.get(b, 0) + int(n)
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         out_rows = []
         for b in sorted(buf):
+            # every row of bucket b has u = b + (local mod b_us) < b + b_us,
+            # so the close test is pure UTC arithmetic — no tz rules needed
             if b + b_us > wm_us:
                 continue  # bucket still open to late arrivals
             n = buf.pop(b)
@@ -111,7 +130,9 @@ def rate_anomalies_stream(
             out_rows.append(
                 (
                     key[0],
-                    pd.Timestamp(b, unit="us"),
+                    # tz-aware UTC: the exact bucket instant under any
+                    # session zone (naive output would be re-localized)
+                    pd.Timestamp(b, unit="us", tz="UTC"),
                     n,
                     round(mean, 6) if mean is not None else None,
                     round(z, 6) if z is not None else None,
@@ -137,11 +158,17 @@ def rate_anomalies_stream(
                 ],
             )
 
-    require_utc_session(events_stream)
     ev = (
         events_stream.withWatermark(ts_col, watermark_delay)
         .where(F.col(ts_col).isNotNull())
-        .select(F.col(type_col).cast("string").alias("key"), F.col(ts_col).alias("t"))
+        .select(
+            F.col(type_col).cast("string").alias("key"),
+            # t carries the watermark metadata and the session-local wall
+            # clock; tu the true UTC epoch µs — their difference is the
+            # per-row zone offset the truncation needs (r11 tz-general)
+            F.col(ts_col).alias("t"),
+            F.unix_micros(F.col(ts_col)).alias("tu"),
+        )
     )
     return ev.groupBy("key").applyInPandasWithState(
         update,

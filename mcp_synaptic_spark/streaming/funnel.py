@@ -27,6 +27,13 @@ Scale: state per user is k chain slots plus the buffer of events inside
 the watermark delay — bounded by per-user activity within the lateness
 window, never by history; the only shuffle is the groupBy(user) the
 operator needs anyway, and the RocksDB state store carries the key count.
+
+Timezone model (r11, replaces the r10 UTC-only guard): the fold runs on
+the JVM-computed unix_micros column — true UTC epoch, the same clock as
+the watermark — so ordering, horizon arithmetic, and the fold point are
+exact under ANY session timezone, including the fall-back hour where the
+session-local wall clock's order inverts against instant order (pinned by
+the NYC test).
 """
 
 from __future__ import annotations
@@ -42,7 +49,6 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.funnel import _horizon_seconds
-from ._pandas import require_utc_session, series_to_micros
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -97,8 +103,11 @@ def funnel_updates_stream(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            t_us = series_to_micros(pdf["t"]).tolist()
-            pending.extend(zip(t_us, (int(s) for s in pdf["s"])))
+            # tu is JVM-computed unix_micros: TRUE UTC epoch, the same clock
+            # as the watermark — exact under any session tz, and instant
+            # ordering (the fold order the batch operator's sort uses)
+            # survives the fall-back hour where local wall order inverts
+            pending.extend(zip((int(t) for t in pdf["tu"]), (int(s) for s in pdf["s"])))
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         pending.sort()
@@ -145,7 +154,6 @@ def funnel_updates_stream(
     # non-step rows past the filter for watermark purposes are defeated by
     # predicate pushdown (verified against the parquet file source), so we
     # document the contract instead of fighting the optimizer.
-    require_utc_session(events_stream)
     ev = (
         events_stream.withWatermark(ts_col, watermark_delay)
         .where(
@@ -158,7 +166,12 @@ def funnel_updates_stream(
         )
         .select(
             F.col(by).cast("string").alias("key"),
+            # t carries the watermark metadata; tu is the JVM-computed true
+            # UTC epoch µs the fold actually uses (r11 tz-general fix: the
+            # serializer renders t session-local, which skews against the
+            # UTC watermark under any non-UTC zone)
             F.col(ts_col).alias("t"),
+            F.unix_micros(F.col(ts_col)).alias("tu"),
             step_idx.alias("s"),
         )
     )

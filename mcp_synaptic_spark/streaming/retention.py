@@ -25,6 +25,18 @@ State per user: the folded cohort day + the set of already-emitted offsets
 still-open days inside the lateness window.  Per-micro-batch days pre-fold
 in Arrow, so state writes are O(days), not O(events).  An event-time
 timeout armed at the earliest open day's end flushes quiet users.
+
+Timezone model (r11, replaces the r10 UTC-only guard): days are
+SESSION-LOCAL calendar days — the serializer hands pandas session-local
+wall times, matching the batch twin's to_date — and a day closes when the
+true-UTC instant of its next LOCAL midnight passes the watermark
+(_pandas.day_close_us, DST-exact via the same Python tz database the
+serializer converts with; see _pandas' module docstring for the
+Python↔JVM tzdata-agreement assumption).  Local midnights are 23-25 h
+apart, so days still fold in event-time order and every finality argument
+below survives non-UTC sessions — pinned by the NYC spring-forward /
+fall-back stream==batch tests.  stream==batch holds per session tz; the
+two sides must run under the same zone.
 """
 
 from __future__ import annotations
@@ -41,8 +53,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ._pandas import (
     DAY_US as _DAY_US,
     accumulate_days,
+    day_close_us,
     drain_closed_days,
-    require_utc_session,
+    latest_closed_day,
+    session_tz,
 )
 
 OUTPUT_SCHEMA = T.StructType(
@@ -90,7 +104,13 @@ def retention_updates_stream(
     watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """(key, cohort_day, day_offset) append rows — one per (user, active
-    day), final on emission; day granularity."""
+    day), final on emission; day granularity. Days are SESSION-LOCAL
+    calendar days (matching the batch twin's to_date under the session
+    zone); a day folds once its OWN local midnight's UTC instant passes
+    the watermark (_pandas.day_close_us — DST-exact, so the fold stays
+    event-time-ordered and the cohort-min argument survives non-UTC
+    sessions)."""
+    tz = session_tz(events_stream)
 
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -106,7 +126,7 @@ def retention_updates_stream(
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         out = []
-        for d in drain_closed_days(buf, wm_us):
+        for d in drain_closed_days(buf, wm_us, tz):
             if cohort is None:
                 cohort = d  # provably the min: older rows can no longer arrive
             off = d - cohort
@@ -117,13 +137,12 @@ def retention_updates_stream(
         state.update((cohort, sorted(emitted), sorted(buf)))
         if buf:
             state.setTimeoutTimestamp(
-                max((min(buf) + 1) * (_DAY_US // 1000),
+                max(day_close_us(min(buf), tz) // 1000,
                     state.getCurrentWatermarkMs() + 1)
             )
         if out:
             yield pd.DataFrame(out, columns=["key", "cohort_day", "day_offset"])
 
-    require_utc_session(events_stream)
     ev = (
         events_stream.withWatermark(ts_col, watermark_delay)
         .where(F.col(ts_col).isNotNull() & F.col(by).isNotNull())
@@ -185,6 +204,8 @@ def active_users_updates_stream(
         raise ValueError("window_days must be >= 1")
     w = window_days
 
+    tz = session_tz(events_stream)
+
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -198,25 +219,35 @@ def active_users_updates_stream(
         accumulate_days(pdfs, buf)
 
         wm_us = state.getCurrentWatermarkMs() * 1000
-        wm_day = wm_us // _DAY_US  # first still-open day; r closed iff r < wm_day
-        folded.update(drain_closed_days(buf, wm_us))
+        # newest closed report day (r closed iff day_close_us(r) ≤ wm —
+        # the same DST-exact clock the fold below uses)
+        closed_frontier = latest_closed_day(wm_us, tz)
+        folded.update(drain_closed_days(buf, wm_us, tz))
 
         out = []
         if folded:
             start = min(folded) if last is None else last + 1
             horizon = max(folded) + w - 1  # last report day this fold set touches
-            r = start
-            while r < wm_day and r <= horizon:
-                if any(r - w < d <= r for d in folded):
+            fs = sorted(folded)
+            lo, n = 0, len(fs)
+            # two-pointer sweep (ADVICE r10): lo tracks the first folded day
+            # inside the trailing window (r-w, r]; each fold index advances
+            # past lo at most once across the whole sweep, so a backfill
+            # replay that jumps the watermark by D days costs O(D + |folded|),
+            # not O(D · |folded|)
+            for r in range(start, min(closed_frontier, horizon) + 1):
+                while lo < n and fs[lo] <= r - w:
+                    lo += 1
+                if lo < n and fs[lo] <= r:
                     out.append(
                         (key[0], pd.Timestamp(r * _DAY_US, unit="us").date(), r in folded)
                     )
-                r += 1
             # closed days beyond the horizon hold no contribution — jump the
-            # frontier to the newest closed day (future folds are ≥ wm_day,
-            # so their report days are strictly later; no emission is lost)
-            if wm_day - 1 > (last if last is not None else start - 1):
-                last = wm_day - 1
+            # frontier to the newest closed day (future folds close strictly
+            # later, so their report days are strictly later; no emission is
+            # lost)
+            if closed_frontier > (last if last is not None else start - 1):
+                last = closed_frontier
             if last is not None:
                 # the next report day is last+1; it needs d > last+1-w
                 folded = {d for d in folded if d > last + 1 - w}
@@ -227,14 +258,14 @@ def active_users_updates_stream(
             state.update((last, sorted(folded), sorted(buf)))
             pending = []
             if buf:
-                pending.append((min(buf) + 1) * (_DAY_US // 1000))
+                pending.append(day_close_us(min(buf), tz) // 1000)
             if folded:
                 # folded non-empty ⟹ last was set when its days closed, and
                 # the prune keeps only d > last+1-w ⟹ max(folded)+w-1 > last:
                 # the next report day (last+1) always has a pending
                 # contribution — arm its day-end (r10 review: the previous
                 # extra guards here were provably always-true/unreachable)
-                pending.append((last + 2) * (_DAY_US // 1000))
+                pending.append(day_close_us(last + 1, tz) // 1000)
             if pending:
                 state.setTimeoutTimestamp(
                     max(min(pending), state.getCurrentWatermarkMs() + 1)
@@ -242,7 +273,6 @@ def active_users_updates_stream(
         if out:
             yield pd.DataFrame(out, columns=["key", "day", "is_active_day"])
 
-    require_utc_session(events_stream)
     ev = (
         events_stream.withWatermark(ts_col, watermark_delay)
         .where(F.col(ts_col).isNotNull() & F.col(by).isNotNull())

@@ -4,9 +4,23 @@ maxFilesPerTrigger=1 file source replays them in order."""
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import os
 import shutil
+
+
+@contextlib.contextmanager
+def session_tz(spark, tz: str):
+    """Temporarily run the session under another timezone (restores on
+    exit). Both the stream twin AND its batch comparison must run inside
+    the block — stream==batch only holds per session tz."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
 
 
 def write_batches(spark, tmp_path, batches, schema):

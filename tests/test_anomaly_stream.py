@@ -118,3 +118,61 @@ def test_quiet_type_flushed_by_other_traffic(spark, tmp_path):
     got = _run(spark, tmp_path, batches, bucket_seconds=60, watermark_delay="0 seconds")
     rare = [r for r in got if r["event_type"] == "rare"]
     assert len(rare) == 1 and rare[0]["n_events"] == 2
+
+
+def test_fall_back_hour_buckets_match_batch_under_nyc(spark, tmp_path):
+    """r11 tz-general: NY 2024-11-03 repeats the 01:00-02:00 local hour
+    (EDT pass starting 05:00Z, EST pass starting 06:00Z). Spark's
+    date_trunc is OFFSET-PRESERVING (java.time truncatedTo keeps the
+    instant's zone offset), so the batch grid keeps the two passes as TWO
+    distinct bucket instants that happen to render the same wall time —
+    and the stream twin must reproduce exactly that, not merge them. The
+    pre-r11 session-local floor would have merged the passes (diverging
+    from batch) and, worse, compared local micros against the UTC
+    watermark, double-emitting the bucket."""
+    from mcp_synaptic_spark.operators.temporal import rate_anomalies
+
+    from stream_utils import session_tz
+
+    rows_hour = [
+        (1, dt.datetime(2024, 11, 3, 5, 20), "view"),   # 01:20 EDT
+        (2, dt.datetime(2024, 11, 3, 5, 40), "view"),   # 01:40 EDT
+        (3, dt.datetime(2024, 11, 3, 6, 20), "view"),   # 01:20 EST — second pass
+        (4, dt.datetime(2024, 11, 3, 6, 30), "view"),   # 01:30 EST
+    ]
+    batches = [
+        rows_hour[:2],
+        [(5, dt.datetime(2024, 11, 3, 6, 10), "view")],  # wm past 06:00Z
+        rows_hour[2:],                                    # second-pass arrivals
+        [(9, dt.datetime(2024, 11, 4, 12), "view")],
+        [(9, dt.datetime(2024, 11, 5, 12), "view")],
+    ]
+    stream = replayed_stream(spark, tmp_path, batches, SCHEMA)
+    with session_tz(spark, "America/New_York"):
+        name = f"anomaly_tz_{abs(hash(str(tmp_path))) % 10**8}"
+        q = (
+            rate_anomalies_stream(stream, watermark_delay="0 seconds")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tz"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        out = spark.sql(f"SELECT * FROM {name}").collect()
+        batch = rate_anomalies(
+            spark.createDataFrame([r for b in batches for r in b], SCHEMA)
+        ).collect()
+        got = {(r["bucket_start"], r["n_events"]) for r in out}
+        want = {(r["bucket_start"], r["n_events"]) for r in batch}
+        # the stream cannot emit the advancer's final tail bucket; every
+        # emitted bucket must be a batch bucket, and both 01:xx passes
+        # must appear distinctly (EDT pass n=2, EST pass n=3 incl. 06:10)
+        assert got <= want
+        assert len(got) >= 3
+        counts = sorted(n for _, n in got)
+        assert counts.count(2) >= 1 and counts.count(3) >= 1
+        # exactly-once: no bucket_start appears twice in the append output
+        starts = [(r["event_type"], r["bucket_start"]) for r in out]
+        assert len(starts) == len(set(starts))

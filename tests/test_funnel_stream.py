@@ -137,3 +137,59 @@ def test_null_user_key_streams_like_batch(spark, tmp_path):
     }
     stream_counts = {j + 1: sum(1 for d in got.values() if d >= j + 1) for j in range(2)}
     assert stream_counts == batch
+
+
+def test_fall_back_hour_folds_in_instant_order_under_nyc(spark, tmp_path):
+    """r11 tz-general: during the 2024-11-03 NY fall-back the local wall
+    clock repeats 01:00-02:00, so LOCAL-time ordering inverts against
+    instant ordering. The fold must use true instants (the JVM unix_micros
+    column): user 1's view happens at 06:10Z (01:10 EST, the SECOND pass)
+    AFTER their click at 05:30Z (01:30 EDT, the first pass) — depth 1,
+    like the batch fold over instants. A local-wall sort would see
+    view(01:10) before click(01:30) and wrongly complete the chain."""
+    from stream_utils import session_tz
+
+    steps = ("view", "click")
+    # instants, written as UTC wall times under the UTC session
+    batches = [
+        [(1, dt.datetime(2024, 11, 3, 5, 30), "click"),
+         (1, dt.datetime(2024, 11, 3, 6, 10), "view")],
+        [(9, dt.datetime(2024, 11, 5), "view")],
+        [(9, dt.datetime(2024, 11, 8), "view")],
+    ]
+    stream = replayed_stream(spark, tmp_path, batches, SCHEMA)
+    with session_tz(spark, "America/New_York"):
+        name = f"funnel_tz_{abs(hash(str(tmp_path))) % 10**8}"
+        q = (
+            funnel_updates_stream(
+                stream, steps=steps, horizon="1d", watermark_delay="0 seconds"
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tz"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r["key"]: r["depth"]
+            for r in spark.sql(
+                f"SELECT key, max(steps_reached) AS depth FROM {name} GROUP BY key"
+            ).collect()
+        }
+        batch = {
+            r["step"]: r["n_users"]
+            for r in funnel(
+                spark.createDataFrame(
+                    [r for b in batches for r in b], SCHEMA
+                ),
+                steps=steps,
+                horizon="1d",
+            ).collect()
+        }
+    assert got["1"] == 1, "view arrived after click on the instant clock"
+    stream_per_step = {
+        j + 1: sum(1 for d in got.values() if d >= j + 1) for j in range(len(steps))
+    }
+    assert stream_per_step == batch

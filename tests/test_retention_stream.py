@@ -251,27 +251,88 @@ def test_active_users_state_removal_and_reseed(spark, tmp_path):
     assert len(got) == len(set(got))
 
 
-def test_non_utc_session_is_rejected_at_construction(spark, tmp_path):
-    """r10 review: pandas-side event times arrive in the SESSION timezone
-    while the watermark clock is UTC epoch — a non-UTC session would skew
-    every day-close test. The twins must refuse loudly at construction
-    instead of silently undercounting."""
+# --- tz-general day bucketing (r11, VERDICT r10 #3; replaces the r10
+# UTC-only rejection guard) ---------------------------------------------
+
+
+def test_retention_stream_equals_batch_under_nyc_spring_forward(spark, tmp_path):
+    """Stream == batch triangle under America/New_York across the
+    2024-03-10 spring-forward transition: local days are 23 h that Sunday,
+    so the UTC-clock close test the r10 guard protected against would
+    mis-time every fold; the DST-exact close (_pandas.day_close_us) must
+    reproduce the batch triangle computed under the SAME session tz."""
+    import random
+
+    from stream_utils import session_tz
+
+    rng = random.Random(47)
+    rows = sorted(
+        (
+            (rng.randrange(8), dt.datetime(2024, 3, rng.randrange(8, 13), rng.randrange(24)), "view")
+            for _ in range(200)
+        ),
+        key=lambda r: r[1],
+    )
+    advancers = [(99, dt.datetime(2024, 3, 25), "view"), (99, dt.datetime(2024, 3, 28), "view")]
+    batches = [rows[:70], rows[70:140], rows[140:], [advancers[0]], [advancers[1]]]
+    with session_tz(spark, "America/New_York"):
+        out = _run(spark, tmp_path, batches, watermark_delay="0 seconds")
+        tri = {}
+        for r in out:
+            if r.key == "99":
+                continue
+            k = (r.cohort_day, r.day_offset)
+            tri[k] = tri.get(k, 0) + 1
+        batch = {
+            (r.cohort_day, r.day_offset): r.n_users
+            for r in cohort_retention(spark.createDataFrame(rows, SCHEMA)).collect()
+        }
+    assert tri == batch
+
+
+def test_active_users_stream_equals_batch_under_nyc_fall_back(spark, tmp_path):
+    """AU twin under America/New_York across the 2024-11-03 fall-back
+    transition (a 25 h local day whose midnight close arrives an hour
+    later on the UTC clock than naive day arithmetic says)."""
+    import random
+
+    from stream_utils import session_tz
+
+    rng = random.Random(48)
+    rows = sorted(
+        (
+            (rng.randrange(8), dt.datetime(2024, 11, rng.randrange(1, 7), rng.randrange(24)), "view")
+            for _ in range(200)
+        ),
+        key=lambda r: r[1],
+    )
+    advancers = [(99, dt.datetime(2024, 11, 20), "view"), (99, dt.datetime(2024, 11, 25), "view")]
+    batches = [rows[:70], rows[70:140], rows[140:], [advancers[0]], [advancers[1]]]
+    with session_tz(spark, "America/New_York"):
+        out = _run_au(spark, tmp_path, batches, window_days=7, watermark_delay="0 seconds")
+        got = _au_view(out)
+        batch = {
+            r.day: (r.dau, r.rolling_au)
+            for r in rolling_active_users(
+                spark.createDataFrame(rows, SCHEMA), window_days=7
+            ).collect()
+        }
+    assert got == batch
+
+
+def test_unresolvable_session_tz_raises_loudly():
+    """The twins must never guess a zone: an unresolvable session timeZone
+    string fails at construction, not as a silent mis-close."""
     import pytest
 
-    stream = replayed_stream(spark, tmp_path, [[(1, _ts(1), "view")]], SCHEMA)
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-    try:
-        from mcp_synaptic_spark.streaming.anomaly import rate_anomalies_stream
-        from mcp_synaptic_spark.streaming.funnel import funnel_updates_stream
+    from mcp_synaptic_spark.streaming._pandas import tzinfo_of
 
-        with pytest.raises(ValueError, match="timeZone"):
-            retention_updates_stream(stream)
-        with pytest.raises(ValueError, match="timeZone"):
-            active_users_updates_stream(stream)
-        with pytest.raises(ValueError, match="timeZone"):
-            funnel_updates_stream(stream, steps=("view", "click"))
-        with pytest.raises(ValueError, match="timeZone"):
-            rate_anomalies_stream(stream)
-    finally:
-        spark.conf.set("spark.sql.session.timeZone", tz)
+    with pytest.raises(ValueError, match="timeZone"):
+        tzinfo_of("Not/AZone")
+    # forms Spark accepts must resolve
+    import datetime as _dt
+
+    assert tzinfo_of("UTC") is _dt.timezone.utc
+    assert tzinfo_of("+05:30").utcoffset(None) == _dt.timedelta(hours=5, minutes=30)
+    assert tzinfo_of("GMT+8:00").utcoffset(None) == _dt.timedelta(hours=8)
+    assert tzinfo_of("America/New_York") is not None
