@@ -2381,7 +2381,7 @@ def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sem = R.rag_search(
         _with_query_vec(emb, 0), "qv", id_col="vec_id", threshold=0.0, limit=20,
-        max_results=20, dim=64,
+        max_results=20,
     ).select(F.col("vec_id").alias("doc_id"), "rank")
     return RT.hybrid_search_rrf(lex, sem, k=10)
 
@@ -2422,7 +2422,6 @@ def _q_assemble_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     topk = R.rag_search(
         _with_query_vec(emb, 0), "qv", id_col="vec_id", threshold=0.0, limit=5, max_results=5,
-        dim=64,
     ).select("vec_id", "score", "rank")
     ranked = topk.join(docs, topk["vec_id"] == docs["doc_id"]).select(
         F.col("rank"), F.col("text").alias("content")
@@ -4176,8 +4175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     grade — r11_rotation_pins in the r10 contract test). Slots 3-20 retire
     the ENTIRE r8-stamped ledger cohort (the oldest rows after the r10
     rotation). Then every query whose operator files r11 touches: the
-    rag.py compiled-dot restructure (threshold applied after top-k, cosine
-    built as one parsed fixed-dim expression) stales the whole RAG family
+    rag.py restructure (threshold applied after top-k; the unrolled-cosine
+    half was REJECTED by its own A/B — PLANS note 97) stales the whole RAG
+    family
     (rag.py + functions/vector.py), the _write_cells_sidecar fence stales
     the similarity.py family (which shares functions/vector.py), and the
     bm25_index.py fingerprint-fold fix (ADVICE r10: bit_xor is a weak

@@ -97,20 +97,6 @@ def boundary_close_us(local_us: int, tz: _dt.tzinfo) -> int:
     )
 
 
-def boundary_open_us(local_us: int, tz: _dt.tzinfo) -> int:
-    """True-UTC epoch µs of the FIRST instant at/after the local wall
-    boundary ``local_us`` — the min over folds; matches the JVM's
-    earlier-offset resolution of ambiguous local times, so a bucket-start
-    emitted from this instant equals batch ``date_trunc``'s timestamp."""
-    if tz is _dt.timezone.utc:
-        return local_us
-    naive = _EPOCH_NAIVE + _dt.timedelta(microseconds=local_us)
-    return min(
-        local_us - naive.replace(tzinfo=tz, fold=fold).utcoffset() // _US
-        for fold in (0, 1)
-    )
-
-
 def day_close_us(day: int, tz: _dt.tzinfo) -> int:
     """UTC close instant of local epoch day ``day`` (its next midnight)."""
     return boundary_close_us((day + 1) * DAY_US, tz)
