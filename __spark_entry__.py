@@ -30,6 +30,7 @@ from mcp_synaptic_spark.operators import funnel as FN
 from mcp_synaptic_spark.operators import retention as RTN
 from mcp_synaptic_spark.operators import terms as TM
 from mcp_synaptic_spark.operators import drift as DR
+from mcp_synaptic_spark.operators import lm as LM
 from mcp_synaptic_spark.operators.embedding_qa import dims_profile, embedding_screen
 from mcp_synaptic_spark.operators.text_qa import text_screen
 from mcp_synaptic_spark.operators import memory as M
@@ -4156,6 +4157,93 @@ FROM w
 """
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc LM log-perplexity, the CCNet quality signal (operators/lm.py
+    perplexity, Wenzek et al. 2020 §3.3): per-language interpolated bigram
+    LM self-trained on the corpus, whitespace tokens. Zero-shuffle
+    array-side bigram construction; training is two map-side-partial
+    aggregations (vocab-bounded wire); scoring is exactly two
+    AQE-splittable token-volume equi-joins + a |langs|-row broadcast —
+    no window ever holds a data-dependent partition. r11, tail-born
+    (window full and stamped), pinned for the r12 rotation."""
+    return LM.perplexity(_t(spark, sf_dir, "documents"))
+
+
+def _q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split per language (operators/lm.py
+    perplexity_buckets): bucket the ROUNDED logppl at fixed cuts (3.3,
+    3.4 — tercile-ish for this corpus's 3.10–3.61 range; fixed cuts, not
+    quantiles, keep the operator engine-deterministic), count and share
+    within language. r11, tail-born, pinned for the r12 rotation."""
+    return LM.perplexity_buckets(
+        _t(spark, sf_dir, "documents"), buckets=(3.3, 3.4)
+    )
+
+
+# the LM tables (unigram / bigram+ctx / totals) and the scored-token
+# probability CASE mirror operators/lm.py term for term; 0.7 / (1.0 - 0.7)
+# are spelled so both engines derive 1-λ with the same double arithmetic
+_ORACLE_LM_BASE = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), tok1 AS (
+  SELECT * FROM tok WHERE len(toks) > 0
+), c_uni AS (
+  SELECT lang, cur, count(*) AS c_uni
+  FROM (SELECT lang, unnest(toks) AS cur FROM tok1) GROUP BY 1, 2
+), totals AS (
+  SELECT lang, sum(c_uni) AS n_train_tokens, count(*) AS vocab FROM c_uni GROUP BY 1
+), c_bi AS (
+  SELECT lang, pr[1] AS prev, pr[2] AS cur, count(*) AS c_bi
+  FROM (SELECT lang, unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS pr FROM tok1)
+  GROUP BY 1, 2, 3
+), b AS (
+  SELECT c_bi.lang, c_bi.prev, c_bi.cur, c_bi.c_bi, ctx.c_ctx
+  FROM c_bi JOIN (SELECT lang, prev, sum(c_bi) AS c_ctx FROM c_bi GROUP BY 1, 2) ctx
+  USING (lang, prev)
+), sp AS (
+  SELECT s.doc_id, s.lang,
+    CASE WHEN s.pr[1] IS NULL
+         THEN (coalesce(u.c_uni, 0) + 1) / (t.n_train_tokens + t.vocab + 1)
+         ELSE 0.7 * (CASE WHEN b.c_bi IS NOT NULL THEN b.c_bi / b.c_ctx ELSE 0.0 END)
+              + (1.0 - 0.7) * ((coalesce(u.c_uni, 0) + 1) / (t.n_train_tokens + t.vocab + 1))
+    END AS p
+  FROM (SELECT doc_id, lang,
+          unnest(list_zip(list_prepend(NULL, toks[:len(toks)-1]), toks)) AS pr
+        FROM tok1) s
+  LEFT JOIN c_uni u ON u.lang = s.lang AND u.cur = s.pr[2]
+  LEFT JOIN b ON b.lang = s.lang AND b.prev = s.pr[1] AND b.cur = s.pr[2]
+  JOIN totals t ON t.lang = s.lang
+), ppl AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(-avg(ln(p)), 6) AS logppl
+  FROM sp GROUP BY 1, 2
+)
+"""
+
+_ORACLE_LM_PERPLEXITY = (
+    _ORACLE_LM_BASE + "SELECT doc_id, lang, n_tokens, logppl FROM ppl"
+)
+
+_ORACLE_LM_PPL_BUCKETS = (
+    _ORACLE_LM_BASE
+    + """, bk AS (
+  SELECT lang,
+         CASE WHEN logppl <= 3.3 THEN 'head'
+              WHEN logppl <= 3.4 THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM ppl GROUP BY 1, 2
+)
+SELECT lang, ppl_bucket, n_docs,
+       round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share
+FROM bk
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver grades dict entries in order (it stops
     after 50), so the graded window rotates per round until every oracled
@@ -4185,10 +4273,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r9-stamped dedup/clustering/embedder rows. After this rotation no
     ledger row is older than r9.
 
-    Round-12 window plan (for the next rotation): no query is pending a
-    first grade (the r11 escape-hatch pin list is empty unless r11 births
-    new queries after the window freezes); lead with any query whose
-    operator files r12 touches, then the oldest ledger rows (the r9-stamped
+    Round-12 window plan (for the next rotation): slots 1-2 are the two
+    tail-born LM-perplexity queries (r11 births them after its window
+    froze; r12_rotation_pins in tests/test_driver_contract.py makes their
+    first grade mandatory); then any query whose operator files r12
+    touches, then the oldest ledger rows (the r9-stamped
     pipeline.py / streaming-windows / multimodal families:
     corpus_prep_pipeline, decontaminate, train_test_split, pii_redact,
     stratified_sample, dedup_within_doc, source_cap, source_mix,
@@ -4326,6 +4415,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "multimodal_features": _q_multimodal_features,
         "token_budget_select": _q_token_budget_select,
+        # r11 tail-born (window full and stamped before they were written):
+        # pending first grade, pinned into the r12 rotation by
+        # tests/test_driver_contract.py (the drift pair's escape hatch)
+        "lm_perplexity": _q_lm_perplexity,
+        "lm_ppl_buckets": _q_lm_ppl_buckets,
     }
 
 
@@ -4453,4 +4547,6 @@ def oracle_sql() -> dict[str, str]:
         "text_screen": _ORACLE_TEXT_SCREEN,
         "corpus_drift": _ORACLE_CORPUS_DRIFT,
         "corpus_drift_lang": _ORACLE_CORPUS_DRIFT_LANG,
+        "lm_perplexity": _ORACLE_LM_PERPLEXITY,
+        "lm_ppl_buckets": _ORACLE_LM_PPL_BUCKETS,
     }

@@ -1,0 +1,226 @@
+"""Statistical language-model perplexity scoring (beyond-reference tier).
+
+The CCNet recipe (Wenzek et al. 2020, arXiv:1911.00359 §3.3) scores every
+crawled document with a per-language n-gram LM and keeps the low-perplexity
+"head" — the single most-used model-based quality filter in large-scale
+training-data pipelines (CCNet, RedPajama, FineWeb ablations all carry it).
+The reference has no model-based quality surface at all (its text tier is
+store/embed/search — reference ``mcp_synaptic/rag/``); the engine's
+``text_analysis`` tier scores surface heuristics (length / punctuation /
+stopwords).  This module adds the statistical tier: a **per-language
+interpolated bigram LM trained on the corpus itself** (no external model
+artifact — CCNet's KenLM-over-Wikipedia is env-blocked here the same way
+sentence-transformers is, so the self-trained LM is the honest in-container
+instantiation; the train/score split is a parameter, so a curated reference
+corpus drops in unchanged).
+
+Semantics (per language ``g`` of the TRAIN corpus):
+
+    c_uni(g, w)   token occurrences of w
+    N(g), V(g)    total tokens / distinct tokens
+    c_bi(g,p,w)   adjacent-pair occurrences (positions 2..n per doc)
+    c_ctx(g,p)    Σ_w c_bi(g,p,w)   (p's occurrences AS a bigram context)
+
+    p_uni(w)      (c_uni + 1) / (N + V + 1)          Laplace, one OOV slot
+    p(w | p)      λ·(c_bi/c_ctx) + (1−λ)·p_uni(w)    Jelinek-Mercer
+                  (first token of a doc: p_uni alone; unseen context or
+                  unseen pair: MLE term is 0)
+    logppl(d)     −mean_i ln p(w_i | w_{i−1})        rounded to 6dp
+
+Tokens are whitespace-split on ``lower(text)`` (language-neutral — the
+``[^a-z0-9]`` splitter of the TF-IDF tier would erase non-Latin scripts).
+Docs with no tokens are excluded; docs whose language has no train rows are
+excluded (inner join on the per-language totals).
+
+Physical shape — designed against the 100 TB questions:
+
+* Tokenization and bigram construction are ARRAY-SIDE codegen projections
+  (``transform`` over the token array) — zero shuffles, no Python.
+* Training is two map-side-partial aggregations (unigram and bigram grain):
+  wire volume is vocab-bounded per upstream partition, never token-bounded;
+  the Zipf-hot token costs one row per partition on the wire.  The
+  per-language totals (N, V) aggregate the unigram table and broadcast at
+  |langs| rows.
+* c_ctx attaches to the BIGRAM table by aggregate + equi-join back (bigram-
+  vocab-sized input), not a window: a ``Window.partitionBy(lang, prev)``
+  would put all continuations of a stop-word context in ONE unsplittable
+  task (the r9 tfidf lesson — AQE never splits window partitions), while
+  the join is skew-splittable.
+* Scoring is exactly TWO token-volume equi-joins — (lang, cur) against the
+  unigram table and (lang, prev, cur) against the bigram+ctx table — both
+  plain shuffle joins AQE can skew-split, plus the broadcast totals.  The
+  unseen-(context, pair) cases come back as left-join NULLs and fold into
+  the CASE, so no third join for c_ctx is ever needed: c_ctx only matters
+  when the pair itself was seen.
+* The per-doc reduce is one aggregation at doc grain.
+* The ONE-SHOT self-trained plan scans the (doc_id, lang, text) projection
+  five times (uni / totals / bi / ctx / scoring — Spark plans no exchange
+  reuse across aggregation grains, the r9 tfidf lesson).  That is the
+  honest cost of a single declarative query; the production shape is
+  train-once/score-many: persist the three ``train_bigram_lm`` tables and
+  pass them via ``perplexity(..., lm=...)`` — scoring then reads the
+  corpus exactly ONCE (pinned in tests/test_plan_shapes.py).
+
+Oracle parity notes: both engines parse ``0.7`` to the same double; ln/avg
+agree to well under the 6dp round; counts are exact integers.  Rank-free
+output, so no ulp tie-break concerns.  The ``\\s`` separator class is
+ASCII-only in BOTH engines (Java regex without UNICODE_CHARACTER_CLASS and
+DuckDB's RE2) — a U+00A0 no-break space does NOT split; Python ``re`` would
+split it, so naive-checker tests must stick to ASCII whitespace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Jelinek-Mercer interpolation weight on the bigram MLE term.
+DEFAULT_LAMBDA = 0.7
+
+#: fixed logppl cut points for the CCNet-style head/middle/tail split —
+#: thresholds on the ROUNDED score keep bucket membership identical across
+#: engines (both hash-match the rounded per-doc scores first).
+DEFAULT_BUCKETS = (3.0, 3.5)
+
+
+def _tok_arrays(
+    docs: DataFrame, *, text_col: str, lang_col: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(extra..., lang, toks): whitespace tokens of lower(text), empties
+    dropped, token-less docs removed.  Pure projection, zero shuffles."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(*extra, F.col(lang_col).alias("lang"), toks.alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+
+
+def train_bigram_lm(
+    train: DataFrame, *, text_col: str = "text", lang_col: str = "lang"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fit the per-language LM tables: (unigram, bigram+ctx, totals).
+
+    unigram:  (lang, cur, c_uni)
+    bigram:   (lang, prev, cur, c_bi, c_ctx)   — c_ctx pre-attached
+    totals:   (lang, n_train_tokens, vocab)    — |langs| rows, broadcastable
+    """
+    tok = _tok_arrays(train, text_col=text_col, lang_col=lang_col)
+    uni = (
+        tok.select("lang", F.explode("toks").alias("cur"))
+        .groupBy("lang", "cur")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    totals = uni.groupBy("lang").agg(
+        F.sum("c_uni").alias("n_train_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    pairs = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1),"
+        " (p, i) -> struct(p AS prev, toks[i + 1] AS cur))"
+    )
+    bi = (
+        tok.select("lang", F.explode(pairs).alias("pr"))
+        .select("lang", F.col("pr.prev").alias("prev"), F.col("pr.cur").alias("cur"))
+        .groupBy("lang", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+    # aggregate + join back, NOT a window: a (lang, prev) window partition
+    # holds every continuation of a stop-word context in one unsplittable
+    # task; the equi-join is AQE-skew-splittable and its input is the
+    # bigram-vocab table, not the corpus.
+    ctx = bi.groupBy("lang", "prev").agg(F.sum("c_bi").alias("c_ctx"))
+    return uni, bi.join(ctx, ["lang", "prev"]), totals
+
+
+def perplexity(
+    docs: DataFrame,
+    *,
+    train: DataFrame | None = None,
+    lm: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    lam: float = DEFAULT_LAMBDA,
+) -> DataFrame:
+    """Per-doc LM log-perplexity: (doc_id, lang, n_tokens, logppl).
+
+    ``train`` defaults to ``docs`` (self-trained corpus LM); pass a curated
+    reference slice for the literal CCNet setup, or pass pre-fit (ideally
+    persisted) ``train_bigram_lm`` tables via ``lm`` for the train-once/
+    score-many path — scoring then scans the corpus once.  λ ∈ [0, 1]."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1]: {lam}")
+    if lm is not None and train is not None:
+        raise ValueError("pass train OR pre-fit lm tables, not both")
+    uni, bi, totals = lm if lm is not None else train_bigram_lm(
+        train if train is not None else docs, text_col=text_col, lang_col=lang_col
+    )
+    scored = F.expr(
+        "transform(toks, (w, i) -> struct("
+        " CASE WHEN i = 0 THEN CAST(NULL AS STRING) ELSE toks[i - 1] END AS prev,"
+        " w AS cur))"
+    )
+    tok = (
+        _tok_arrays(docs, text_col=text_col, lang_col=lang_col, extra=(id_col,))
+        .select(id_col, "lang", F.explode(scored).alias("pr"))
+        .select(id_col, "lang", F.col("pr.prev").alias("prev"), F.col("pr.cur").alias("cur"))
+    )
+    j = (
+        tok.join(uni, ["lang", "cur"], "left")
+        .join(bi, ["lang", "prev", "cur"], "left")
+        .join(F.broadcast(totals), "lang")
+    )
+    p_uni = (F.coalesce(F.col("c_uni"), F.lit(0)) + F.lit(1)) / (
+        F.col("n_train_tokens") + F.col("vocab") + F.lit(1)
+    )
+    mle = F.when(F.col("c_bi").isNotNull(), F.col("c_bi") / F.col("c_ctx")).otherwise(
+        F.lit(0.0)
+    )
+    p = F.when(F.col("prev").isNull(), p_uni).otherwise(
+        F.lit(lam) * mle + F.lit(1.0 - lam) * p_uni
+    )
+    return (
+        j.select(id_col, "lang", p.alias("p"))
+        .groupBy(id_col, "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg(F.log("p")), 6).alias("logppl"),
+        )
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    *,
+    train: DataFrame | None = None,
+    buckets: tuple[float, float] = DEFAULT_BUCKETS,
+    **kw,
+) -> DataFrame:
+    """CCNet head/middle/tail split per language: (lang, ppl_bucket, n_docs,
+    share).  Buckets cut the ROUNDED logppl at fixed thresholds (CCNet cuts
+    at per-language ppl terciles; fixed cuts keep the operator a pure
+    function of the corpus — quantile estimation differs across engines).
+    ``share`` is within-language; the totals window runs over the
+    |langs|·3-row result, not the corpus."""
+    lo, hi = buckets
+    if not lo < hi:
+        raise ValueError(f"bucket thresholds must increase: {buckets}")
+    ppl = perplexity(docs, train=train, **kw)
+    bucket = (
+        F.when(F.col("logppl") <= F.lit(lo), F.lit("head"))
+        .when(F.col("logppl") <= F.lit(hi), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    counts = ppl.groupBy("lang", bucket.alias("ppl_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = counts.groupBy("lang").agg(F.sum("n_docs").alias("lang_docs"))
+    return counts.join(tot, "lang").select(
+        "lang",
+        "ppl_bucket",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("lang_docs"), 6).alias("share"),
+    )

@@ -86,10 +86,12 @@ def test_no_query_left_ungraded_behind_the_window():
     # in the tail ONLY if named here — this list IS the next round's
     # mandatory rotation (dedup_incremental / memory_snapshot_read rode it
     # r8→r9; the seventeen analytics queries rode it r9→r10; the two drift
-    # queries rode it r10→r11; all were graded on schedule). r11 births no
-    # new queries, so the list is empty — any pending-first-grade query
-    # must already sit inside the window.
-    r12_rotation_pins: set[str] = set()
+    # queries rode it r10→r11; all were graded on schedule). r11 births the
+    # two LM-perplexity queries AFTER its window froze (every slot already
+    # required by touched files / first-grade pins / the r8-cohort
+    # refresh), so they ride the hatch into r12 — this pin IS their
+    # mandatory first grade next round.
+    r12_rotation_pins: set[str] = {"lm_perplexity", "lm_ppl_buckets"}
     out = [q for q in pending if q not in window and q not in r12_rotation_pins]
     assert out == [], f"pending-first-grade queries left in the tail: {out}"
 

@@ -195,3 +195,41 @@ def test_overlap_two_scans_sizes_from_diagonal(spark):
     assert "windowspecdefinition(group_a" in plan
     assert "windowspecdefinition(group_b" in plan
     assert "windowspecdefinition(g#" not in plan  # the old vocab-sized window
+
+
+def test_lm_perplexity_no_windows_persisted_lm_single_scan(spark):
+    """r11: LM scoring is pure aggregations + equi-joins — NO window
+    operator anywhere (a (lang, prev) window would hold every continuation
+    of a stop-word context in one unsplittable task), no cartesian, and
+    map-side combine on the token volume. The one-shot self-trained plan
+    pays the documented five corpus scans (no exchange reuse across
+    grains); the train-once/score-many path (persisted lm tables) must
+    scan the corpus exactly ONCE."""
+    plan = _plan(spark, "lm_perplexity")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert plan.count("Scan parquet") == 5
+
+    from mcp_synaptic_spark.operators import lm as LM
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tabs = tuple(t.persist() for t in LM.train_bigram_lm(docs))
+    try:
+        for t in tabs:
+            t.count()
+        # sparkPlan, not executedPlan: the AQE wrapper hides its tree's
+        # leaves, and plan TEXT embeds the cached relations' original
+        # parquet scans — count leaf OPERATORS of the pre-adaptive plan:
+        # 3 in-memory LM tables + exactly 1 file scan
+        jplan = LM.perplexity(docs, lm=tabs)._jdf.queryExecution().sparkPlan()
+        leaves = jplan.collectLeaves()
+        names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
+        file_scans = [n for n in names if "parquet" in n.lower()]
+        mem_scans = [n for n in names if "InMemory" in n]
+        assert len(file_scans) == 1, names
+        assert len(mem_scans) == 3, names
+        assert "Window" not in jplan.toString().split("InMemoryRelation")[0]
+    finally:
+        for t in tabs:
+            t.unpersist()

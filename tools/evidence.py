@@ -175,6 +175,8 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "corpus_prep_pipeline": PIPE + DEDUP + CLUST,
     "corpus_drift": (f"{_PKG}/operators/drift.py",) + TBL,
     "corpus_drift_lang": (f"{_PKG}/operators/drift.py",) + TBL,
+    "lm_perplexity": (f"{_PKG}/operators/lm.py",) + TBL,
+    "lm_ppl_buckets": (f"{_PKG}/operators/lm.py",) + TBL,
 }
 
 #: last driver-graded round for queries that are OUTSIDE the r8 window at
