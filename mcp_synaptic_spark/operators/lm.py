@@ -60,6 +60,9 @@ Physical shape — designed against the 100 TB questions:
   train-once/score-many: persist the three ``train_bigram_lm`` tables and
   pass them via ``perplexity(..., lm=...)`` — scoring then reads the
   corpus exactly ONCE (pinned in tests/test_plan_shapes.py).
+* The scoring DAG lifts onto ``readStream`` unchanged (stream-static
+  joins + complete-mode aggregation) — the streaming admission scorer is
+  the same function, pinned in tests/test_lm.py.
 
 Oracle parity notes: both engines parse ``0.7`` to the same double; ln/avg
 agree to well under the 6dp round; counts are exact integers.  Rank-free

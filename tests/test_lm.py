@@ -158,3 +158,37 @@ def test_prefit_lm_tables_match_self_trained(spark):
     assert direct == via_lm
     with pytest.raises(ValueError):
         LM.perplexity(df, train=df, lm=LM.train_bigram_lm(df))
+
+
+def test_scoring_runs_as_stream_against_static_lm(spark, tmp_path):
+    """The production admission shape: new docs arrive as a stream and are
+    scored against a STATIC persisted LM — the whole scoring DAG (array-side
+    pair construction, two stream-static left joins, broadcast totals,
+    per-doc aggregation) must lift onto readStream unchanged. Spark supports
+    stream-left/static-right joins and complete-mode aggregation, so no
+    operator rewrite is allowed to be needed."""
+    path = str(tmp_path / "docs")
+    _docs(spark, TRAIN).write.parquet(path)
+    lm_tabs = tuple(t.persist() for t in LM.train_bigram_lm(_docs(spark, TRAIN)))
+    try:
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        name = f"lm_stream_{abs(hash(str(tmp_path))) % 10**8}"
+        q = (
+            LM.perplexity(stream, lm=lm_tabs)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.doc_id: (r.lang, r.n_tokens, r.logppl)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert got == _naive_ppl(TRAIN, TRAIN)
+    finally:
+        for t in lm_tabs:
+            t.unpersist()
