@@ -118,28 +118,14 @@ def _jaccard(a: Column, b: Column) -> Column:
 def minhash_signatures(shingles_df: DataFrame, num_hashes: int = 16) -> DataFrame:
     """(id, minhash_0..k-1) — element-wise min over seeded shingle hashes.
 
-    Array-side (r11): ``mh_i = array_min(transform(shingles, h_i))`` — the
-    shingles are already doc-grain arrays, so the signature is a pure
-    codegen projection with ZERO shuffles.  (The previous shape exploded to
-    shingle grain and paid a groupBy(id) exchange to re-assemble what every
-    row already held; same hash values, same per-shingle compute, one
-    exchange + agg pipeline less.)  Shingle-less docs drop, matching the
-    explode shape's semantics — without the filter their all-NULL
-    signatures would collide into one degenerate band bucket.
+    One explode + one groupBy(id) with k min-aggregates: a single shuffle on
+    id, combiner-friendly.
     """
-    def _family(i: int):
-        # one-parameter lambda on purpose: a two-parameter lambda (even via
-        # a default arg) is treated by F.transform as (element, index) and
-        # the seed would silently bind to the index COLUMN
-        return lambda s: _h_seeded(i, s)
-
-    return shingles_df.where(F.size("shingles") > 0).select(
-        "id",
-        *[
-            F.array_min(F.transform(F.col("shingles"), _family(i))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ],
+    exploded = shingles_df.select("id", F.explode("shingles").alias("sh"))
+    hashed = exploded.select(
+        "id", *[_h_seeded(i, F.col("sh")).alias(f"h{i}") for i in range(num_hashes)]
     )
+    return hashed.groupBy("id").agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)])
 
 
 def auto_max_bucket(n_rows: int, *, floor: int = 1024) -> int:

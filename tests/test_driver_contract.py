@@ -49,11 +49,6 @@ def test_graded_window_holds_the_round_targets():
         "decontaminate_semantic", "dedup_embedding", "dedup_embedding_lsh",
         # operators/bm25_index.py: multiset-safe corpus fingerprint
         "bm25_search_indexed",
-        # operators/dedup.py: zero-shuffle array-side minhash signatures —
-        # the three dedup.py-backed rows that were in the tail rotate in
-        # (embed_texts / ts_parse_multi / memory_access_replay rotate out,
-        # files bit-unchanged since their r9 grade, ledger reset to 9)
-        "dedup_rate_by_source", "dedup_incremental", "corpus_prep_pipeline",
     )
     r8_refresh = (
         "token_stats", "quality_score", "lang_id", "lang_distribution",
