@@ -872,6 +872,46 @@ def main() -> None:
         )
     )
 
+    # --- LM tier (r11): ground truth from replication is two-fold. (a) The
+    # one-shot self-trained run must produce exactly rep x base rows (every
+    # replica has tokens iff its base doc does). (b) Scoring the replicated
+    # corpus against the BASE-trained persisted LM (the train-once/
+    # score-many path) must reproduce every base doc's (n_tokens, logppl)
+    # on every replica — the LM tables are identical inputs, so any drift
+    # is a scoring-path bug. logppl compared at 1e-6 (the driver's own
+    # rounding grain) because avg() partial-sum order is partitioning-
+    # dependent; n_tokens compared exactly. The self-trained rep-corpus
+    # logppl is NOT invariant (Laplace smoothing shrinks as counts scale
+    # by rep — the LM genuinely sharpens with data); the prefit arm is the
+    # invariance carrier.
+    from mcp_synaptic_spark.operators.lm import perplexity, train_bigram_lm
+
+    n_lm_rows = timed("lm_perplexity_selftrained", lambda: perplexity(docs).count())
+    lm_tabs = tuple(t.persist() for t in train_bigram_lm(base_docs))
+    base_lm_df = perplexity(base_docs, lm=lm_tabs)
+    n_lm_base = base_lm_df.count()
+    checks["lm_rows_scale_by_rep"] = bool(n_lm_rows == rep * n_lm_base)
+    scored_rep = perplexity(docs, lm=lm_tabs).withColumn(
+        "base_id", F.col("doc_id") % 10_000_000
+    )
+    base_keyed = base_lm_df.select(
+        F.col("doc_id").alias("base_id"),
+        F.col("n_tokens").alias("base_n_tokens"),
+        F.col("logppl").alias("base_logppl"),
+    )
+    n_lm_mismatch = timed(
+        "lm_score_prefit_base_lm",
+        lambda: scored_rep.join(base_keyed, "base_id")
+        .where(
+            (F.col("n_tokens") != F.col("base_n_tokens"))
+            | (F.abs(F.col("logppl") - F.col("base_logppl")) > 1e-6)
+        )
+        .count(),
+    )
+    checks["lm_prefit_replicas_match_base"] = bool(n_lm_mismatch == 0)
+    for t in lm_tabs:
+        t.unpersist()
+
     # --- funnel tier: per-user replication ⇒ counts scale exactly by rep ---
     from mcp_synaptic_spark.operators.funnel import funnel
 
