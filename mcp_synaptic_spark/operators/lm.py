@@ -153,7 +153,10 @@ def perplexity(
     ``train`` defaults to ``docs`` (self-trained corpus LM); pass a curated
     reference slice for the literal CCNet setup, or pass pre-fit (ideally
     persisted) ``train_bigram_lm`` tables via ``lm`` for the train-once/
-    score-many path — scoring then scans the corpus once.  λ ∈ [0, 1]."""
+    score-many path — scoring then scans the corpus once.  λ ∈ [0, 1];
+    note λ = 1 exactly is only OOV-safe when train covers every scored
+    bigram (an unseen pair then scores p = 0, whose ln is NULL/-inf) —
+    any λ < 1 keeps the unigram floor under every token."""
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1]: {lam}")
     if lm is not None and train is not None:
@@ -206,8 +209,8 @@ def perplexity_buckets(
     share).  Buckets cut the ROUNDED logppl at fixed thresholds (CCNet cuts
     at per-language ppl terciles; fixed cuts keep the operator a pure
     function of the corpus — quantile estimation differs across engines).
-    ``share`` is within-language; the totals window runs over the
-    |langs|·3-row result, not the corpus."""
+    ``share`` is within-language; the per-language totals aggregate the
+    |langs|·3-row bucket table and join back — never the corpus."""
     lo, hi = buckets
     if not lo < hi:
         raise ValueError(f"bucket thresholds must increase: {buckets}")
