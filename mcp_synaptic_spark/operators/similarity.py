@@ -234,7 +234,15 @@ def mllib_lsh_index_write(
         with open(sidecar) as f:
             if json.load(f) == meta:
                 return
-    normalized = corpus.select(
+    # the hash+normalize stage is CPU-bound per row and values are
+    # partitioning-independent (pure projection, unlike the IVF builder
+    # whose k-means|| init is partitioning-sensitive and fixture-pinned) —
+    # without the fan-out a ~100 MB corpus parquet is ONE input split and
+    # the whole build runs on a single task (r11: 148 s → ~11 s at the
+    # 200k-vector artifact tier)
+    from ..util import ensure_parallelism
+
+    normalized = ensure_parallelism(corpus).select(
         F.col(id_col), l2_normalize(F.col(vec_col)).alias("vn")
     )
     hashed = normalized.select(
