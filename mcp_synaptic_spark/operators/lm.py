@@ -91,11 +91,17 @@ def _tok_arrays(
 ) -> DataFrame:
     """(extra..., lang, toks): whitespace tokens of lower(text), empties
     dropped, token-less docs removed.  Pure projection, zero shuffles."""
+    from ..util import ensure_parallelism
+
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
+    # the tokenize/explode map side is CPU-bound; without the fan-out a
+    # well-compressed corpus parquet is one input split and the whole
+    # training/scoring map stage runs on a single task (the r11
+    # mllib_lsh_index_build lesson, PLANS note 104)
     return (
-        docs.where(F.col(text_col).isNotNull())
+        ensure_parallelism(docs.where(F.col(text_col).isNotNull()))
         .select(*extra, F.col(lang_col).alias("lang"), toks.alias("toks"))
         .where(F.size("toks") > 0)
     )

@@ -167,7 +167,14 @@ def bm25_search(
     def esc(t: str) -> str:
         return t.replace("\\", "\\\\").replace("'", "\\'")
 
-    per_doc = docs.select(F.col(id_col).alias("id"), toks.alias("toks")).select(
+    # tokenize + per-term HOF counts are CPU-bound; fan out when the corpus
+    # parquet is a single compressed split (the r11 index-build lesson,
+    # PLANS note 104) so the map stage uses every core
+    from ..util import ensure_parallelism
+
+    per_doc = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), toks.alias("toks")
+    ).select(
         "id",
         F.size("toks").alias("dl"),
         *[
