@@ -4277,7 +4277,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail-born LM-perplexity queries (r11 births them after its window
     froze; r12_rotation_pins in tests/test_driver_contract.py makes their
     first grade mandatory); then any query whose operator files r12
-    touches, then the oldest ledger rows (the r9-stamped
+    touches — r12 already owes the ensure_parallelism fan-out to
+    pipeline.py / stats.py / terms.py (PLANS note 105: the single-split
+    map-stage pathology, deferred because their tail families exceed the
+    r11 window's free slots), whose families therefore rotate in; then
+    the oldest ledger rows (the r9-stamped
     pipeline.py / streaming-windows / multimodal families:
     corpus_prep_pipeline, decontaminate, train_test_split, pii_redact,
     stratified_sample, dedup_within_doc, source_cap, source_mix,

@@ -34,8 +34,10 @@ def test_rag_search_is_one_pass_no_corpus_shuffle(spark):
 
 def test_bm25_zero_data_shuffles(spark):
     """BM25 (r8): per-term tf as array exprs + 1-row stats broadcast — the
-    only exchanges allowed are the 1-row aggregate's single partition and
-    its broadcast; never a data-sized hash/range partitioning."""
+    only exchanges allowed are the 1-row aggregate's single partition, its
+    broadcast, and (r11) the deliberate ROUND-ROBIN fan-out that spreads
+    the tokenize/HOF map stage off a single compressed input split; never
+    a data-sized hash/range partitioning (no keyed shuffle exists)."""
     plan = _plan(spark, "bm25_search")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
