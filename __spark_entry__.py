@@ -4270,8 +4270,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the similarity.py family (which shares functions/vector.py), and the
     bm25_index.py fingerprint-fold fix (ADVICE r10: bit_xor is a weak
     multiset hash) stales bm25_search_indexed. The remaining slots refresh
-    r9-stamped dedup/clustering/embedder rows. After this rotation no
-    ledger row is older than r9.
+    r9-stamped dedup/clustering rows — mandatory once the late-round
+    dedup.py touch (minhash exact-dup pre-collapse, PLANS note 108)
+    landed, which also rotated dedup_rate_by_source / dedup_incremental /
+    corpus_prep_pipeline in from the tail in place of embed_texts /
+    ts_parse_multi / memory_access_replay (evicted un-graded; files
+    bit-unchanged since their r9 grade, ledger reset to 9 per the
+    eviction protocol). After this rotation no ledger row is older
+    than r9.
 
     Round-12 window plan (for the next rotation): slots 1-2 are the two
     tail-born LM-perplexity queries (r11 births them after its window
@@ -4346,9 +4352,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_twostar": _q_dedup_clusters_twostar,
         "dedup_apply_clusters": _q_dedup_apply_clusters,
-        "embed_texts": _q_embed_texts,
-        "ts_parse_multi": _q_ts_parse_multi,
-        "memory_access_replay": _q_memory_access_replay,
+        # r11-touched late in the round: operators/dedup.py (the minhash
+        # exact-dup pre-collapse, PLANS note 108) stales every
+        # dedup.py-backed tail row too — these three rotate IN;
+        # embed_texts / ts_parse_multi / memory_access_replay rotate out
+        # (their files are bit-unchanged since their r9 grade — ledger
+        # reset to 9, the documented eviction protocol)
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "dedup_incremental": _q_dedup_incremental,
+        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
         # ---- entry 50 ends here ------------------------------------------
         # tail: every entry below is green in CORRECTNESS_r09/r10 with
         # operator files unchanged since (EVIDENCE.json + tools/evidence.py
@@ -4366,14 +4378,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": _q_events_anomaly,
         "embedding_screen": _q_embedding_screen,
         "dims_profile": _q_dims_profile,
-        "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "embed_texts": _q_embed_texts,
         "events_retention_weekly": _q_events_retention_weekly,
         "events_conversion_lag": _q_events_conversion_lag,
         "text_screen": _q_text_screen,
         "memory_upsert_txn": _q_memory_upsert_txn,
         "memory_upsert_ckpt": _q_memory_upsert_ckpt,
         "memory_snapshot_read": _q_memory_snapshot_read,
-        "dedup_incremental": _q_dedup_incremental,
+        "ts_parse_multi": _q_ts_parse_multi,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
@@ -4402,7 +4414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_update": _q_doc_update,
         "doc_delete": _q_doc_delete,
         "doc_stats": _q_doc_stats,
-        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
+        "memory_access_replay": _q_memory_access_replay,
         "decontaminate": _q_decontaminate,
         "train_test_split": _q_train_test_split,
         "pii_redact": _q_pii_redact,

@@ -155,7 +155,12 @@ def _resolve_max_bucket(docs: DataFrame, max_bucket) -> int | None:
     return max_bucket
 
 
-def _cap_bucket_occupancy(keyed: DataFrame, key_cols: list[str], max_bucket: int | None) -> DataFrame:
+def _cap_bucket_occupancy(
+    keyed: DataFrame,
+    key_cols: list[str],
+    max_bucket: int | None,
+    weight_col: str | None = None,
+) -> DataFrame:
     """Drop bucket keys holding more than max_bucket rows BEFORE a bucket
     self-join — the explicit skew bound for every LSH-style candidate
     generator here (VERDICT r6 item 5).
@@ -176,6 +181,11 @@ def _cap_bucket_occupancy(keyed: DataFrame, key_cols: list[str], max_bucket: int
     plan-neutral).
 
     None (the default everywhere) = no cap, exact LSH semantics.
+
+    ``weight_col`` (r11): when the keyed rows are COLLAPSED exact-dup
+    representatives, occupancy must still count DOCUMENTS — pass the group
+    size column and the window sums it instead of counting rows, which
+    keeps the capped output byte-identical to the uncollapsed pipeline's.
     """
     from pyspark.sql import Window
 
@@ -184,8 +194,9 @@ def _cap_bucket_occupancy(keyed: DataFrame, key_cols: list[str], max_bucket: int
     if max_bucket < 1:
         raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
     w = Window.partitionBy(*key_cols)
+    occ = F.sum(weight_col).over(w) if weight_col else F.count("*").over(w)
     return (
-        keyed.withColumn("_occ", F.count("*").over(w))
+        keyed.withColumn("_occ", occ)
         .where(F.col("_occ") <= max_bucket)
         .drop("_occ")
     )
@@ -225,7 +236,37 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     _release_stale()  # free any previous operator call's cached blocks
     max_bucket = _resolve_max_bucket(docs, max_bucket)
-    sh = _scoped_cache(shingle_sets(_ensure_parallelism(docs), content_col, id_col, shingle_n))
+    # r11 exact-dup pre-collapse (the strings.py/editdist r10 pattern —
+    # PLANS note 107 measured this tier OUTPUT-VOLUME-bound at high
+    # duplication: every heavy stage below was quadratic in the dup
+    # factor). One md5-digest shuffle collapses identical texts to a
+    # min-id representative; shingling, signatures, band join, distinct
+    # and the Jaccard verify all run at DISTINCT-TEXT grain; the id-level
+    # contract is recovered by equi-joins at the end. Byte-identical to
+    # the uncollapsed pipeline: members share their rep's shingles hence
+    # buckets and jaccard; the occupancy cap sums group sizes (documents,
+    # not representatives); intra-group pairs (jaccard exactly 1.0) are
+    # emitted iff the group retains >=1 surviving bucket — the same
+    # "some shared bucket under cap" condition the uncollapsed join
+    # applied to them.
+    base = _ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"),
+        F.col(content_col).alias("_content"),
+        F.md5(F.col(content_col)).alias("_ch"),
+    )
+    reps = base.groupBy("_ch").agg(
+        F.min("id").alias("id"),
+        F.count(F.lit(1)).alias("grp_n"),
+        F.first("_content").alias("_content"),  # identical within the group
+    )
+    members = (
+        base.select("id", "_ch")
+        .join(reps.select("_ch", F.col("id").alias("rid"), "grp_n"), "_ch")
+        .select("rid", "id", "grp_n")
+    )
+    sh = _scoped_cache(
+        shingle_sets(reps.select("id", "_content"), "_content", "id", shingle_n)
+    )
     # cache signatures: the bucket self-join reads them twice, and without a
     # barrier each read re-runs the explode+16-hash+groupBy pipeline
     sig = _scoped_cache(minhash_signatures(sh, num_hashes))
@@ -245,7 +286,12 @@ def minhash_lsh_pairs(
     buckets = sig.select("id", F.explode(band_structs).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
-    buckets = _cap_bucket_occupancy(buckets, ["band", "band_key"], max_bucket)
+    buckets = _cap_bucket_occupancy(
+        buckets.join(reps.select(F.col("id"), "grp_n"), "id"),
+        ["band", "band_key"],
+        max_bucket,
+        weight_col="grp_n",
+    ).drop("grp_n")
 
     left = buckets.select(F.col("band"), F.col("band_key"), F.col("id").alias("id_a"))
     right = buckets.select(F.col("band"), F.col("band_key"), F.col("id").alias("id_b"))
@@ -261,7 +307,35 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
-    return verified
+    # id-level expansion: every cross pair between the two groups carries
+    # the rep pair's jaccard verbatim; intra-group pairs are exact dups
+    # (jaccard 1.0 by definition) gated on the group keeping >=1 bucket
+    ma = members.select(F.col("rid").alias("id_a"), F.col("id").alias("xa"))
+    mb = members.select(F.col("rid").alias("id_b"), F.col("id").alias("xb"))
+    cross = (
+        verified.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("xa", "xb").alias("id_a"),
+            F.greatest("xa", "xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    if threshold <= 1.0:
+        bucketed_reps = buckets.select(F.col("id").alias("rid")).distinct()
+        dup_members = members.where(F.col("grp_n") > 1).join(bucketed_reps, "rid")
+        p, q = dup_members.alias("p"), dup_members.alias("q")
+        intra = (
+            p.join(q, "rid")
+            .where(F.col("p.id") < F.col("q.id"))
+            .select(
+                F.col("p.id").alias("id_a"),
+                F.col("q.id").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return cross.unionByName(intra)
+    return cross
 
 
 def ngram_jaccard_pairs(

@@ -653,3 +653,51 @@ def test_dedup_rate_by_group(spark):
     assert out["s1"].n_docs == 4 and out["s1"].n_unique == 2
     assert out["s1"].dup_rate == 0.5
     assert out["s2"].dup_rate == 0.0 and out["s2"].n_unique == 2
+
+
+def test_minhash_collapse_byte_identical_to_uncollapsed(spark):
+    """r11 exact-dup pre-collapse: the collapsed pipeline must reproduce the
+    UNCOLLAPSED pipeline's output row set exactly — cross-group pairs,
+    intra-group (jaccard 1.0) pairs, and the occupancy cap counted in
+    DOCUMENTS — on a corpus with heavy duplication, both uncapped and with
+    a cap small enough to actually drop buckets."""
+    from pyspark.sql import functions as F
+
+    base = [
+        "spark shuffle join partition exchange codegen whole stage",
+        "spark shuffle join partition exchange codegen whole stage tungsten",
+        "completely different words about cats and dogs and fish",
+        "boilerplate header lorem ipsum dolor sit amet consectetur",
+    ]
+    rows = [(g * 100 + i, t) for g, t in enumerate(base) for i in range(4 if g < 2 else 7)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def uncollapsed(max_bucket):
+        sh = D.shingle_sets(docs)
+        sig = D.minhash_signatures(sh, 16)
+        band_structs = F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("-", *[F.col(f"mh{b*2+r}").cast("string") for r in range(2)]).alias("band_key"))
+            for b in range(8)])
+        buckets = sig.select("id", F.explode(band_structs).alias("bk")).select(
+            "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+        buckets = D._cap_bucket_occupancy(buckets, ["band", "band_key"], max_bucket)
+        left = buckets.select("band", "band_key", F.col("id").alias("id_a"))
+        right = buckets.select("band", "band_key", F.col("id").alias("id_b"))
+        cand = (left.join(right, ["band", "band_key"]).where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+        return (cand
+                .join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+                .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+                .select("id_a", "id_b", F.round(D._jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+                .where(F.col("jaccard") >= 0.3))
+
+    for cap in (None, 5):
+        want = {(r.id_a, r.id_b): r.jaccard for r in uncollapsed(cap).collect()}
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in D.minhash_lsh_pairs(docs, threshold=0.3, max_bucket=cap).collect()}
+        assert got == want, f"cap={cap}: diff={set(got.items()) ^ set(want.items())}"
+    # sanity: the cap=5 arm must actually differ from uncapped (the cap binds)
+    uncapped = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs, threshold=0.3, max_bucket=None).collect()}
+    capped = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs, threshold=0.3, max_bucket=5).collect()}
+    assert capped < uncapped

@@ -49,6 +49,11 @@ def test_graded_window_holds_the_round_targets():
         "decontaminate_semantic", "dedup_embedding", "dedup_embedding_lsh",
         # operators/bm25_index.py: multiset-safe corpus fingerprint
         "bm25_search_indexed",
+        # operators/dedup.py: minhash exact-dup pre-collapse (PLANS note
+        # 108) — the three dedup.py-backed tail rows rotate in; embed_texts
+        # / ts_parse_multi / memory_access_replay rotate out (files
+        # bit-unchanged since their r9 grade, ledger reset to 9)
+        "dedup_rate_by_source", "dedup_incremental", "corpus_prep_pipeline",
     )
     r8_refresh = (
         "token_stats", "quality_score", "lang_id", "lang_distribution",
