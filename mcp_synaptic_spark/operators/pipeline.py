@@ -144,8 +144,16 @@ def ngram_decontaminate(
         .select("dg")
         .distinct()
     )
+    # the shingle+hash map stage over the train corpus is the CPU-bound hot
+    # path; ensure_parallelism keeps a single-split small parquet from
+    # running it on one task (PLANS note 105 — no-op at production sizes)
+    from ..util import ensure_parallelism
+
     tr = _doc_ngram_digests(
-        train, lengths=sorted({n, *short_lens}), content_col=content_col, id_col=id_col
+        ensure_parallelism(train),
+        lengths=sorted({n, *short_lens}),
+        content_col=content_col,
+        id_col=id_col,
     )
     # eval digests are the small side by nature (a benchmark suite vs a
     # corpus) — hint broadcast; matched rows only reach the aggregate

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import word_count
+from ..util import ensure_parallelism
 
 PCTS = (0.5, 0.9, 0.99)
 
@@ -63,7 +64,9 @@ def corpus_summary(
         F.round(F.percentile(words, F.lit(p)), 6).alias(f"p{int(p * 100)}_words")
         for p in PCTS
     ]
-    return docs.agg(
+    # word_count over every document is the CPU-bound map stage; a
+    # single-split small parquet otherwise runs it on one task (note 105)
+    return ensure_parallelism(docs).agg(
         *_profile_cols(words),
         F.countDistinct(F.col(source_col)).alias("n_sources"),
         *pcols,
@@ -89,7 +92,7 @@ def corpus_summary_approx(
         .alias(f"p{int(p * 100)}_words")
         for p in PCTS
     ]
-    return docs.agg(
+    return ensure_parallelism(docs).agg(
         *_profile_cols(words),
         F.approx_count_distinct(F.col(source_col), rsd).alias("n_sources"),
         *pcols,

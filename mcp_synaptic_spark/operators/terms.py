@@ -50,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import ensure_parallelism
+
 TOKEN_SPLIT = "[^a-z0-9]+"
 MIN_TOKEN_LEN = 2
 
@@ -57,9 +59,13 @@ MIN_TOKEN_LEN = 2
 def tokens(docs: DataFrame, *, text_col: str = "text", extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """One row per token occurrence: (doc-identifying extra cols..., term).
     Lowercased, split on non-alphanumeric runs, tokens shorter than
-    MIN_TOKEN_LEN dropped."""
+    MIN_TOKEN_LEN dropped.
+
+    The tokenize+explode stage is CPU-bound; ``ensure_parallelism`` keeps a
+    well-compressed small parquet (one input split) from running it on one
+    task (PLANS note 105 — no-op at production input sizes)."""
     return (
-        docs.where(F.col(text_col).isNotNull())
+        ensure_parallelism(docs).where(F.col(text_col).isNotNull())
         .select(*extra_cols, F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)).alias("term"))
         .where(F.length("term") >= MIN_TOKEN_LEN)
     )
