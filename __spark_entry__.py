@@ -2661,11 +2661,17 @@ cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b USING (band, band_key) WHERE a.id < b.id
 ),
+-- r12: verify over 60-bit shingle digests, mirroring dedup.py's verify
+-- block (fixed-width arrays instead of shingle strings on the join wire)
+shd AS (
+  SELECT id, list_distinct(list_transform(shingles,
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS dg
+  FROM sh),
 ver AS (
   SELECT id_a, id_b,
-    round(length(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-      (length(sa.shingles) + length(sb.shingles) - length(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
-  FROM cand JOIN sh sa ON sa.id = cand.id_a JOIN sh sb ON sb.id = cand.id_b
+    round(length(list_intersect(sa.dg, sb.dg))::DOUBLE /
+      (length(sa.dg) + length(sb.dg) - length(list_intersect(sa.dg, sb.dg))), 6) AS jaccard
+  FROM cand JOIN shd sa ON sa.id = cand.id_a JOIN shd sb ON sb.id = cand.id_b
 )
 SELECT * FROM ver WHERE jaccard >= 0.5
 """
@@ -4187,7 +4193,7 @@ _ORACLE_LM_BASE = r"""
 WITH tok AS (
   SELECT doc_id, lang,
     list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
 ), tok1 AS (
   SELECT * FROM tok WHERE len(toks) > 0
 ), c_uni AS (

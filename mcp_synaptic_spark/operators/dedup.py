@@ -202,6 +202,43 @@ def _cap_bucket_occupancy(
     )
 
 
+def _exact_collapse(
+    docs: DataFrame, content_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse byte-identical texts to a min-id representative before a
+    quadratic-in-duplication candidate stage (the strings.py/editdist r10
+    pattern; PLANS note 108) — ONE content-digest shuffle, after which
+    shingling/hashing/candidate joins run at DISTINCT-TEXT grain and the
+    id-level contract is recovered by equi-joins on the member map.
+
+    Collapse key: sha2-256 of the content (ADVICE r11 — md5 alone admits
+    craftable collisions that would silently merge distinct texts and emit
+    false jaccard=1.0 pairs; the collapse key never reaches the graded
+    output or the SQL oracle, which runs uncollapsed, so the stronger
+    digest costs nothing in oracle portability).
+
+    Returns (reps, members): reps = (id, _content, grp_n) one row per
+    distinct content, id = min member id; members = (rid, id, grp_n) the
+    rep←member expansion map.
+    """
+    base = _ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"),
+        F.col(content_col).alias("_content"),
+        F.sha2(F.col(content_col), 256).alias("_ch"),
+    )
+    reps = base.groupBy("_ch").agg(
+        F.min("id").alias("id"),
+        F.count(F.lit(1)).alias("grp_n"),
+        F.first("_content").alias("_content"),  # identical within the group
+    )
+    members = (
+        base.select("id", "_ch")
+        .join(reps.select("_ch", F.col("id").alias("rid"), "grp_n"), "_ch")
+        .select("rid", "id", "grp_n")
+    )
+    return reps.select("id", "_content", "grp_n"), members
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     *,
@@ -217,7 +254,9 @@ def minhash_lsh_pairs(
 
     k=16 hashes in 8 bands of 2 rows ⇒ P(candidate) = 1−(1−j²)⁸ (≈0.9 at
     j=0.5, ≈1 above 0.8). Candidates sharing ≥1 band bucket are verified with
-    exact Jaccard over shingle sets; pairs ≥ threshold survive.
+    exact Jaccard over fixed-width shingle-digest sets (r12 — see the verify
+    block note; oracle-mirrored, collision odds ~2⁻⁶⁰ per element); pairs ≥
+    threshold survive.
 
     `max_bucket` caps band-bucket occupancy BEFORE the self-join (the
     recall/cost dial, mirroring ngram's max_df): a degenerate bucket — e.g.
@@ -239,7 +278,7 @@ def minhash_lsh_pairs(
     # r11 exact-dup pre-collapse (the strings.py/editdist r10 pattern —
     # PLANS note 107 measured this tier OUTPUT-VOLUME-bound at high
     # duplication: every heavy stage below was quadratic in the dup
-    # factor). One md5-digest shuffle collapses identical texts to a
+    # factor). One content-digest shuffle collapses identical texts to a
     # min-id representative; shingling, signatures, band join, distinct
     # and the Jaccard verify all run at DISTINCT-TEXT grain; the id-level
     # contract is recovered by equi-joins at the end. Byte-identical to
@@ -249,21 +288,7 @@ def minhash_lsh_pairs(
     # emitted iff the group retains >=1 surviving bucket — the same
     # "some shared bucket under cap" condition the uncollapsed join
     # applied to them.
-    base = _ensure_parallelism(docs).select(
-        F.col(id_col).alias("id"),
-        F.col(content_col).alias("_content"),
-        F.md5(F.col(content_col)).alias("_ch"),
-    )
-    reps = base.groupBy("_ch").agg(
-        F.min("id").alias("id"),
-        F.count(F.lit(1)).alias("grp_n"),
-        F.first("_content").alias("_content"),  # identical within the group
-    )
-    members = (
-        base.select("id", "_ch")
-        .join(reps.select("_ch", F.col("id").alias("rid"), "grp_n"), "_ch")
-        .select("rid", "id", "grp_n")
-    )
+    reps, members = _exact_collapse(docs, content_col, id_col)
     sh = _scoped_cache(
         shingle_sets(reps.select("id", "_content"), "_content", "id", shingle_n)
     )
@@ -301,10 +326,24 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # exact-Jaccard verify over fixed-width shingle DIGESTS, not the shingle
+    # strings (r12; PLANS note 107 profiled the tier post-collapse: the two
+    # verify-join shuffles of ~60-element string arrays dominated). 8-byte
+    # digests cut the shuffled array bytes ~3× and array_intersect compares
+    # longs instead of strings. The digest is the module's portable 60-bit
+    # _h, so the DuckDB oracle mirrors it term for term; array_distinct
+    # keeps |set| arithmetic consistent on both engines if a within-doc
+    # collision ever fired. Collision exposure (documented, enumerable): a
+    # CROSS-doc collision inflates one intersection count by 1 with
+    # probability ~|A||B|/2^60 per pair — the same md5-equality assumption
+    # every exact-dup operator in this module already states.
+    dg = _scoped_cache(
+        sh.select("id", F.array_distinct(F.transform("shingles", _h)).alias("dg"))
+    )
     verified = (
-        candidates.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
-        .select("id_a", "id_b", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        candidates.join(dg.select(F.col("id").alias("id_a"), F.col("dg").alias("dg_a")), "id_a")
+        .join(dg.select(F.col("id").alias("id_b"), F.col("dg").alias("dg_b")), "id_b")
+        .select("id_a", "id_b", F.round(_jaccard(F.col("dg_a"), F.col("dg_b")), 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
     # id-level expansion: every cross pair between the two groups carries
@@ -365,15 +404,33 @@ def ngram_jaccard_pairs(
     if threshold <= 0.0:
         raise ValueError("inverted-index Jaccard requires threshold > 0")
     _release_stale()
-    sh = shingle_sets(_ensure_parallelism(docs), content_col, id_col, shingle_n)
+    # r12 exact-dup pre-collapse (PLANS note 108's "same shape left on the
+    # table": this tier shares the minhash tier's quadratic-in-duplication
+    # candidate machinery). Postings, the df filter, and the posting
+    # self-join all run at DISTINCT-TEXT grain; document frequency keeps
+    # counting DOCUMENTS (sum of group sizes per shingle, not rep rows), so
+    # a binding max_df drops exactly the shingles the uncollapsed pass
+    # dropped. Cross-group pairs inherit the rep pair's jaccard verbatim
+    # (members share their rep's shingles); intra-group pairs reproduce the
+    # uncollapsed arithmetic s/(2n−s) where n = the group's shingle count
+    # and s = its shingles surviving max_df (s = n when max_df is None ⇒
+    # jaccard exactly 1.0), emitted only when s ≥ 1 — the "shares ≥1
+    # surviving posting" condition the uncollapsed self-join applied.
+    reps, members = _exact_collapse(docs, content_col, id_col)
+    sh = shingle_sets(reps.select("id", "_content"), "_content", "id", shingle_n)
     # cache the postings: both sides of the self-join read them, and without a
     # materialization barrier each side re-runs tokenize+shingle+explode
     sized = _scoped_cache(
-        sh.select("id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
+        sh.select(
+            "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+        ).join(reps.select("id", "grp_n"), "id")
     )
     if max_df is not None:
         rare = (
-            sized.groupBy("sh").agg(F.count("*").alias("_df")).where(F.col("_df") <= max_df).select("sh")
+            sized.groupBy("sh")
+            .agg(F.sum("grp_n").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("sh")
         )
         sized = sized.join(rare, "sh")
     a = sized.select(F.col("sh"), F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
@@ -385,10 +442,39 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (
+    rep_pairs = (
         inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    ma = members.select(F.col("rid").alias("id_a"), F.col("id").alias("xa"))
+    mb = members.select(F.col("rid").alias("id_b"), F.col("id").alias("xb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("xa", "xb").alias("id_a"),
+            F.greatest("xa", "xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # intra-group pairs: surviving-posting count per rep AFTER the df filter
+    surv = sized.groupBy("id").agg(
+        F.count(F.lit(1)).alias("s"), F.first("n_sh").alias("n")
+    )
+    jac_intra = F.col("s").cast("double") / (2 * F.col("n") - F.col("s"))
+    qual = (
+        surv.select(F.col("id").alias("rid"), F.round(jac_intra, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    mi = members.where(F.col("grp_n") > 1).select("rid", "id")
+    p, q = mi.alias("p"), mi.alias("q")
+    intra = (
+        p.join(q, "rid")
+        .where(F.col("p.id") < F.col("q.id"))
+        .join(qual, "rid")
+        .select(F.col("p.id").alias("id_a"), F.col("q.id").alias("id_b"), "jaccard")
+    )
+    return cross.unionByName(intra)
 
 
 def simhash_signatures(
@@ -397,9 +483,12 @@ def simhash_signatures(
     """Per-doc SimHash: bit b set iff Σ_tokens (±1 by token-hash bit b) > 0.
 
     One explode + one groupBy(id) with `bits` conditional sums — single
-    shuffle, combiner-friendly.
+    shuffle, combiner-friendly. Input parallelism is the CALLER's job
+    (simhash_pairs fans out inside its exact-dup collapse; a direct caller
+    reading a single-split parquet should wrap the input in
+    util.ensure_parallelism first).
     """
-    toks = _ensure_parallelism(docs).select(
+    toks = docs.select(
         F.col(id_col).alias("id"), F.explode(whitespace_tokens(F.col(content_col))).alias("tok")
     )
     h = _h(F.col("tok"))
@@ -457,11 +546,19 @@ def simhash_pairs(
     n_blocks = max_hamming + 1
     _release_stale()
     max_bucket = _resolve_max_bucket(docs, max_bucket)
-    # repartition the raw docs BEFORE computing signatures: the tokenize+hash
-    # projection is the expensive part, and with the repartition on top of it
-    # a one-file table would compute every signature on a single task.
+    # r12 exact-dup pre-collapse (note 108's remaining sibling): identical
+    # texts have IDENTICAL simhash signatures, so the tokenize+hash
+    # projection, the block explode, and the bucket self-join all run at
+    # distinct-text grain (the collapse's base fans the raw docs across
+    # cores, replacing the repartition that used to live here). Byte-
+    # identity with the uncollapsed pass: occupancy sums group sizes
+    # (documents), cross-group pairs inherit the rep pair's hamming
+    # verbatim, and intra-group pairs (hamming exactly 0) are emitted iff
+    # the rep retains ≥1 post-cap bucket — the same "shares a surviving
+    # (block, value) key" condition the uncollapsed join applied to them.
+    reps, members = _exact_collapse(docs, content_col, id_col)
     sig = simhash_signatures(
-        _ensure_parallelism(docs), content_col=content_col, id_col=id_col, bits=bits
+        reps.select("id", "_content"), content_col="_content", id_col="id", bits=bits
     )
     sig = _scoped_cache(sig)
 
@@ -482,17 +579,47 @@ def simhash_pairs(
     keyed = sig.select("id", "simhash", F.explode(block_structs).alias("bk")).select(
         "id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val")
     )
-    keyed = _cap_bucket_occupancy(keyed, ["blk", "val"], max_bucket)
+    keyed = _cap_bucket_occupancy(
+        keyed.join(reps.select("id", "grp_n"), "id"),
+        ["blk", "val"],
+        max_bucket,
+        weight_col="grp_n",
+    ).drop("grp_n")
     a = keyed.select("blk", "val", F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
     b = keyed.select("blk", "val", F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
+    rep_pairs = (
         a.join(b, ["blk", "val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    ma = members.select(F.col("rid").alias("id_a"), F.col("id").alias("xa"))
+    mb = members.select(F.col("rid").alias("id_b"), F.col("id").alias("xb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("xa", "xb").alias("id_a"),
+            F.greatest("xa", "xb").alias("id_b"),
+            "hamming",
+        )
+    )
+    # intra-group pairs (hamming 0): emitted iff the rep kept >=1 bucket
+    bucketed_reps = keyed.select(F.col("id").alias("rid")).distinct()
+    dup_members = members.where(F.col("grp_n") > 1).join(bucketed_reps, "rid")
+    p, q = dup_members.alias("p"), dup_members.alias("q")
+    intra = (
+        p.join(q, "rid")
+        .where(F.col("p.id") < F.col("q.id"))
+        .select(
+            F.col("p.id").alias("id_a"),
+            F.col("q.id").alias("id_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # Auto-switch ceiling for the exact N² embedding pass: above this many

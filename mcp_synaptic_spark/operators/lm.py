@@ -29,8 +29,9 @@ Semantics (per language ``g`` of the TRAIN corpus):
 
 Tokens are whitespace-split on ``lower(text)`` (language-neutral — the
 ``[^a-z0-9]`` splitter of the TF-IDF tier would erase non-Latin scripts).
-Docs with no tokens are excluded; docs whose language has no train rows are
-excluded (inner join on the per-language totals).
+Docs with no tokens are excluded; docs with a NULL language tag are excluded
+(explicitly, on both train and score sides — ADVICE r11); docs whose language
+has no train rows are excluded (inner join on the per-language totals).
 
 Physical shape — designed against the 100 TB questions:
 
@@ -90,7 +91,16 @@ def _tok_arrays(
     docs: DataFrame, *, text_col: str, lang_col: str, extra: tuple[str, ...] = ()
 ) -> DataFrame:
     """(extra..., lang, toks): whitespace tokens of lower(text), empties
-    dropped, token-less docs removed.  Pure projection, zero shuffles."""
+    dropped, token-less and NULL-``lang`` docs removed.  Pure projection,
+    zero shuffles.
+
+    NULL-lang rows are excluded EXPLICITLY on both the train and score
+    sides (ADVICE r11): the scoring joins are lang-equality joins, so a
+    NULL-lang doc could never match the totals table anyway — but without
+    this filter the train side still built a useless NULL-lang group in
+    the LM tables while the doc silently vanished from scoring. Now the
+    exclusion is one declared rule: no language tag ⇒ no LM row, matching
+    the documented 'language has no train rows' exclusion."""
     from ..util import ensure_parallelism
 
     toks = F.filter(
@@ -101,7 +111,9 @@ def _tok_arrays(
     # training/scoring map stage runs on a single task (the r11
     # mllib_lsh_index_build lesson, PLANS note 104)
     return (
-        ensure_parallelism(docs.where(F.col(text_col).isNotNull()))
+        ensure_parallelism(
+            docs.where(F.col(text_col).isNotNull() & F.col(lang_col).isNotNull())
+        )
         .select(*extra, F.col(lang_col).alias("lang"), toks.alias("toks"))
         .where(F.size("toks") > 0)
     )

@@ -77,6 +77,36 @@ def session_tz(df) -> _dt.tzinfo:
     return tzinfo_of(df.sparkSession.conf.get("spark.sql.session.timeZone"))
 
 
+def session_tz_name(df) -> str:
+    """The raw conf string `session_tz` resolves — captured alongside the
+    tzinfo so the executing stream can be checked against it (tz_guard)."""
+    return df.sparkSession.conf.get("spark.sql.session.timeZone")
+
+
+def guard_tz_chunks(pdfs, expected: str, col: str = "_tz"):
+    """Yield micro-batch chunks after asserting the EXECUTING query's
+    session timezone still matches the one the twin was constructed under
+    (ADVICE r11): the fold clock (day_close_us etc.) is baked into the
+    closure at construction, but the Arrow serializer renders timestamps
+    under the conf in effect when the query STARTS — a
+    spark.sql.session.timeZone change in between would silently skew every
+    day close. The twins attach ``F.current_timezone()`` to their input
+    (folded at micro-batch planning under the query's own conf snapshot,
+    not the construction-time conf), so a mismatch surfaces here as a loud
+    query failure on the first non-empty batch instead of wrong rows."""
+    for pdf in pdfs:
+        if len(pdf):
+            got = str(pdf[col].iat[0])
+            if got != expected:
+                raise RuntimeError(
+                    f"session timezone changed between stateful-twin "
+                    f"construction ({expected!r}) and stream execution "
+                    f"({got!r}); rebuild the twin under the executing "
+                    f"session's spark.sql.session.timeZone"
+                )
+        yield pdf
+
+
 def boundary_close_us(local_us: int, tz: _dt.tzinfo) -> int:
     """True-UTC epoch µs at which the local wall boundary ``local_us`` is
     irrevocably past: the max over PEP-495 folds of the boundary's instant.

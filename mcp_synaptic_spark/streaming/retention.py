@@ -55,8 +55,10 @@ from ._pandas import (
     accumulate_days,
     day_close_us,
     drain_closed_days,
+    guard_tz_chunks,
     latest_closed_day,
     session_tz,
+    session_tz_name,
 )
 
 OUTPUT_SCHEMA = T.StructType(
@@ -110,6 +112,7 @@ def retention_updates_stream(
     the watermark (_pandas.day_close_us — DST-exact, so the fold stays
     event-time-ordered and the cohort-min argument survives non-UTC
     sessions)."""
+    tz_name = session_tz_name(events_stream)
     tz = session_tz(events_stream)
 
     def update(
@@ -122,7 +125,7 @@ def retention_updates_stream(
             buf = set(int(b) for b in buf_raw)
         else:
             cohort, emitted, buf = None, set(), set()
-        accumulate_days(pdfs, buf)
+        accumulate_days(guard_tz_chunks(pdfs, tz_name), buf)
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         out = []
@@ -146,7 +149,13 @@ def retention_updates_stream(
     ev = (
         events_stream.withWatermark(ts_col, watermark_delay)
         .where(F.col(ts_col).isNotNull() & F.col(by).isNotNull())
-        .select(F.col(by).cast("string").alias("key"), F.col(ts_col).alias("t"))
+        .select(
+            F.col(by).cast("string").alias("key"),
+            F.col(ts_col).alias("t"),
+            # evaluated under the QUERY's conf snapshot at micro-batch
+            # planning — guard_tz_chunks compares it to tz_name (ADVICE r11)
+            F.current_timezone().alias("_tz"),
+        )
     )
     return ev.groupBy("key").applyInPandasWithState(
         update,
@@ -204,6 +213,7 @@ def active_users_updates_stream(
         raise ValueError("window_days must be >= 1")
     w = window_days
 
+    tz_name = session_tz_name(events_stream)
     tz = session_tz(events_stream)
 
     def update(
@@ -216,7 +226,7 @@ def active_users_updates_stream(
             buf = set(int(x) for x in buf_raw)
         else:
             last, folded, buf = None, set(), set()
-        accumulate_days(pdfs, buf)
+        accumulate_days(guard_tz_chunks(pdfs, tz_name), buf)
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         # newest closed report day (r closed iff day_close_us(r) ≤ wm —
@@ -276,7 +286,11 @@ def active_users_updates_stream(
     ev = (
         events_stream.withWatermark(ts_col, watermark_delay)
         .where(F.col(ts_col).isNotNull() & F.col(by).isNotNull())
-        .select(F.col(by).cast("string").alias("key"), F.col(ts_col).alias("t"))
+        .select(
+            F.col(by).cast("string").alias("key"),
+            F.col(ts_col).alias("t"),
+            F.current_timezone().alias("_tz"),  # see retention twin note
+        )
     )
     return ev.groupBy("key").applyInPandasWithState(
         update,

@@ -686,10 +686,12 @@ def test_minhash_collapse_byte_identical_to_uncollapsed(spark):
         right = buckets.select("band", "band_key", F.col("id").alias("id_b"))
         cand = (left.join(right, ["band", "band_key"]).where(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b").distinct())
+        # r12: verify over shingle digests, mirroring the operator's recipe
+        dg = sh.select("id", F.array_distinct(F.transform("shingles", D._h)).alias("dg"))
         return (cand
-                .join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
-                .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
-                .select("id_a", "id_b", F.round(D._jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+                .join(dg.select(F.col("id").alias("id_a"), F.col("dg").alias("dg_a")), "id_a")
+                .join(dg.select(F.col("id").alias("id_b"), F.col("dg").alias("dg_b")), "id_b")
+                .select("id_a", "id_b", F.round(D._jaccard(F.col("dg_a"), F.col("dg_b")), 6).alias("jaccard"))
                 .where(F.col("jaccard") >= 0.3))
 
     for cap in (None, 5):
@@ -700,4 +702,110 @@ def test_minhash_collapse_byte_identical_to_uncollapsed(spark):
     # sanity: the cap=5 arm must actually differ from uncapped (the cap binds)
     uncapped = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs, threshold=0.3, max_bucket=None).collect()}
     capped = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs, threshold=0.3, max_bucket=5).collect()}
+    assert capped < uncapped
+
+
+def test_ngram_collapse_byte_identical_to_uncollapsed(spark):
+    """r12 exact-dup pre-collapse on the inverted-index Jaccard tier: the
+    collapsed pipeline must reproduce the UNCOLLAPSED pipeline's row set
+    exactly — cross-group pairs, intra-group pairs under a binding max_df
+    (jaccard s/(2n−s), NOT a blanket 1.0), and document-grain df counts."""
+    from pyspark.sql import functions as F
+
+    base = [
+        "spark shuffle join partition exchange codegen whole stage",
+        "spark shuffle join partition exchange codegen whole stage tungsten",
+        "completely different words about cats and dogs and fish",
+        "boilerplate header lorem ipsum dolor sit amet consectetur",
+    ]
+    rows = [(g * 100 + i, t) for g, t in enumerate(base) for i in range(4 if g < 2 else 7)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def uncollapsed(max_df):
+        sh = D.shingle_sets(docs)
+        sized = sh.select(
+            "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+        )
+        if max_df is not None:
+            rare = (
+                sized.groupBy("sh").agg(F.count("*").alias("_df"))
+                .where(F.col("_df") <= max_df).select("sh")
+            )
+            sized = sized.join(rare, "sh")
+        a = sized.select("sh", F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+        b = sized.select("sh", F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+        inter = (
+            a.join(b, "sh").where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "n_a", "n_b").agg(F.count("*").alias("inter"))
+        )
+        jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        return (
+            inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= 0.3)
+        )
+
+    # max_df=6 binds: group-2/3 shingles (7 copies each) get dropped entirely,
+    # so their intra pairs must VANISH (s=0), and the 4-copy groups keep s=n
+    for max_df in (None, 10, 6):
+        want = {(r.id_a, r.id_b): r.jaccard for r in uncollapsed(max_df).collect()}
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in D.ngram_jaccard_pairs(docs, threshold=0.3, max_df=max_df).collect()}
+        assert got == want, f"max_df={max_df}: diff={set(got.items()) ^ set(want.items())}"
+    # sanity: the max_df=6 arm differs from unfiltered (the dial binds)
+    full = {(r.id_a, r.id_b) for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    capped = {(r.id_a, r.id_b) for r in D.ngram_jaccard_pairs(docs, threshold=0.3, max_df=6).collect()}
+    assert capped < full
+
+
+def test_simhash_collapse_byte_identical_to_uncollapsed(spark):
+    """r12 exact-dup pre-collapse on the SimHash pigeonhole tier: collapsed
+    output == uncollapsed output exactly, uncapped AND with a binding
+    occupancy cap counted in DOCUMENTS."""
+    from pyspark.sql import functions as F
+
+    base = [
+        "spark shuffle join partition exchange codegen whole stage",
+        "spark shuffle join partition exchange codegen whole stage tungsten",
+        "completely different words about cats and dogs and fish",
+        "boilerplate header lorem ipsum dolor sit amet consectetur",
+    ]
+    rows = [(g * 100 + i, t) for g, t in enumerate(base) for i in range(4 if g < 2 else 7)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bits, max_hamming = 32, 3
+    n_blocks = max_hamming + 1
+
+    def uncollapsed(max_bucket):
+        sig = D.simhash_signatures(docs, bits=bits)
+        widths = [bits // n_blocks] * n_blocks
+        widths[-1] += bits % n_blocks
+        offsets = [sum(widths[:i]) for i in range(n_blocks)]
+        block_structs = F.array(*[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("val"),
+            )
+            for i in range(n_blocks)
+        ])
+        keyed = sig.select("id", "simhash", F.explode(block_structs).alias("bk")).select(
+            "id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val")
+        )
+        keyed = D._cap_bucket_occupancy(keyed, ["blk", "val"], max_bucket)
+        a = keyed.select("blk", "val", F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+        b = keyed.select("blk", "val", F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+        ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        return (
+            a.join(b, ["blk", "val"]).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming).distinct()
+        )
+
+    for cap in (None, 5):
+        want = {(r.id_a, r.id_b): r.hamming for r in uncollapsed(cap).collect()}
+        got = {(r.id_a, r.id_b): r.hamming
+               for r in D.simhash_pairs(docs, max_bucket=cap).collect()}
+        assert got == want, f"cap={cap}: diff={set(got.items()) ^ set(want.items())}"
+    # sanity: the cap=5 arm must actually differ from uncapped
+    uncapped = {(r.id_a, r.id_b) for r in D.simhash_pairs(docs, max_bucket=None).collect()}
+    capped = {(r.id_a, r.id_b) for r in D.simhash_pairs(docs, max_bucket=5).collect()}
     assert capped < uncapped

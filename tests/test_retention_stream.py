@@ -336,3 +336,32 @@ def test_unresolvable_session_tz_raises_loudly():
     assert tzinfo_of("+05:30").utcoffset(None) == _dt.timedelta(hours=5, minutes=30)
     assert tzinfo_of("GMT+8:00").utcoffset(None) == _dt.timedelta(hours=8)
     assert tzinfo_of("America/New_York") is not None
+
+
+def test_tz_change_between_construction_and_start_raises(spark, tmp_path):
+    """ADVICE r11: the fold clock (day_close_us) is baked into the twin's
+    closure at construction, but the Arrow serializer renders timestamps
+    under the conf in effect at query START — a session.timeZone change in
+    between must surface as a loud query failure (guard_tz_chunks comparing
+    the attached current_timezone() column), never as silently skewed day
+    closes."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from stream_utils import session_tz
+
+    stream = replayed_stream(
+        spark, tmp_path, [[(1, _ts(2, 5), "view")], [(9, _ts(28), "view")]], SCHEMA
+    )
+    twin = retention_updates_stream(stream)  # built under the current zone
+    with session_tz(spark, "America/New_York"):
+        q = (
+            twin.writeStream.format("memory")
+            .queryName("tz_guard_trip")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(StreamingQueryException, match="session timezone changed"):
+            q.awaitTermination(180)
