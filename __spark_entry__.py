@@ -2759,13 +2759,22 @@ cand AS (
   SELECT DISTINCT b.bid, c.id AS cid
   FROM bbands b JOIN cbands c USING (band, band_key)
 ),
+-- r12: verify over 60-bit shingle digests, mirroring dedup.py's recipe
+cshd AS (
+  SELECT id, list_distinct(list_transform(shingles,
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS dg
+  FROM sh),
+bshd AS (
+  SELECT bid, list_distinct(list_transform(shingles,
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS dg
+  FROM bsh),
 ver AS (
   SELECT bid, cid,
-    round(length(list_intersect(sb.shingles, sc.shingles))::DOUBLE /
-      (length(sb.shingles) + length(sc.shingles) - length(list_intersect(sb.shingles, sc.shingles))), 6) AS jaccard
-  FROM cand JOIN bsh sb USING (bid) JOIN sh sc ON sc.id = cand.cid
-  WHERE round(length(list_intersect(sb.shingles, sc.shingles))::DOUBLE /
-      (length(sb.shingles) + length(sc.shingles) - length(list_intersect(sb.shingles, sc.shingles))), 6) >= 0.5
+    round(length(list_intersect(sb.dg, sc.dg))::DOUBLE /
+      (length(sb.dg) + length(sc.dg) - length(list_intersect(sb.dg, sc.dg))), 6) AS jaccard
+  FROM cand JOIN bshd sb USING (bid) JOIN cshd sc ON sc.id = cand.cid
+  WHERE round(length(list_intersect(sb.dg, sc.dg))::DOUBLE /
+      (length(sb.dg) + length(sc.dg) - length(list_intersect(sb.dg, sc.dg))), 6) >= 0.5
 ),
 near AS (
   SELECT bid, jaccard AS near_jaccard, cid AS near_match FROM (
@@ -4264,48 +4273,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r8 afterward); its two tail-born drift queries rode the escape hatch
     into r11 (the generalized pin in tests/test_driver_contract.py).
 
-    Round-11 window (this file): executes the plan the r10 contract pinned.
-    Slots 1-2 are the two tail-born drift queries (their FIRST driver
-    grade — r11_rotation_pins in the r10 contract test). Slots 3-20 retire
-    the ENTIRE r8-stamped ledger cohort (the oldest rows after the r10
-    rotation). Then every query whose operator files r11 touches: the
-    rag.py restructure (threshold applied after top-k; the unrolled-cosine
-    half was REJECTED by its own A/B — PLANS note 97) stales the whole RAG
-    family
-    (rag.py + functions/vector.py), the _write_cells_sidecar fence stales
-    the similarity.py family (which shares functions/vector.py), and the
-    bm25_index.py fingerprint-fold fix (ADVICE r10: bit_xor is a weak
-    multiset hash) stales bm25_search_indexed. The remaining slots refresh
-    r9-stamped dedup/clustering rows — mandatory once the late-round
-    dedup.py touch (minhash exact-dup pre-collapse, PLANS note 108)
-    landed, which also rotated dedup_rate_by_source / dedup_incremental /
-    corpus_prep_pipeline in from the tail in place of embed_texts /
-    ts_parse_multi / memory_access_replay (evicted un-graded; files
-    bit-unchanged since their r9 grade, ledger reset to 9 per the
-    eviction protocol). After this rotation no ledger row is older
-    than r9.
-
-    Round-12 window plan (for the next rotation): slots 1-2 are the two
-    tail-born LM-perplexity queries (r11 births them after its window
-    froze; r12_rotation_pins in tests/test_driver_contract.py makes their
-    first grade mandatory); then any query whose operator files r12
-    touches — r12 already owes the ensure_parallelism fan-out to
-    pipeline.py / stats.py / terms.py (PLANS note 105: the single-split
-    map-stage pathology, deferred because their tail families exceed the
-    r11 window's free slots), whose families therefore rotate in; then
-    the oldest ledger rows (the r9-stamped
-    pipeline.py / streaming-windows / multimodal families:
-    corpus_prep_pipeline, decontaminate, train_test_split, pii_redact,
-    stratified_sample, dedup_within_doc, source_cap, source_mix,
-    pack_sequences, chunk_documents, token_budget_select, events_hourly,
-    events_sliding, events_sessions, frame_sample, multimodal_features,
-    sanitize — after grading them nothing predates r10)."""
+    Round-12 window (this file): slots 1-2 first-grade the two tail-born
+    LM-perplexity queries (pinned by the r11 contract's r12_rotation_pins).
+    Then every query whose operator files r12 touches: the note-105
+    ensure_parallelism fan-out landed in pipeline.py / stats.py / terms.py
+    (A/B: decontaminate 81-87s -> 18-31s, corpus_summary 17-25s -> 2.4-2.7s,
+    tfidf 32-48s -> 5.5-18s at the 100x grain), rotating the pipeline /
+    corpus_summary / tfidf / source_overlap families in; and the dedup.py
+    work (exact-dup pre-collapse extended to ngram/simhash and the
+    persisted index build, the digest-based verify joins, the sha2 collapse
+    key) rotates the whole dedup/clustering/semantic family in. The free
+    slots retire ALL remaining r9-stamped rows (embed_texts /
+    ts_parse_multi / memory_access_replay — the trio evicted un-regraded in
+    r11 — plus sanitize and the streaming-windows/multimodal families) and
+    the eight oldest r10 rows (the events temporal suite). After this
+    rotation nothing in the ledger predates r10.
+    """
     return {
-        # --- r11 graded window (50): see docstring for the rotation logic
-        # first driver grade for the r10 tail-born drift pair (contract pins)
+        # --- r12 graded window (50): see docstring for the rotation logic
+        # first driver grade for the r11 tail-born LM pair (contract pins)
+        "lm_perplexity": _q_lm_perplexity,
+        "lm_ppl_buckets": _q_lm_ppl_buckets,
+        # r12-touched: operators/pipeline.py (+stats.py/terms.py below) —
+        # the note-105 ensure_parallelism fan-out
+        "decontaminate": _q_decontaminate,
+        "train_test_split": _q_train_test_split,
+        "pii_redact": _q_pii_redact,
+        "stratified_sample": _q_stratified_sample,
+        "dedup_within_doc": _q_dedup_within_doc,
+        "source_cap": _q_source_cap,
+        "source_mix": _q_source_mix,
+        "pack_sequences": _q_pack_sequences,
+        "chunk_documents": _q_chunk_documents,
+        "token_budget_select": _q_token_budget_select,
+        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
+        # r12-touched: operators/stats.py and operators/terms.py
+        "corpus_summary": _q_corpus_summary,
+        "tfidf_terms": _q_tfidf_terms,
+        "source_overlap": _q_source_overlap,
+        # r12-touched: operators/dedup.py (pre-collapse extension to the
+        # ngram/simhash tiers + the persisted index build, digest-based
+        # verify joins, sha2 collapse key) — stales every dedup.py/
+        # clustering.py-backed row
+        "dedup_exact": _q_dedup_exact,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_capped": _q_dedup_simhash_capped,
+        "dedup_substring": _q_dedup_substring,
+        "dedup_substring_apply": _q_dedup_substring_apply,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_twostar": _q_dedup_clusters_twostar,
+        "dedup_apply_clusters": _q_dedup_apply_clusters,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "dedup_incremental": _q_dedup_incremental,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "dedup_semantic": _q_dedup_semantic,
+        "decontaminate_semantic": _q_decontaminate_semantic,
+        # r9-stamped ledger retirement: the trio evicted un-regraded in r11
+        # plus the remaining r9 rows (streaming windows / multimodal)
+        "embed_texts": _q_embed_texts,
+        "ts_parse_multi": _q_ts_parse_multi,
+        "memory_access_replay": _q_memory_access_replay,
+        "sanitize": _q_sanitize,
+        "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
+        "events_sessions": _q_events_sessions,
+        "frame_sample": _q_frame_sample,
+        "multimodal_features": _q_multimodal_features,
+        # oldest r10 rows: the events temporal suite refresh
+        "events_asof_join": _q_events_asof_join,
+        "events_range_join": _q_events_range_join,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "events_retention_weekly": _q_events_retention_weekly,
+        "events_active_users": _q_events_active_users,
+        "events_anomaly": _q_events_anomaly,
+        "events_conversion_lag": _q_events_conversion_lag,
+        # ---- entry 50 ends here ------------------------------------------
+        # tail: every entry below is green in CORRECTNESS_r10/r11 with
+        # operator files unchanged since (EVIDENCE.json + tools/evidence.py
+        # enforce it)
         "corpus_drift": _q_corpus_drift,
         "corpus_drift_lang": _q_corpus_drift_lang,
-        # r8-stamped ledger cohort retired (oldest rows after r10)
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -4324,74 +4376,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "props_keys": _q_props_keys,
         "max_score": _q_max_score,
-        # r11-touched: operators/rag.py + functions/vector.py (compiled-dot
-        # restructure — threshold after top-k, single parsed cosine)
         "rag_search": _q_rag_search,
         "rag_search_filtered": _q_rag_search_filtered,
         "find_similar": _q_find_similar,
         "batch_topk": _q_batch_topk,
         "pairwise_similarity": _q_pairwise_similarity,
         "knn_classify": _q_knn_classify,
-        # r11-touched: operators/similarity.py (cells-sidecar fence) +
-        # functions/vector.py (shared with the RAG family above)
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_mllib_lsh": _q_ann_mllib_lsh,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_quantized_topk": _q_ann_quantized_topk,
         "ann_ivf_sq8_topk": _q_ann_ivf_sq8_topk,
-        "dedup_semantic": _q_dedup_semantic,
-        "decontaminate_semantic": _q_decontaminate_semantic,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        # r11-touched: operators/bm25_index.py (fingerprint sum fold)
         "bm25_search_indexed": _q_bm25_search_indexed,
-        # r9-stamped ledger refresh: dedup.py / clustering.py / embedder
-        # families (the oldest rows that fit after the touched files)
-        "dedup_exact": _q_dedup_exact,
-        "dedup_keep_first": _q_dedup_keep_first,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash_capped": _q_dedup_simhash_capped,
-        "dedup_substring": _q_dedup_substring,
-        "dedup_substring_apply": _q_dedup_substring_apply,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_clusters_twostar": _q_dedup_clusters_twostar,
-        "dedup_apply_clusters": _q_dedup_apply_clusters,
-        # r11-touched late in the round: operators/dedup.py (the minhash
-        # exact-dup pre-collapse, PLANS note 108) stales every
-        # dedup.py-backed tail row too — these three rotate IN;
-        # embed_texts / ts_parse_multi / memory_access_replay rotate out
-        # (their files are bit-unchanged since their r9 grade — ledger
-        # reset to 9, the documented eviction protocol)
-        "dedup_rate_by_source": _q_dedup_rate_by_source,
-        "dedup_incremental": _q_dedup_incremental,
-        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
-        # ---- entry 50 ends here ------------------------------------------
-        # tail: every entry below is green in CORRECTNESS_r09/r10 with
-        # operator files unchanged since (EVIDENCE.json + tools/evidence.py
-        # enforce it)
-        "events_asof_join": _q_events_asof_join,
-        "events_range_join": _q_events_range_join,
-        "corpus_summary": _q_corpus_summary,
         "dedup_editdist": _q_dedup_editdist,
         "dedup_editdist_segment": _q_dedup_editdist_segment,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "events_active_users": _q_events_active_users,
-        "tfidf_terms": _q_tfidf_terms,
-        "source_overlap": _q_source_overlap,
-        "events_anomaly": _q_events_anomaly,
         "embedding_screen": _q_embedding_screen,
         "dims_profile": _q_dims_profile,
-        "embed_texts": _q_embed_texts,
-        "events_retention_weekly": _q_events_retention_weekly,
-        "events_conversion_lag": _q_events_conversion_lag,
         "text_screen": _q_text_screen,
         "memory_upsert_txn": _q_memory_upsert_txn,
         "memory_upsert_ckpt": _q_memory_upsert_ckpt,
         "memory_snapshot_read": _q_memory_snapshot_read,
-        "ts_parse_multi": _q_ts_parse_multi,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
@@ -4420,28 +4424,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_update": _q_doc_update,
         "doc_delete": _q_doc_delete,
         "doc_stats": _q_doc_stats,
-        "memory_access_replay": _q_memory_access_replay,
-        "decontaminate": _q_decontaminate,
-        "train_test_split": _q_train_test_split,
-        "pii_redact": _q_pii_redact,
-        "stratified_sample": _q_stratified_sample,
-        "dedup_within_doc": _q_dedup_within_doc,
-        "source_cap": _q_source_cap,
-        "source_mix": _q_source_mix,
-        "pack_sequences": _q_pack_sequences,
-        "chunk_documents": _q_chunk_documents,
-        "sanitize": _q_sanitize,
-        "events_hourly": _q_events_hourly,
-        "events_sliding": _q_events_sliding,
-        "events_sessions": _q_events_sessions,
-        "frame_sample": _q_frame_sample,
-        "multimodal_features": _q_multimodal_features,
-        "token_budget_select": _q_token_budget_select,
-        # r11 tail-born (window full and stamped before they were written):
-        # pending first grade, pinned into the r12 rotation by
-        # tests/test_driver_contract.py (the drift pair's escape hatch)
-        "lm_perplexity": _q_lm_perplexity,
-        "lm_ppl_buckets": _q_lm_ppl_buckets,
     }
 
 

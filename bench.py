@@ -87,22 +87,29 @@ def main() -> None:
     # spread across queries. ~1.1-1.3 = quiet box; >2 = the contended regime
     # of PLANS.md notes 15/16 where absolute numbers track machine state.
     sp = sorted(spreads.values()) or [1.0]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "passes": 2,
-                "agg": "min",
-                "comparable_total_pre_r7_queries": comparable,
-                "noise_spread_median": round(sp[len(sp) // 2], 3),
-                "noise_spread_max": round(sp[-1], 3),
-            }
-        )
+    payload = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "passes": 2,
+        "agg": "min",
+        "comparable_total_pre_r7_queries": comparable,
+        "noise_spread_median": round(sp[len(sp) // 2], 3),
+        "noise_spread_max": round(sp[-1], 3),
+    }
+    # loss-proof artifact (VERDICT r11 next-round #6: the driver's BENCH
+    # capture kept only the stdout TAIL, losing the first ~40 queries'
+    # numbers for the round) — always also write the full JSON to a file,
+    # round-stamped when the driver exports SPARK_GRAFT_ROUND.
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "local")
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL_r{rnd}.json"
     )
+    with open(local_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

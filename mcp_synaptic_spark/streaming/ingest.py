@@ -33,7 +33,7 @@ from ..operators.text_analysis import GATE_RULES, quality_gate
 from ..operators.text_qa import suspect_expr
 from .dedup_stream import streaming_exact_dedup
 
-__all__ = ["ingest_pipeline", "admit_stream"]
+__all__ = ["ingest_pipeline", "admit_stream", "quality_admit_verdicts", "quality_admit_stream"]
 
 
 def ingest_pipeline(
@@ -184,6 +184,173 @@ def admit_stream(
                     dedup_index_append_txn(admitted_docs, index_path, id_col=id_col)
                 else:
                     dedup_index_append(admitted_docs, index_path, id_col=id_col)
+            sink(vd, batch_id)
+        else:
+            sink(verdicts, batch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def quality_admit_verdicts(
+    batch_df: DataFrame,
+    lm,
+    *,
+    corpus: DataFrame | None = None,
+    index=None,
+    ppl_cutoff: float = 3.5,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One micro-batch through the full quality front door — the BATCH
+    composition `quality_admit_stream` applies per trigger (kept separate
+    so stream==batch is pinnable over the exact same function):
+
+        quality gate  (text_analysis.quality_gate, fused projection)
+        → LM filter   (lm.perplexity against PRE-FIT tables — the CCNet
+                       keep-the-head step; train-once/score-many, the
+                       corpus is never rescanned for training per batch)
+        → dedup screen (dedup.dedup_incremental, exact + near)
+
+    Verdict per document, first failing tier wins:
+      gate_rejected  a gate rule fired (reasons carries which)
+      lm_unscored    survived the gate but has no LM score row (no tokens,
+                     NULL lang, or a language absent from the trained LM) —
+                     rejected CONSERVATIVELY: an unscorable doc must not
+                     skip the quality tier (documented deviation dial)
+      lm_rejected    scored, logppl > ppl_cutoff (high-perplexity tail)
+      exact_dup / near_dup / admitted   from the dedup screen
+
+    Output: (id_col, verdict, reasons, logppl, match_id, jaccard).
+    """
+    from ..operators.dedup import dedup_incremental
+    from ..operators.lm import perplexity
+
+    if id_col != "doc_id":
+        # quality_gate's output id column is fixed; normalize and restore
+        batch_df = batch_df.withColumnRenamed(id_col, "doc_id")
+        out = quality_admit_verdicts(
+            batch_df, lm, corpus=corpus, index=index, ppl_cutoff=ppl_cutoff,
+            threshold=threshold, max_bucket=max_bucket, id_col="doc_id",
+            text_col=text_col, lang_col=lang_col,
+        )
+        return out.withColumnRenamed("doc_id", id_col)
+    gate = quality_gate(batch_df, content_col=text_col).select(
+        id_col, "keep", "reasons"
+    )
+    scored = perplexity(
+        batch_df.join(gate.where("keep").select(id_col), id_col, "semi"),
+        lm=lm,
+        text_col=text_col,
+        lang_col=lang_col,
+        id_col=id_col,
+    ).select(id_col, "logppl")
+    survivors = (
+        batch_df.join(
+            scored.where(F.col("logppl") <= ppl_cutoff).select(id_col), id_col, "semi"
+        )
+    )
+    screened = dedup_incremental(
+        corpus,
+        survivors,
+        threshold=threshold,
+        max_bucket=max_bucket,
+        index=index,
+        id_col=id_col,
+    )
+    g = gate
+    verdict = (
+        F.when(~F.col("keep"), F.lit("gate_rejected"))
+        .when(F.col("logppl").isNull(), F.lit("lm_unscored"))
+        .when(F.col("logppl") > ppl_cutoff, F.lit("lm_rejected"))
+        .otherwise(F.col("dd_verdict"))
+    )
+    return (
+        g.join(scored, id_col, "left")
+        .join(
+            screened.select(
+                id_col,
+                F.col("verdict").alias("dd_verdict"),
+                "match_id",
+                "jaccard",
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            verdict.alias("verdict"),
+            "reasons",
+            "logppl",
+            F.when(verdict.isin("exact_dup", "near_dup"), F.col("match_id")).alias("match_id"),
+            F.when(verdict.isin("exact_dup", "near_dup"), F.col("jaccard")).alias("jaccard"),
+        )
+    )
+
+
+def quality_admit_stream(
+    docs_stream: DataFrame,
+    lm,
+    sink,
+    *,
+    checkpoint: str,
+    index_path: str,
+    ppl_cutoff: float = 3.5,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+    append_admitted: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+):
+    """The COMPLETE streaming admission service (r12, VERDICT r11 #7):
+    gate → prefit-LM perplexity filter → incremental dedup screen per
+    micro-batch, probing (and optionally growing) the persisted dedup
+    index. `admit_stream` is the dedup-only half; this wires the quality
+    tier in front so the front door carries the CCNet-style LM signal.
+
+    ``lm`` is the pre-fit (uni, bi+ctx, totals) tuple from
+    lm.train_bigram_lm — train once (persist the three tables), score
+    every batch; the training corpus is never rescanned per trigger.
+    Per-batch verdict semantics and output columns:
+    quality_admit_verdicts (stream==batch is pinned over that exact
+    function). append semantics mirror admit_stream: with
+    ``append_admitted=True`` each batch's admitted docs are appended to
+    the index before the next batch screens, so an admitted doc is an
+    exact_dup one trigger later."""
+    import os
+
+    from ..operators.dedup import dedup_index_append, dedup_index_load
+
+    def _screen(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        verdicts = quality_admit_verdicts(
+            batch_df,
+            lm,
+            index=dedup_index_load(spark, index_path),
+            ppl_cutoff=ppl_cutoff,
+            threshold=threshold,
+            max_bucket=max_bucket,
+            id_col=id_col,
+            text_col=text_col,
+            lang_col=lang_col,
+        )
+        if append_admitted:
+            scratch = os.path.join(checkpoint, "_screen", f"batch-{batch_id}")
+            verdicts.write.mode("overwrite").parquet(scratch)
+            vd = spark.read.parquet(scratch)
+            admitted_docs = batch_df.join(
+                vd.where(F.col("verdict") == "admitted").select(id_col), id_col, "semi"
+            )
+            if vd.where(F.col("verdict") == "admitted").limit(1).count():
+                dedup_index_append(admitted_docs, index_path, id_col=id_col)
             sink(vd, batch_id)
         else:
             sink(verdicts, batch_id)

@@ -845,3 +845,90 @@ def test_admit_stream_txn_admission_same_service_plus_ledger(spark, sf_dir, tmp_
             spark.readStream.schema(b1.schema).parquet(src), None, lambda df, bid: None,
             checkpoint=str(tmp_path / "ckpt2"), index_path=index_path, txn_admission=True,
         )
+
+
+def test_quality_admit_stream_composed_front_door(spark, sf_dir, tmp_path):
+    """r12 (VERDICT r11 #7): the COMPLETE streaming admission service —
+    gate → prefit-LM perplexity filter → incremental dedup screen. Three
+    pinned behaviors: (1) streamed per-doc verdicts equal the batch
+    composition (quality_admit_verdicts) against the same static index;
+    (2) a gate-failing doc is gate_rejected BEFORE any LM/dedup verdict;
+    (3) a byte-copy of an indexed corpus doc that clears both quality
+    tiers flags exact_dup, and with append_admitted a doc admitted in
+    batch N flags exact_dup in batch N+1."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.dedup import dedup_index_load, dedup_index_write
+    from mcp_synaptic_spark.operators.lm import perplexity, train_bigram_lm
+    from mcp_synaptic_spark.streaming.ingest import (
+        quality_admit_stream,
+        quality_admit_verdicts,
+    )
+
+    corpus = load_table(spark, sf_dir, "documents")
+    index_path = str(tmp_path / "idx")
+    dedup_index_write(corpus, index_path)
+    lm_tabs = tuple(t.cache() for t in train_bigram_lm(corpus))
+
+    # pick a corpus doc KNOWN to clear the LM cut so its copy must reach the
+    # dedup tier; cutoff = its own logppl + margin
+    probe = perplexity(corpus.limit(200), lm=lm_tabs).orderBy("logppl").first()
+    ppl_cut = float(probe["logppl"]) + 0.05
+    good = corpus.where(F.col("doc_id") == probe["doc_id"]).first()
+
+    novel_text = "entirely fresh arrival that matches nothing in the corpus today"
+    b1 = spark.createDataFrame(
+        [
+            (910_001, good["text"], good["lang"]),   # copy → exact_dup
+            (910_002, "zz zz", good["lang"]),        # too short → gate_rejected
+            (910_003, novel_text, good["lang"]),     # novel (LM fate data-driven)
+        ],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    b2 = spark.createDataFrame(
+        [(910_004, good["text"], good["lang"])],     # copy again → exact_dup
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    src = str(tmp_path / "arrivals")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    results = []
+    q = quality_admit_stream(
+        spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1).parquet(src),
+        lm_tabs,
+        lambda df, bid: results.extend(df.collect()),
+        checkpoint=str(tmp_path / "ckpt"),
+        index_path=index_path,
+        ppl_cutoff=ppl_cut,
+        append_admitted=True,
+    )
+    q.awaitTermination(180)
+    by_doc = {r.doc_id: r for r in results}
+    assert len(by_doc) == 4
+    assert by_doc[910_001].verdict == "exact_dup"
+    assert by_doc[910_001].match_id == probe["doc_id"]
+    assert by_doc[910_002].verdict == "gate_rejected"
+    assert "short" in by_doc[910_002].reasons
+    assert by_doc[910_004].verdict == "exact_dup"
+
+    # stream == batch composition against the (now grown) index
+    static_idx = dedup_index_load(spark, index_path)
+    twin = {
+        r.doc_id: r
+        for r in quality_admit_verdicts(
+            b1.unionByName(b2), lm_tabs, index=static_idx, ppl_cutoff=ppl_cut
+        ).collect()
+    }
+    for d in (910_001, 910_002, 910_004):
+        assert twin[d].verdict == by_doc[d].verdict, d
+    # the novel doc's fate is data-driven (lm_rejected/lm_unscored/admitted)
+    # but must agree between stream and the batch twin — UNLESS it was
+    # admitted and appended, in which case the twin (probing the grown
+    # index) sees exact_dup with the streamed copy as its own match
+    if by_doc[910_003].verdict == "admitted":
+        assert twin[910_003].verdict == "exact_dup"
+    else:
+        assert twin[910_003].verdict == by_doc[910_003].verdict
+    for t in lm_tabs:
+        t.unpersist()

@@ -909,6 +909,84 @@ def main() -> None:
         .count(),
     )
     checks["lm_prefit_replicas_match_base"] = bool(n_lm_mismatch == 0)
+
+    # --- r12: composed quality front door (VERDICT r11 next-round #7) ----
+    # gate → prefit-LM perplexity filter → incremental dedup screen, per
+    # micro-batch against the persisted admit index the admit tier built.
+    # Ground truth is two-fold: (a) the streamed per-doc verdicts equal the
+    # BATCH composition (quality_admit_verdicts on the same frames against
+    # the same static index — pins the foreachBatch wiring; the math of
+    # each stage carries its own driver grade), and (b) planted copies of
+    # indexed base docs are NEVER 'admitted' (they fail a quality tier or
+    # flag exact_dup — either way the front door holds).
+    from mcp_synaptic_spark.streaming.ingest import (
+        quality_admit_stream,
+        quality_admit_verdicts,
+    )
+
+    q_arrivals = f"{SCRATCH}/quality_arrivals"
+    q_ckpt = f"{SCRATCH}/quality_ckpt"
+    shutil.rmtree(q_arrivals, ignore_errors=True)
+    shutil.rmtree(q_ckpt, ignore_errors=True)
+    n_qbatches = 3
+    for b in range(n_qbatches):
+        copies = base_docs.where(F.col("doc_id") % 7 == b).select(
+            (F.col("doc_id") + 800_000_000 + b * 1_000_000).alias("doc_id"),
+            "text",
+            "lang",
+        )
+        # garbage ids live INSIDE batch b's 1M id block (the twin below
+        # recovers batch membership from the block index)
+        garbage = spark.range(50).select(
+            (F.lit(800_000_000 + b * 1_000_000 + 900_000) + F.col("id")).alias("doc_id"),
+            F.lit("zz " * 3).alias("text"),  # too short — gate-rejected
+            F.lit("en").alias("lang"),
+        )
+        copies.unionByName(garbage).coalesce(1).write.mode("append").parquet(q_arrivals)
+    q_counts: list[dict] = []
+
+    def q_sink(vd, bid):
+        q_counts.append(
+            {r["verdict"]: r["n"] for r in vd.groupBy("verdict").agg(F.count("*").alias("n")).collect()}
+        )
+
+    ppl_cut = 3.5
+
+    def quality_run():
+        qq = quality_admit_stream(
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(q_arrivals),
+            lm_tabs,
+            q_sink,
+            checkpoint=q_ckpt,
+            index_path=admit_idx,
+            ppl_cutoff=ppl_cut,
+            max_bucket=200,
+        )
+        qq.awaitTermination(1200)
+
+    timed("quality_admit_stream_total", quality_run)
+    from mcp_synaptic_spark.operators.dedup import dedup_index_load
+
+    static_idx = dedup_index_load(spark, admit_idx)
+    batch_twin = {}
+    for b in range(n_qbatches):
+        frame = spark.read.parquet(q_arrivals).where(
+            ((F.col("doc_id") - 800_000_000) / 1_000_000).cast("long") == b
+        )
+        vd = quality_admit_verdicts(
+            frame, lm_tabs, index=static_idx, ppl_cutoff=ppl_cut, max_bucket=200
+        )
+        for r in vd.groupBy("verdict").agg(F.count("*").alias("n")).collect():
+            batch_twin[r["verdict"]] = batch_twin.get(r["verdict"], 0) + r["n"]
+    stream_total: dict = {}
+    for c in q_counts:
+        for k, v in c.items():
+            stream_total[k] = stream_total.get(k, 0) + v
+    checks["quality_stream_equals_batch_composition"] = bool(stream_total == batch_twin)
+    checks["quality_verdict_counts"] = stream_total
+    checks["quality_no_copy_admitted"] = bool(stream_total.get("admitted", 0) == 0)
     for t in lm_tabs:
         t.unpersist()
 
