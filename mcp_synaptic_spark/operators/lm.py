@@ -248,3 +248,53 @@ def perplexity_buckets(
         "n_docs",
         F.round(F.col("n_docs") / F.col("lang_docs"), 6).alias("share"),
     )
+
+
+def lm_write(
+    lm: tuple[DataFrame, DataFrame, DataFrame], path: str, *, mode: str = "overwrite"
+) -> None:
+    """Persist pre-fit LM tables (train_bigram_lm's (unigram, bigram+ctx,
+    totals)) — the train-once/score-many production shape the module
+    docstring promises, made concrete: fit on the reference slice once,
+    write here, and every scoring job / streaming admission query
+    (streaming.ingest.quality_admit_stream) loads the tables instead of
+    rescanning the training corpus.
+
+    Layout mirrors the dedup index discipline (dedup.dedup_index_write):
+    {path}/unigram, {path}/bigram, {path}/totals parquet dirs +
+    {path}/_meta.json (recipe marker; scoring MUST tokenize the same way —
+    whitespace on lower(text) — so the marker is checked at load). The
+    totals dir is |langs| rows; unigram/bigram are vocab-bounded, never
+    corpus-row-bounded, so the artifact is small at any corpus scale."""
+    import json
+    import os
+
+    uni, bi, totals = lm
+    uni.write.mode(mode).parquet(os.path.join(path, "unigram"))
+    bi.write.mode(mode).parquet(os.path.join(path, "bigram"))
+    totals.write.mode(mode).parquet(os.path.join(path, "totals"))
+    if mode != "append":
+        meta_path = os.path.join(path, "_meta.json")
+        tmp = meta_path + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"tokenizer": "whitespace-lower", "order": 2}, f)
+        os.replace(tmp, meta_path)
+
+
+def lm_load(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(unigram, bigram+ctx, totals) for `perplexity(lm=...)` /
+    `quality_admit_stream`. Loud on a recipe mismatch — a LM scored with a
+    different tokenizer is silently wrong, never approximately right."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    want = {"tokenizer": "whitespace-lower", "order": 2}
+    if {k: meta.get(k) for k in want} != want:
+        raise ValueError(f"LM table recipe {meta} != scorer recipe {want}")
+    return (
+        spark.read.parquet(os.path.join(path, "unigram")),
+        spark.read.parquet(os.path.join(path, "bigram")),
+        spark.read.parquet(os.path.join(path, "totals")),
+    )

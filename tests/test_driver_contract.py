@@ -25,45 +25,49 @@ def test_every_query_has_an_oracle():
 
 
 def test_graded_window_holds_the_round_targets():
-    """The driver grades the FIRST 50 dict entries only. The r11 window must
-    hold (a) the two drift queries pending their FIRST driver grade
-    (tail-born in r10, pinned by the r10 contract's escape hatch),
-    (b) every query whose operator files r11 touches — the rag.py/
-    functions/vector.py compiled-dot restructure (whole RAG family), the
-    similarity.py cells-sidecar fence (ANN/semantic family), and the
-    bm25_index.py fingerprint-fold fix, (c) the entire r8-stamped ledger
-    cohort (the oldest rows — after this rotation nothing predates r9)."""
+    """The driver grades the FIRST 50 dict entries only. The r12 window must
+    hold (a) the two LM-perplexity queries pending their FIRST driver grade
+    (tail-born in r11, pinned by the r11 contract's escape hatch),
+    (b) every query whose operator files r12 touches — the note-105
+    ensure_parallelism fan-out (pipeline.py / stats.py / terms.py families)
+    and the dedup.py rework (pre-collapse on ngram/simhash/index build,
+    digest verify joins, rep-grain persisted index; stales every dedup.py/
+    clustering.py-backed row), (c) the oldest ledger rows — all remaining
+    r9-stamped entries (including the trio evicted un-regraded in r11) and
+    the eight oldest r10 rows (the events temporal suite); after this
+    rotation nothing predates r10."""
     names = list(entry.queries())
     assert len(names) >= 96
     window = set(names[:50])
-    pending_first_grade = ("corpus_drift", "corpus_drift_lang")
-    r11_touched = (
-        # operators/rag.py + functions/vector.py: threshold-after-top-k
-        # restructure, single parsed fixed-dim cosine
-        "rag_search", "rag_search_filtered", "find_similar", "batch_topk",
-        "pairwise_similarity", "knn_classify", "hybrid_search",
-        "assemble_context", "max_score",
-        # operators/similarity.py (cells-sidecar fence) + shared vector.py
-        "ann_lsh_topk", "ann_mllib_lsh", "ann_ivf_topk",
-        "ann_quantized_topk", "ann_ivf_sq8_topk", "dedup_semantic",
-        "decontaminate_semantic", "dedup_embedding", "dedup_embedding_lsh",
-        # operators/bm25_index.py: multiset-safe corpus fingerprint
-        "bm25_search_indexed",
-        # operators/dedup.py: minhash exact-dup pre-collapse (PLANS note
-        # 108) — the three dedup.py-backed tail rows rotate in; embed_texts
-        # / ts_parse_multi / memory_access_replay rotate out (files
-        # bit-unchanged since their r9 grade, ledger reset to 9)
-        "dedup_rate_by_source", "dedup_incremental", "corpus_prep_pipeline",
+    pending_first_grade = ("lm_perplexity", "lm_ppl_buckets")
+    r12_touched = (
+        # operators/pipeline.py (+functions/text.py shared): the fan-out
+        "decontaminate", "train_test_split", "pii_redact",
+        "stratified_sample", "dedup_within_doc", "source_cap", "source_mix",
+        "pack_sequences", "chunk_documents", "token_budget_select",
+        "corpus_prep_pipeline",
+        # operators/stats.py and operators/terms.py: the fan-out
+        "corpus_summary", "tfidf_terms", "source_overlap",
+        # operators/dedup.py (+clustering.py consumers): pre-collapse
+        # extension, digest verify, rep-grain index, sha2 collapse key
+        "dedup_exact", "dedup_keep_first", "dedup_minhash",
+        "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_capped",
+        "dedup_substring", "dedup_substring_apply", "dedup_clusters",
+        "dedup_clusters_twostar", "dedup_apply_clusters",
+        "dedup_rate_by_source", "dedup_incremental", "dedup_embedding",
+        "dedup_embedding_lsh", "dedup_semantic", "decontaminate_semantic",
     )
-    r8_refresh = (
-        "token_stats", "quality_score", "lang_id", "lang_distribution",
-        "fingerprint", "repetition_stats", "quality_gate", "bm25_search",
-        "search_by_metadata", "doc_summary", "doc_change_feed",
-        "orders_page", "memory_report", "events_json", "props_keys",
-        # hybrid_search / assemble_context / max_score are r8-stamped too,
-        # already required via r11_touched above
+    old_refresh = (
+        # the last r9-stamped rows (the r11-evicted trio among them)
+        "embed_texts", "ts_parse_multi", "memory_access_replay", "sanitize",
+        "events_hourly", "events_sliding", "events_sessions", "frame_sample",
+        "multimodal_features",
+        # the eight oldest r10 rows: the events temporal suite
+        "events_asof_join", "events_range_join", "events_funnel",
+        "events_retention", "events_retention_weekly", "events_active_users",
+        "events_anomaly", "events_conversion_lag",
     )
-    for must_grade in pending_first_grade + r11_touched + r8_refresh:
+    for must_grade in pending_first_grade + r12_touched + old_refresh:
         assert must_grade in window, f"{must_grade} rotated out of the graded window"
 
 
@@ -91,13 +95,12 @@ def test_no_query_left_ungraded_behind_the_window():
     # in the tail ONLY if named here — this list IS the next round's
     # mandatory rotation (dedup_incremental / memory_snapshot_read rode it
     # r8→r9; the seventeen analytics queries rode it r9→r10; the two drift
-    # queries rode it r10→r11; all were graded on schedule). r11 births the
-    # two LM-perplexity queries AFTER its window froze (every slot already
-    # required by touched files / first-grade pins / the r8-cohort
-    # refresh), so they ride the hatch into r12 — this pin IS their
-    # mandatory first grade next round.
-    r12_rotation_pins: set[str] = {"lm_perplexity", "lm_ppl_buckets"}
-    out = [q for q in pending if q not in window and q not in r12_rotation_pins]
+    # queries rode it r10→r11; the two LM-perplexity queries rode it
+    # r11→r12; all were graded on schedule). r12 births no tail queries —
+    # the hatch is EMPTY for r13; any r12 tail-born query must be added
+    # here to be legal.
+    r13_rotation_pins: set[str] = set()
+    out = [q for q in pending if q not in window and q not in r13_rotation_pins]
     assert out == [], f"pending-first-grade queries left in the tail: {out}"
 
 

@@ -192,3 +192,26 @@ def test_scoring_runs_as_stream_against_static_lm(spark, tmp_path):
     finally:
         for t in lm_tabs:
             t.unpersist()
+
+
+def test_lm_write_load_roundtrip_scores_identically(spark, tmp_path):
+    """r12: the persisted-LM pair (lm_write/lm_load) — scoring against the
+    loaded tables must equal scoring against the in-memory tables exactly,
+    and a recipe-mismatched artifact must refuse to load."""
+    import json
+
+    import pytest
+
+    docs = _docs(spark, TRAIN)
+    tabs = LM.train_bigram_lm(docs)
+    path = str(tmp_path / "lm")
+    LM.lm_write(tabs, path)
+    loaded = LM.lm_load(spark, path)
+    want = {(r.doc_id): (r.n_tokens, r.logppl) for r in LM.perplexity(docs, lm=tabs).collect()}
+    got = {(r.doc_id): (r.n_tokens, r.logppl) for r in LM.perplexity(docs, lm=loaded).collect()}
+    assert got == want
+    meta = json.load(open(f"{path}/_meta.json"))
+    meta["tokenizer"] = "bpe"
+    json.dump(meta, open(f"{path}/_meta.json", "w"))
+    with pytest.raises(ValueError, match="recipe"):
+        LM.lm_load(spark, path)
