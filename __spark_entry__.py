@@ -38,6 +38,7 @@ from mcp_synaptic_spark.operators import rag as R
 from mcp_synaptic_spark.operators import retrieval as RT
 from mcp_synaptic_spark.operators import text_analysis as TA
 from mcp_synaptic_spark.sources.tables import load_table
+from mcp_synaptic_spark.streaming import ingest as ING
 from mcp_synaptic_spark.sources.memories import (
     MEMORIES_CTE_SQL,
     NOW_SQL,
@@ -4259,6 +4260,216 @@ FROM bk
 )
 
 
+def _q_quality_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed quality admission front door (streaming/ingest.py:
+    quality_admit_verdicts — the per-micro-batch body of
+    quality_admit_stream, graded here as its batch twin; r12, VERDICT r11
+    next-round #7): quality gate → self-trained per-language LM perplexity
+    filter (cutoff 3.5 — inside the corpus's 3.10–3.61 logppl range, so
+    both LM verdicts fire) → exact+near dedup screen against the corpus.
+    The arrival batch is the dedup_incremental mix (verbatim copies %83,
+    word-reversed %89, first-word-dropped %97) carrying base language
+    tags. First failing tier wins: gate_rejected / lm_unscored /
+    lm_rejected / exact_dup / near_dup / admitted."""
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.where(F.col("doc_id") % 83 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+    )
+    rev = docs.where(F.col("doc_id") % 89 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.trim(F.col("text")), r"\s+")), " ").alias("text"),
+        "lang",
+    )
+    mut = docs.where(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.expr(
+            "array_join(slice(split(trim(text), '\\\\s+'), 2, "
+            "size(split(trim(text), '\\\\s+'))), ' ')"
+        ).alias("text"),
+        "lang",
+    )
+    batch = dup.unionAll(rev).unionAll(mut)
+    lm = LM.train_bigram_lm(docs)
+    return ING.quality_admit_verdicts(
+        batch, lm, corpus=docs, ppl_cutoff=3.5, threshold=0.5
+    )
+
+
+def _mk_oracle_quality_admit(cut: float = 3.5) -> str:
+    """Composes the verdict ladder from the proven oracle pieces: the gate
+    bodies re-pointed at the batch (bdocs), the LM-base train CTEs scored
+    against the batch tokens, and the incremental screen's exact/band/
+    digest-verify sections. The screen runs over ALL batch docs and the
+    CASE masks — per-doc independence (no occupancy cap in this query)
+    makes that byte-equal to screening the LM survivors only, mirroring
+    the engine's semi-join shape."""
+    gate_cases = ", ".join(
+        f"CASE WHEN {cond} THEN '{name}' END" for name, cond in _GATE_RULES
+    )
+    rep_b = _ORACLE_REPETITION.replace("FROM documents", "FROM bdocs")
+    qual_b = _ORACLE_QUALITY.replace("FROM documents", "FROM bdocs")
+    lang_b = _ORACLE_LANG_ID.replace("FROM documents", "FROM bdocs")
+    return f"""
+WITH batch AS (
+  SELECT doc_id + 1000000 AS bid, text, lang FROM documents WHERE doc_id % 83 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS bid,
+         array_to_string(list_reverse(regexp_split_to_array(trim(text), '\\s+')), ' ') AS text,
+         lang
+  FROM documents WHERE doc_id % 89 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS bid,
+         array_to_string(
+           regexp_split_to_array(trim(text), '\\s+')[2:length(regexp_split_to_array(trim(text), '\\s+'))],
+           ' ') AS text,
+         lang
+  FROM documents WHERE doc_id % 97 = 0
+),
+bdocs AS (SELECT bid AS doc_id, text FROM batch),
+grep_ AS (SELECT * FROM ({rep_b})),
+gqual AS (SELECT * FROM ({qual_b})),
+glang AS (SELECT * FROM ({lang_b})),
+gj AS (
+  SELECT r.doc_id, r.n_words, r.dup_word_frac, r.top_bigram_char_frac,
+         q.quality_score, l.predicted_lang
+  FROM grep_ r JOIN gqual q USING (doc_id) JOIN glang l USING (doc_id)
+),
+gate AS (SELECT doc_id AS bid, concat_ws(',', {gate_cases}) AS reasons FROM gj),
+tok AS (
+  SELECT doc_id, lang,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+), tok1 AS (
+  SELECT * FROM tok WHERE len(toks) > 0
+), c_uni AS (
+  SELECT lang, cur, count(*) AS c_uni
+  FROM (SELECT lang, unnest(toks) AS cur FROM tok1) GROUP BY 1, 2
+), totals AS (
+  SELECT lang, sum(c_uni) AS n_train_tokens, count(*) AS vocab FROM c_uni GROUP BY 1
+), c_bi AS (
+  SELECT lang, pr[1] AS prev, pr[2] AS cur, count(*) AS c_bi
+  FROM (SELECT lang, unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS pr FROM tok1)
+  GROUP BY 1, 2, 3
+), bgm AS (
+  SELECT c_bi.lang, c_bi.prev, c_bi.cur, c_bi.c_bi, ctx.c_ctx
+  FROM c_bi JOIN (SELECT lang, prev, sum(c_bi) AS c_ctx FROM c_bi GROUP BY 1, 2) ctx
+  USING (lang, prev)
+), btok AS (
+  SELECT bid, lang,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+  FROM batch WHERE text IS NOT NULL AND lang IS NOT NULL
+), btok1 AS (
+  SELECT * FROM btok WHERE len(toks) > 0
+), bsp AS (
+  SELECT s.bid, s.lang,
+    CASE WHEN s.pr[1] IS NULL
+         THEN (coalesce(u.c_uni, 0) + 1) / (t.n_train_tokens + t.vocab + 1)
+         ELSE 0.7 * (CASE WHEN bg.c_bi IS NOT NULL THEN bg.c_bi / bg.c_ctx ELSE 0.0 END)
+              + (1.0 - 0.7) * ((coalesce(u.c_uni, 0) + 1) / (t.n_train_tokens + t.vocab + 1))
+    END AS p
+  FROM (SELECT bid, lang,
+          unnest(list_zip(list_prepend(NULL, toks[:len(toks)-1]), toks)) AS pr
+        FROM btok1) s
+  LEFT JOIN c_uni u ON u.lang = s.lang AND u.cur = s.pr[2]
+  LEFT JOIN bgm bg ON bg.lang = s.lang AND bg.prev = s.pr[1] AND bg.cur = s.pr[2]
+  JOIN totals t ON t.lang = s.lang
+), bppl AS (
+  SELECT bid, round(-avg(ln(p)), 6) AS logppl FROM bsp GROUP BY 1
+),
+exact AS (
+  SELECT b.bid, min(c.doc_id) AS exact_match
+  FROM batch b JOIN documents c ON md5(c.text) = md5(b.text)
+  GROUP BY b.bid
+),
+{{_SHINGLES}},
+bw AS (SELECT bid, regexp_split_to_array(trim(text), '\\s+') AS w FROM batch),
+bsh AS (
+  SELECT bid,
+    CASE WHEN length(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, length(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+    END AS shingles
+  FROM bw),
+cex AS (SELECT id, unnest(shingles) AS s FROM sh),
+chashed AS (
+  SELECT id, g.i,
+         min(('0x' || substr(md5(g.i::VARCHAR || ':' || s), 1, 15))::BIGINT) AS mh
+  FROM cex CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+  GROUP BY id, g.i
+),
+cbands AS (
+  SELECT id, i // 2 AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS band_key
+  FROM chashed GROUP BY id, i // 2
+),
+bex AS (SELECT bid, unnest(shingles) AS s FROM bsh),
+bhashed AS (
+  SELECT bid, g.i,
+         min(('0x' || substr(md5(g.i::VARCHAR || ':' || s), 1, 15))::BIGINT) AS mh
+  FROM bex CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+  GROUP BY bid, g.i
+),
+bbands AS (
+  SELECT bid, i // 2 AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS band_key
+  FROM bhashed GROUP BY bid, i // 2
+),
+cand AS (
+  SELECT DISTINCT b.bid, c.id AS cid
+  FROM bbands b JOIN cbands c USING (band, band_key)
+),
+cshd AS (
+  SELECT id, list_distinct(list_transform(shingles,
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS dg
+  FROM sh),
+bshd AS (
+  SELECT bid, list_distinct(list_transform(shingles,
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS dg
+  FROM bsh),
+ver AS (
+  SELECT bid, cid,
+    round(length(list_intersect(sb.dg, sc.dg))::DOUBLE /
+      (length(sb.dg) + length(sc.dg) - length(list_intersect(sb.dg, sc.dg))), 6) AS jaccard
+  FROM cand JOIN bshd sb USING (bid) JOIN cshd sc ON sc.id = cand.cid
+  WHERE round(length(list_intersect(sb.dg, sc.dg))::DOUBLE /
+      (length(sb.dg) + length(sc.dg) - length(list_intersect(sb.dg, sc.dg))), 6) >= 0.5
+),
+near AS (
+  SELECT bid, jaccard AS near_jaccard, cid AS near_match FROM (
+    SELECT bid, cid, jaccard,
+           row_number() OVER (PARTITION BY bid ORDER BY jaccard DESC, cid ASC) AS rn
+    FROM ver
+  ) WHERE rn = 1
+),
+verdicts AS (
+  SELECT b.bid AS doc_id,
+    CASE WHEN g.reasons <> '' THEN 'gate_rejected'
+         WHEN p.logppl IS NULL THEN 'lm_unscored'
+         WHEN p.logppl > {cut} THEN 'lm_rejected'
+         WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+         WHEN n.near_match IS NOT NULL THEN 'near_dup'
+         ELSE 'admitted' END AS verdict,
+    g.reasons,
+    -- the engine scores GATE-PASSERS only (semi-join before perplexity),
+    -- so a gate-rejected doc's logppl is NULL by construction there
+    CASE WHEN g.reasons = '' THEN p.logppl END AS logppl,
+    e.exact_match, n.near_match, n.near_jaccard
+  FROM batch b
+  JOIN gate g ON g.bid = b.bid
+  LEFT JOIN bppl p ON p.bid = b.bid
+  LEFT JOIN exact e ON e.bid = b.bid
+  LEFT JOIN near n ON n.bid = b.bid
+)
+SELECT doc_id, verdict, reasons, logppl,
+  CASE WHEN verdict IN ('exact_dup', 'near_dup')
+       THEN coalesce(exact_match, near_match) END AS match_id,
+  CASE WHEN verdict = 'exact_dup' THEN CAST(1.0 AS DOUBLE)
+       WHEN verdict = 'near_dup' THEN near_jaccard END AS jaccard
+FROM verdicts
+""".replace("{_SHINGLES}", _SHINGLES_CTE.strip())
+
+
+_ORACLE_QUALITY_ADMIT = _mk_oracle_quality_admit()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver grades dict entries in order (it stops
     after 50), so the graded window rotates per round until every oracled
@@ -4286,14 +4497,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     slots retire ALL remaining r9-stamped rows (embed_texts /
     ts_parse_multi / memory_access_replay — the trio evicted un-regraded in
     r11 — plus sanitize and the streaming-windows/multimodal families) and
-    the eight oldest r10 rows (the events temporal suite). After this
-    rotation nothing in the ledger predates r10.
+    seven of the eight oldest r10 rows (the events temporal suite;
+    events_conversion_lag yields its slot to the r12-born quality_admit's
+    first grade and keeps valid tail evidence). After this rotation
+    nothing in the ledger predates r10.
     """
     return {
         # --- r12 graded window (50): see docstring for the rotation logic
         # first driver grade for the r11 tail-born LM pair (contract pins)
         "lm_perplexity": _q_lm_perplexity,
         "lm_ppl_buckets": _q_lm_ppl_buckets,
+        # r12-born: the composed quality front door's batch twin — first
+        # grade in its birth round (takes the slot of one discretionary
+        # r10 refresh, events_conversion_lag, which keeps valid tail
+        # evidence)
+        "quality_admit": _q_quality_admit,
         # r12-touched: operators/pipeline.py (+stats.py/terms.py below) —
         # the note-105 ensure_parallelism fan-out
         "decontaminate": _q_decontaminate,
@@ -4351,11 +4569,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_weekly": _q_events_retention_weekly,
         "events_active_users": _q_events_active_users,
         "events_anomaly": _q_events_anomaly,
-        "events_conversion_lag": _q_events_conversion_lag,
         # ---- entry 50 ends here ------------------------------------------
         # tail: every entry below is green in CORRECTNESS_r10/r11 with
         # operator files unchanged since (EVIDENCE.json + tools/evidence.py
         # enforce it)
+        "events_conversion_lag": _q_events_conversion_lag,
         "corpus_drift": _q_corpus_drift,
         "corpus_drift_lang": _q_corpus_drift_lang,
         "token_stats": _q_token_stats,
@@ -4553,4 +4771,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_drift_lang": _ORACLE_CORPUS_DRIFT_LANG,
         "lm_perplexity": _ORACLE_LM_PERPLEXITY,
         "lm_ppl_buckets": _ORACLE_LM_PPL_BUCKETS,
+        "quality_admit": _ORACLE_QUALITY_ADMIT,
     }

@@ -26,20 +26,22 @@ def test_every_query_has_an_oracle():
 
 def test_graded_window_holds_the_round_targets():
     """The driver grades the FIRST 50 dict entries only. The r12 window must
-    hold (a) the two LM-perplexity queries pending their FIRST driver grade
-    (tail-born in r11, pinned by the r11 contract's escape hatch),
+    hold (a) the queries pending their FIRST driver grade — the two
+    LM-perplexity queries (tail-born in r11, pinned by the r11 contract's
+    escape hatch) and the r12-born quality_admit,
     (b) every query whose operator files r12 touches — the note-105
     ensure_parallelism fan-out (pipeline.py / stats.py / terms.py families)
     and the dedup.py rework (pre-collapse on ngram/simhash/index build,
     digest verify joins, rep-grain persisted index; stales every dedup.py/
     clustering.py-backed row), (c) the oldest ledger rows — all remaining
     r9-stamped entries (including the trio evicted un-regraded in r11) and
-    the eight oldest r10 rows (the events temporal suite); after this
+    seven of the eight oldest r10 rows (the events temporal suite —
+    events_conversion_lag yields its slot to quality_admit); after this
     rotation nothing predates r10."""
     names = list(entry.queries())
     assert len(names) >= 96
     window = set(names[:50])
-    pending_first_grade = ("lm_perplexity", "lm_ppl_buckets")
+    pending_first_grade = ("lm_perplexity", "lm_ppl_buckets", "quality_admit")
     r12_touched = (
         # operators/pipeline.py (+functions/text.py shared): the fan-out
         "decontaminate", "train_test_split", "pii_redact",
@@ -63,9 +65,11 @@ def test_graded_window_holds_the_round_targets():
         "events_hourly", "events_sliding", "events_sessions", "frame_sample",
         "multimodal_features",
         # the eight oldest r10 rows: the events temporal suite
+        # (events_conversion_lag yielded its slot to the r12-born
+        # quality_admit's first grade; it keeps valid r10 tail evidence)
         "events_asof_join", "events_range_join", "events_funnel",
         "events_retention", "events_retention_weekly", "events_active_users",
-        "events_anomaly", "events_conversion_lag",
+        "events_anomaly",
     )
     for must_grade in pending_first_grade + r12_touched + old_refresh:
         assert must_grade in window, f"{must_grade} rotated out of the graded window"
