@@ -622,6 +622,85 @@ def simhash_pairs(
     return cross.unionByName(intra)
 
 
+def _exact_collapse_vec(
+    embeddings: DataFrame, vec_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """`_exact_collapse` for VECTORS (r12 — note 108's pattern applied to
+    the embedding near-dup family): collapse bit-identical embedding
+    arrays to a min-id representative on ONE array-keyed shuffle, so the
+    quadratic-in-duplication stages (N² blocked join, bucket self-join,
+    cosine verify) run at DISTINCT-VECTOR grain. The group key is the raw
+    float array itself — exact equality, no digest, no collision exposure
+    (Spark hash-partitions and compares array columns natively).
+
+    Byte-identity with the uncollapsed pipelines: identical arrays have
+    identical buckets in every LSH table and bit-identical cosines
+    (dot_fixed over equal arrays), occupancy caps sum group sizes
+    (documents), and intra-group pairs carry round(cos(v,v), 6) — exactly
+    the value the uncollapsed pass computed for the member pair (1.0 for
+    any nonzero vector; the 0.0 zero-norm guard fires identically).
+
+    Returns (reps, members): reps = (id, v, grp_n); members = (rid, id,
+    grp_n).
+    """
+    base = _ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    reps = base.groupBy("v").agg(
+        F.min("id").alias("id"), F.count(F.lit(1)).alias("grp_n")
+    )
+    members = (
+        base.join(reps.select("v", F.col("id").alias("rid"), "grp_n"), "v")
+        .select("rid", "id", "grp_n")
+    )
+    return reps.select("id", "v", "grp_n"), members
+
+
+def _expand_vec_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    intra_reps: DataFrame,
+    *,
+    value_col: str,
+    threshold: float,
+    dim: int,
+) -> DataFrame:
+    """Shared id-level expansion for the collapsed embedding arms:
+    cross-group pairs inherit the rep pair's value verbatim; intra-group
+    pairs (identical vectors) re-evaluate the SAME cosine expression on
+    (v, v) — round(S/(√S·√S), 6) = 1.0 for any nonzero vector, 0.0 (then
+    threshold-filtered) for zero vectors — gated on ``intra_reps`` (reps
+    that survived the candidate stage: every rep for the exact arm, reps
+    retaining ≥1 post-cap bucket for the LSH arm)."""
+    ma = members.select(F.col("rid").alias("id_a"), F.col("id").alias("xa"))
+    mb = members.select(F.col("rid").alias("id_b"), F.col("id").alias("xb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("xa", "xb").alias("id_a"),
+            F.greatest("xa", "xb").alias("id_b"),
+            value_col,
+        )
+    )
+    self_cos = F.when(F.col("nrm") == 0.0, F.lit(0.0)).otherwise(
+        dot_fixed("v", "v", dim) / (F.col("nrm") * F.col("nrm"))
+    )
+    qual = (
+        intra_reps.select(F.col("id").alias("rid"), F.round(self_cos, 6).alias(value_col))
+        .where(F.col(value_col) >= threshold)
+    )
+    mi = members.where(F.col("grp_n") > 1).select("rid", "id")
+    p, q = mi.alias("p"), mi.alias("q")
+    intra = (
+        p.join(q, "rid")
+        .where(F.col("p.id") < F.col("q.id"))
+        .join(qual, "rid")
+        .select(F.col("p.id").alias("id_a"), F.col("q.id").alias("id_b"), value_col)
+    )
+    return cross.unionByName(intra)
+
+
 # Auto-switch ceiling for the exact N² embedding pass: above this many
 # candidate pairs (N² at self-join, N·M cross-corpus) the all-pairs plan is
 # the scale killer the r7 verdict flagged, and the operator routes to its
@@ -673,14 +752,13 @@ def embedding_near_dup_pairs(
     # 3.4s vs 0.4s on the nrm projection alone). The row norm is the HOF fold:
     # same sequential fp64 order (bit-identical), no unrolled-expression
     # compile cost on the N-row side.
-    # The pairwise stage is CPU-bound, so parallelism must come from cores,
-    # not input splits — a small corpus read as one parquet file would
-    # otherwise run the whole N² pass on a single task. Repartition the raw
-    # input BEFORE projecting so the per-row norm also runs post-exchange.
-    base = _ensure_parallelism(embeddings).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm(as_double(F.col(vec_col))).alias("nrm"),
+    # r12 exact-dup pre-collapse (see _exact_collapse_vec): the blocked N²
+    # pass runs at DISTINCT-VECTOR grain — quadratic in distinct vectors,
+    # not documents — and the id contract is recovered by expansion.
+    _release_stale()
+    reps, members = _exact_collapse_vec(embeddings, vec_col, id_col)
+    base = _scoped_cache(
+        reps.select("id", "v", norm(as_double(F.col("v"))).alias("nrm"))
     )
     # Blocked broadcast equi-join, NOT crossJoin (PLANS note 63/64: the
     # filter-in-condition disease). A crossJoin plans as CartesianProduct,
@@ -706,11 +784,15 @@ def embedding_near_dup_pairs(
     cos = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(0.0)).otherwise(
         dot_fixed("va", "vb", dim) / (F.col("na") * F.col("nb"))
     )
-    return (
+    rep_pairs = (
         a.join(F.broadcast(b), "_blk")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
+    )
+    # exact arm: every rep reached the (all-pairs) candidate stage
+    return _expand_vec_pairs(
+        rep_pairs, members, base, value_col="cosine", threshold=threshold, dim=dim
     )
 
 
@@ -759,20 +841,23 @@ def embedding_near_dup_pairs_lsh(
     # Raw float array + HOF norm for the same reasons as the exact path
     # (see embedding_near_dup_pairs): dot_fixed casts per element, and the
     # cached rows are half the size of a pre-cast double array.
-    # repartition the RAW input, then project: Repartition(Project(...))
-    # would evaluate the norm on the (often single) input split before the
-    # exchange — single-threaded for a one-file table.
+    # r12 exact-dup pre-collapse (see _exact_collapse_vec): bucketing, the
+    # bucket self-join and the cosine verify all run at DISTINCT-VECTOR
+    # grain; the occupancy cap sums group sizes (documents) and
+    # auto_n_planes keeps sizing on the DOCUMENT count, so bucket
+    # parameters — hence the candidate set and recall — are byte-identical
+    # to the uncollapsed pass.
+    reps, members = _exact_collapse_vec(embeddings, vec_col, id_col)
     base = _scoped_cache(
-        _ensure_parallelism(embeddings).select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            norm(as_double(F.col(vec_col))).alias("nrm"),
-        )
+        reps.select("id", "v", norm(as_double(F.col("v"))).alias("nrm"), "grp_n")
     )
     if n_planes is None:
-        # The sizing count doubles as the cache materialization — one pass
-        # over the input serves both (no separate pre-cache sizing scan).
-        n_planes = auto_n_planes(base.count())
+        # sized on DOCUMENTS (sum of group sizes), not representatives —
+        # the plane count must match the uncollapsed pipeline's exactly;
+        # the one tiny agg doubles as the cache materialization
+        n_planes = auto_n_planes(
+            base.agg(F.sum("grp_n").alias("n")).collect()[0]["n"]
+        )
     bucket_arr = F.array(
         *[
             hyperplane_bucket("v", _hyperplanes(dim, n_planes, seed + t))
@@ -786,7 +871,12 @@ def embedding_near_dup_pairs_lsh(
     bucketed = _scoped_cache(base.select("id", bucket_arr.alias("bks")))
 
     buckets = bucketed.select("id", F.posexplode("bks").alias("tbl", "bucket"))
-    buckets = _cap_bucket_occupancy(buckets, ["tbl", "bucket"], max_bucket)
+    buckets = _cap_bucket_occupancy(
+        buckets.join(base.select("id", "grp_n"), "id"),
+        ["tbl", "bucket"],
+        max_bucket,
+        weight_col="grp_n",
+    ).drop("grp_n")
     left = buckets.select("tbl", "bucket", F.col("id").alias("id_a"))
     right = buckets.select("tbl", "bucket", F.col("id").alias("id_b"))
     candidates = (
@@ -798,13 +888,22 @@ def embedding_near_dup_pairs_lsh(
     cos = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(0.0)).otherwise(
         dot_fixed("va", "vb", dim) / (F.col("na") * F.col("nb"))
     )
-    return (
+    rep_pairs = (
         candidates.join(
             base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "id_a"
         )
         .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")), "id_b")
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
+    )
+    # intra-group pairs are emitted iff the rep kept >=1 post-cap bucket —
+    # the same "shares a surviving bucket" condition the uncollapsed join
+    # applied to a pair of identical vectors
+    intra_reps = base.join(
+        buckets.select(F.col("id")).distinct(), "id", "semi"
+    )
+    return _expand_vec_pairs(
+        rep_pairs, members, intra_reps, value_col="cosine", threshold=threshold, dim=dim
     )
 
 

@@ -809,3 +809,96 @@ def test_simhash_collapse_byte_identical_to_uncollapsed(spark):
     uncapped = {(r.id_a, r.id_b) for r in D.simhash_pairs(docs, max_bucket=None).collect()}
     capped = {(r.id_a, r.id_b) for r in D.simhash_pairs(docs, max_bucket=5).collect()}
     assert capped < uncapped
+
+
+def test_embedding_collapse_byte_identical_to_uncollapsed(spark):
+    """r12 exact-dup pre-collapse on the embedding near-dup family
+    (_exact_collapse_vec): both the exact N² arm and the LSH arm must
+    reproduce the uncollapsed pipelines' row sets exactly on a corpus with
+    heavy vector duplication — cross-group pairs, intra-group (cosine 1.0)
+    pairs, zero-vector groups (cos defined 0.0, threshold-filtered), and a
+    binding occupancy cap counted in DOCUMENTS."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.functions.vector import as_double, dot_fixed, norm
+    from mcp_synaptic_spark.operators.similarity import _hyperplanes, hyperplane_bucket
+
+    dim = 4
+    base_vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.999, 0.01, 0.0, 0.0],   # near-dup of the first
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0],      # zero vector — cos defined 0.0
+    ]
+    rows = [
+        (g * 100 + i, v)
+        for g, v in enumerate(base_vecs)
+        for i in range(5 if g < 2 else 8)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    thr = 0.9
+
+    def uncollapsed_exact():
+        b = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
+            norm(as_double(F.col("embedding"))).alias("nrm"),
+        )
+        a = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+        c = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+        cos = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(0.0)).otherwise(
+            dot_fixed("va", "vb", dim) / (F.col("na") * F.col("nb"))
+        )
+        return (
+            a.crossJoin(c).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+            .where(F.col("cosine") >= thr)
+        )
+
+    want = {(r.id_a, r.id_b): r.cosine for r in uncollapsed_exact().collect()}
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in D.embedding_near_dup_pairs(emb, threshold=thr, dim=dim, auto_lsh=False).collect()}
+    assert got == want, f"exact arm diff: {set(got.items()) ^ set(want.items())}"
+    # the planted intra pairs are present with cosine exactly 1.0
+    assert got[(0, 1)] == 1.0 and (300, 301) not in got  # zero-vector group filtered
+
+    def uncollapsed_lsh(max_bucket, n_planes=2, n_tables=3, seed=42):
+        b = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
+            norm(as_double(F.col("embedding"))).alias("nrm"),
+        )
+        bucket_arr = F.array(*[
+            hyperplane_bucket("v", _hyperplanes(dim, n_planes, seed + t))
+            for t in range(n_tables)
+        ])
+        bucketed = b.select("id", bucket_arr.alias("bks"))
+        buckets = bucketed.select("id", F.posexplode("bks").alias("tbl", "bucket"))
+        buckets = D._cap_bucket_occupancy(buckets, ["tbl", "bucket"], max_bucket)
+        left = buckets.select("tbl", "bucket", F.col("id").alias("id_a"))
+        right = buckets.select("tbl", "bucket", F.col("id").alias("id_b"))
+        cand = (left.join(right, ["tbl", "bucket"]).where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+        cos = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(0.0)).otherwise(
+            dot_fixed("va", "vb", dim) / (F.col("na") * F.col("nb"))
+        )
+        return (
+            cand.join(b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "id_a")
+            .join(b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")), "id_b")
+            .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+            .where(F.col("cosine") >= thr)
+        )
+
+    for cap in (None, 8):
+        want = {(r.id_a, r.id_b): r.cosine for r in uncollapsed_lsh(cap).collect()}
+        got = {(r.id_a, r.id_b): r.cosine
+               for r in D.embedding_near_dup_pairs_lsh(
+                   emb, threshold=thr, dim=dim, n_planes=2, n_tables=3, max_bucket=cap
+               ).collect()}
+        assert got == want, f"lsh cap={cap}: diff={set(got.items()) ^ set(want.items())}"
+    # sanity: the cap=8 arm must actually differ from uncapped
+    uncapped = {(r.id_a, r.id_b) for r in D.embedding_near_dup_pairs_lsh(
+        emb, threshold=thr, dim=dim, n_planes=2, n_tables=3, max_bucket=None).collect()}
+    capped = {(r.id_a, r.id_b) for r in D.embedding_near_dup_pairs_lsh(
+        emb, threshold=thr, dim=dim, n_planes=2, n_tables=3, max_bucket=8).collect()}
+    assert capped < uncapped
