@@ -728,8 +728,9 @@ def embedding_near_dup_pairs(
     and the per-pair dot product is unrolled over the known dimension so it
     stays inside whole-stage codegen (functions/vector.py:dot_fixed) instead
     of an interpreted HOF fold — same sequential addition order, so values
-    are bit-identical to the oracle. Quadratic in corpus size — the exact
-    recall contract (no false negatives).
+    are bit-identical to the oracle. Quadratic in DISTINCT vectors (r12
+    pre-collapse — identical arrays run the blocked join once and expand) —
+    the exact recall contract (no false negatives).
 
     auto_lsh=True (default): when N² exceeds `max_exact_pairs` the call
     delegates to `embedding_near_dup_pairs_lsh` (auto-sized planes, same

@@ -902,3 +902,52 @@ def test_embedding_collapse_byte_identical_to_uncollapsed(spark):
     capped = {(r.id_a, r.id_b) for r in D.embedding_near_dup_pairs_lsh(
         emb, threshold=thr, dim=dim, n_planes=2, n_tables=3, max_bucket=8).collect()}
     assert capped < uncapped
+
+
+def test_dedup_index_probe_cap_counts_documents(spark, tmp_path):
+    """r12 rep-grain index: with a BINDING occupancy cap, the persisted
+    probe (grp_n-weighted cap over stored rep rows) must equal the inline
+    screen (weighted cap over freshly collapsed reps) verdict-for-verdict
+    on a heavily duplicated corpus — the cap counts DOCUMENTS either way."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_load,
+        dedup_index_write,
+    )
+
+    base = [
+        "spark shuffle join partition exchange codegen whole stage",
+        "spark shuffle join partition exchange codegen whole stage tungsten",
+        "completely different words about cats and dogs and fish",
+    ]
+    rows = [(g * 100 + i, t) for g, t in enumerate(base) for i in range(12)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (9001, base[0]),                                # exact dup
+            (9002, base[1] + " extra trailing words here"), # near-ish
+            (9003, "entirely novel arrival content words"), # admitted
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    dedup_index_write(corpus, path)
+    # cap=10 binds: every group holds 12 documents, so every corpus bucket
+    # is over-occupied and near-dup candidates must vanish identically on
+    # both paths (exact arm is cap-independent)
+    for cap in (None, 10):
+        direct = {r.doc_id: (r.verdict, r.match_id) for r in dedup_incremental(
+            corpus, batch, threshold=0.3, max_bucket=cap).collect()}
+        probed = {r.doc_id: (r.verdict, r.match_id) for r in dedup_incremental(
+            None, batch, index=dedup_index_load(spark, path),
+            threshold=0.3, max_bucket=cap).collect()}
+        assert direct == probed, f"cap={cap}: {direct} != {probed}"
+    uncapped = {r.doc_id: r.verdict for r in dedup_incremental(
+        corpus, batch, threshold=0.3).collect()}
+    capped = {r.doc_id: r.verdict for r in dedup_incremental(
+        corpus, batch, threshold=0.3, max_bucket=10).collect()}
+    assert uncapped[9001] == "exact_dup" and capped[9001] == "exact_dup"
+    assert uncapped[9002] == "near_dup" and capped[9002] == "admitted"  # cap bites
+    assert uncapped[9003] == "admitted"
