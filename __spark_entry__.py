@@ -4295,6 +4295,23 @@ def _q_quality_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_apply_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused corpus dedup (clustering.py:dedup_corpus_minhash, r12): the
+    keep set of dedup_corpus(docs, minhash_lsh_pairs(docs)) computed
+    WITHOUT materializing the expanded pair graph — label propagation runs
+    on the rep-grain skeleton and the keep set expands by the min-id
+    argument (see the operator docstring). Same oracle as
+    dedup_apply_clusters: the outputs are provably equal, so the two
+    queries pin plan-level divergence against one SQL truth. Tail-born in
+    r12 (window full and stamped); pinned for the r13 rotation."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = CL.dedup_corpus_minhash(docs, threshold=0.5)
+    return kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+
+
 def _mk_oracle_quality_admit(cut: float = 3.5) -> str:
     """Composes the verdict ladder from the proven oracle pieces: the gate
     bodies re-pointed at the batch (bdocs), the LM-base train CTEs scored
@@ -4642,6 +4659,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_update": _q_doc_update,
         "doc_delete": _q_doc_delete,
         "doc_stats": _q_doc_stats,
+        # r12 tail-born (window full and stamped before it was written):
+        # pending first grade, pinned into the r13 rotation by
+        # tests/test_driver_contract.py (the LM pair's escape hatch)
+        "dedup_apply_fused": _q_dedup_apply_fused,
     }
 
 
@@ -4772,4 +4793,5 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _ORACLE_LM_PERPLEXITY,
         "lm_ppl_buckets": _ORACLE_LM_PPL_BUCKETS,
         "quality_admit": _ORACLE_QUALITY_ADMIT,
+        "dedup_apply_fused": _ORACLE_DEDUP_APPLY_CLUSTERS,
     }

@@ -258,3 +258,74 @@ def dedup_corpus(
     comp = connected_components(pairs, id_a=id_a, id_b=id_b)
     removals = comp.where(F.col("id") != F.col("component")).select("id")
     return docs.join(removals.withColumnRenamed("id", id_col), id_col, "left_anti")
+
+
+def dedup_corpus_minhash(
+    docs: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int | None | str = "auto",
+) -> DataFrame:
+    """FUSED corpus dedup: `dedup_corpus(docs, minhash_lsh_pairs(docs))`
+    without ever materializing the expanded pair graph (r12).
+
+    At crawl-corpus duplication the expanded minhash graph is dominated by
+    intra-group clique edges (every pair of byte-identical copies), and
+    connected-components pays a full edges⋈labels shuffle of that clique
+    volume per HashMin round — ~60–70 s of the 100× artifact for a graph
+    whose distinct-text skeleton has a few thousand vertices. This
+    operator runs label propagation on the REP-GRAIN pair graph
+    (dedup._minhash_rep_stage — the exact stage minhash_lsh_pairs expands
+    from) and recovers the document-level keep set by expansion:
+
+    keep(doc) ⇔ doc.id == its expanded component's minimum. Equality with
+    the unfused composition, case by case (test-pinned):
+    - group retained ≥1 post-cap bucket AND its rep is in a rep-grain
+      component C: the expanded component is ∪(members of groups of C),
+      whose min is C's label (HashMin labels are component minima over
+      rep ids, and each rep IS its group's min member) — keep that one
+      document.
+    - bucketed group, rep in NO rep pair: the expanded component is the
+      group's intra clique; keep its min member (= the rep).
+    - group with NO surviving bucket: the uncollapsed pipeline emitted no
+      intra pairs for it (the "shares a surviving bucket" gate), so every
+      member is a singleton — all kept.
+    Documents absent from every pair are untouched, exactly as
+    `dedup_corpus`.
+    """
+    from .dedup import _minhash_rep_stage
+
+    rep_pairs, members, bucketed_reps = _minhash_rep_stage(
+        docs,
+        content_col=content_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+    )
+    comp = connected_components(rep_pairs.select("id_a", "id_b"))
+    lab = (
+        members.join(
+            bucketed_reps.withColumn("_bk", F.lit(True)), "rid", "left"
+        )
+        .join(
+            comp.select(F.col("id").alias("rid"), "component"), "rid", "left"
+        )
+        .select(
+            "id",
+            F.when(
+                F.col("_bk").isNotNull(), F.coalesce("component", "rid")
+            )
+            .otherwise(F.col("id"))
+            .alias("label"),
+        )
+    )
+    removals = lab.where(F.col("id") != F.col("label")).select("id")
+    return docs.join(removals.withColumnRenamed("id", id_col), id_col, "left_anti")

@@ -272,6 +272,61 @@ def minhash_lsh_pairs(
 
     Output: (id_a, id_b, jaccard), id_a < id_b.
     """
+    rep_pairs, members, bucketed_reps = _minhash_rep_stage(
+        docs,
+        content_col=content_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+    )
+    # id-level expansion: every cross pair between the two groups carries
+    # the rep pair's jaccard verbatim; intra-group pairs are exact dups
+    # (jaccard 1.0 by definition) gated on the group keeping >=1 bucket
+    ma = members.select(F.col("rid").alias("id_a"), F.col("id").alias("xa"))
+    mb = members.select(F.col("rid").alias("id_b"), F.col("id").alias("xb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("xa", "xb").alias("id_a"),
+            F.greatest("xa", "xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    if threshold <= 1.0:
+        dup_members = members.where(F.col("grp_n") > 1).join(bucketed_reps, "rid")
+        p, q = dup_members.alias("p"), dup_members.alias("q")
+        intra = (
+            p.join(q, "rid")
+            .where(F.col("p.id") < F.col("q.id"))
+            .select(
+                F.col("p.id").alias("id_a"),
+                F.col("q.id").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return cross.unionByName(intra)
+    return cross
+
+
+def _minhash_rep_stage(
+    docs: DataFrame,
+    *,
+    content_col: str,
+    id_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    max_bucket,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The REP-GRAIN heart of minhash_lsh_pairs, shared with the fused
+    corpus dedup (clustering.dedup_corpus_minhash): verified rep pairs
+    (id_a, id_b, jaccard), the member expansion map (rid, id, grp_n), and
+    the post-cap bucketed reps (rid) that gate intra-group emission."""
     rows = num_hashes // bands
     _release_stale()  # free any previous operator call's cached blocks
     max_bucket = _resolve_max_bucket(docs, max_bucket)
@@ -346,35 +401,8 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", F.round(_jaccard(F.col("dg_a"), F.col("dg_b")), 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
-    # id-level expansion: every cross pair between the two groups carries
-    # the rep pair's jaccard verbatim; intra-group pairs are exact dups
-    # (jaccard 1.0 by definition) gated on the group keeping >=1 bucket
-    ma = members.select(F.col("rid").alias("id_a"), F.col("id").alias("xa"))
-    mb = members.select(F.col("rid").alias("id_b"), F.col("id").alias("xb"))
-    cross = (
-        verified.join(ma, "id_a")
-        .join(mb, "id_b")
-        .select(
-            F.least("xa", "xb").alias("id_a"),
-            F.greatest("xa", "xb").alias("id_b"),
-            "jaccard",
-        )
-    )
-    if threshold <= 1.0:
-        bucketed_reps = buckets.select(F.col("id").alias("rid")).distinct()
-        dup_members = members.where(F.col("grp_n") > 1).join(bucketed_reps, "rid")
-        p, q = dup_members.alias("p"), dup_members.alias("q")
-        intra = (
-            p.join(q, "rid")
-            .where(F.col("p.id") < F.col("q.id"))
-            .select(
-                F.col("p.id").alias("id_a"),
-                F.col("q.id").alias("id_b"),
-                F.lit(1.0).alias("jaccard"),
-            )
-        )
-        return cross.unionByName(intra)
-    return cross
+    bucketed_reps = buckets.select(F.col("id").alias("rid")).distinct()
+    return verified, members, bucketed_reps
 
 
 def ngram_jaccard_pairs(

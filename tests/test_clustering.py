@@ -134,3 +134,42 @@ def test_twostar_equivalence_on_random_graphs(spark):
 def test_twostar_bad_algorithm_rejected(spark):
     with pytest.raises(ValueError, match="algorithm"):
         CL.connected_components(_pairs(spark, [(1, 2)]), algorithm="bogus")
+
+
+def test_dedup_corpus_minhash_equals_unfused_composition(spark):
+    """r12 fused corpus dedup: dedup_corpus_minhash must keep EXACTLY the
+    documents dedup_corpus(docs, minhash_lsh_pairs(docs)) keeps — on a
+    heavily duplicated corpus, uncapped AND with a binding occupancy cap
+    (where whole groups lose their buckets and every member must survive)."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.clustering import (
+        dedup_corpus,
+        dedup_corpus_minhash,
+    )
+    from mcp_synaptic_spark.operators.dedup import minhash_lsh_pairs
+
+    base = [
+        "spark shuffle join partition exchange codegen whole stage",
+        "spark shuffle join partition exchange codegen whole stage tungsten",
+        "completely different words about cats and dogs and fish",
+        "boilerplate header lorem ipsum dolor sit amet consectetur",
+    ]
+    rows = [(g * 100 + i, t) for g, t in enumerate(base) for i in range(4 if g < 2 else 7)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for cap in (None, 5):
+        want = {
+            r.doc_id
+            for r in dedup_corpus(
+                docs, minhash_lsh_pairs(docs, threshold=0.3, max_bucket=cap)
+            ).collect()
+        }
+        got = {
+            r.doc_id
+            for r in dedup_corpus_minhash(docs, threshold=0.3, max_bucket=cap).collect()
+        }
+        assert got == want, f"cap={cap}: diff={got ^ want}"
+    # sanity: the cap binds (more docs survive when buckets drop)
+    uncapped = dedup_corpus_minhash(docs, threshold=0.3, max_bucket=None).count()
+    capped = dedup_corpus_minhash(docs, threshold=0.3, max_bucket=5).count()
+    assert capped > uncapped

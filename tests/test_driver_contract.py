@@ -100,10 +100,11 @@ def test_no_query_left_ungraded_behind_the_window():
     # mandatory rotation (dedup_incremental / memory_snapshot_read rode it
     # r8→r9; the seventeen analytics queries rode it r9→r10; the two drift
     # queries rode it r10→r11; the two LM-perplexity queries rode it
-    # r11→r12; all were graded on schedule). r12 births no tail queries —
-    # the hatch is EMPTY for r13; any r12 tail-born query must be added
-    # here to be legal.
-    r13_rotation_pins: set[str] = set()
+    # r11→r12; all were graded on schedule). r12 births ONE tail query
+    # after its window froze — dedup_apply_fused (the fused corpus dedup's
+    # grade; same oracle as dedup_apply_clusters) — so it rides the hatch
+    # into r13: this pin IS its mandatory first grade next round.
+    r13_rotation_pins: set[str] = {"dedup_apply_fused"}
     out = [q for q in pending if q not in window and q not in r13_rotation_pins]
     assert out == [], f"pending-first-grade queries left in the tail: {out}"
 

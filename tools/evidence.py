@@ -58,6 +58,7 @@ MM = (f"{_PKG}/operators/multimodal.py",)
 #: Entry-file-only queries (TPC-H suite etc.) list their table loader.
 QUERY_FILES: dict[str, tuple[str, ...]] = {
     "quality_admit": (f"{_PKG}/streaming/ingest.py", f"{_PKG}/operators/lm.py") + DEDUP + TXT,
+    "dedup_apply_fused": CLUST,
     "assemble_context": RETR + RAG,
     "doc_add": DOCS + EMB,
     "doc_get": DOCS,

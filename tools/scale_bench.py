@@ -373,11 +373,24 @@ def main() -> None:
     checks["cc_minlabel_ok"] = bool(
         comp.where(F.col("component") > F.col("id")).limit(1).count() == 0
     )
-    timed(
+    n_kept_unfused = timed(
         "cc_dedup_corpus_10x",
         lambda: dedup_corpus(docs, minhash_lsh_pairs(docs, threshold=0.5, max_bucket=200)).count(),
     )
     comp.unpersist()
+
+    # r12: the fused corpus dedup (clustering.dedup_corpus_minhash) — label
+    # propagation on the rep-grain skeleton, never materializing the
+    # expanded clique graph. Ground truth: the keep COUNT equals the
+    # unfused composition's exactly (the keep SETS are equal by the min-id
+    # argument; equality is byte-pinned in tests/test_clustering.py).
+    from mcp_synaptic_spark.operators.clustering import dedup_corpus_minhash
+
+    n_kept_fused = timed(
+        "cc_dedup_corpus_fused_10x",
+        lambda: dedup_corpus_minhash(docs, threshold=0.5, max_bucket=200).count(),
+    )
+    checks["fused_dedup_corpus_equals_unfused"] = bool(n_kept_fused == n_kept_unfused)
 
     n_eval = docs.where(F.col("doc_id") % 10_000_000 % 97 == 0).count()
     flagged = timed(
