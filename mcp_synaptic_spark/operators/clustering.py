@@ -311,6 +311,13 @@ def dedup_corpus_minhash(
         max_bucket=max_bucket,
     )
     comp = connected_components(rep_pairs.select("id_a", "id_b"))
+    if members is None:
+        # collapse auto-gate skipped (dup-light corpus): the "rep" pairs
+        # are document-grain, so this is exactly dedup_corpus's apply step
+        removals = comp.where(F.col("id") != F.col("component")).select("id")
+        return docs.join(
+            removals.withColumnRenamed("id", id_col), id_col, "left_anti"
+        )
     lab = (
         members.join(
             bucketed_reps.withColumn("_bk", F.lit(True)), "rid", "left"

@@ -202,9 +202,31 @@ def _cap_bucket_occupancy(
     )
 
 
+#: auto-collapse gate: collapse only when the content-digest probe sees at
+#: least this fraction of rows sharing a digest with another row. Below it
+#: the collapse's own shuffle + expansion joins outweigh the savings (the
+#: r12 sf0.1 A/B measured a ~1-2 s fixed tax per query on a near-dup-free
+#: corpus), and at production scale a dup-free corpus would pay a full
+#: corpus-text shuffle for nothing. The probe shares the sizing job the
+#: operators already run for their "auto" dials where possible.
+COLLAPSE_MIN_DUP_FRAC = 0.05
+
+
+def _collapse_stats(base: DataFrame, key: str) -> tuple[int, int]:
+    """(n_rows, approx distinct keys) in ONE aggregate job."""
+    r = base.agg(
+        F.count(F.lit(1)).alias("n"), F.approx_count_distinct(key).alias("d")
+    ).first()
+    return int(r["n"]), int(r["d"])
+
+
+def _should_collapse(n: int, d: int) -> bool:
+    return n - d >= COLLAPSE_MIN_DUP_FRAC * n
+
+
 def _exact_collapse(
-    docs: DataFrame, content_col: str, id_col: str
-) -> tuple[DataFrame, DataFrame]:
+    docs: DataFrame, content_col: str, id_col: str, collapse: bool | str = "auto"
+) -> tuple[DataFrame, DataFrame | None, int]:
     """Collapse byte-identical texts to a min-id representative before a
     quadratic-in-duplication candidate stage (the strings.py/editdist r10
     pattern; PLANS note 108) — ONE content-digest shuffle, after which
@@ -217,15 +239,31 @@ def _exact_collapse(
     output or the SQL oracle, which runs uncollapsed, so the stronger
     digest costs nothing in oracle portability).
 
-    Returns (reps, members): reps = (id, _content, grp_n) one row per
-    distinct content, id = min member id; members = (rid, id, grp_n) the
-    rep←member expansion map.
+    ``collapse``: True forces the collapse, False skips it (the pipeline
+    then runs at document grain, exactly the pre-collapse shape), "auto"
+    (default, r12) probes the duplication rate with one count+HLL
+    aggregate and skips below COLLAPSE_MIN_DUP_FRAC — outputs are
+    byte-identical on every setting (the collapse is identity-preserving);
+    only the physical plan changes.
+
+    Returns (reps, members, n_docs): reps = (id, _content, grp_n) one row
+    per distinct content (or per DOCUMENT with grp_n=1 when the collapse
+    is skipped), id = min member id; members = (rid, id, grp_n) the
+    rep←member expansion map, or None when skipped (identity — callers
+    bypass their expansion arms); n_docs = the document count (free from
+    the probe, reusable for "auto" sizing dials).
     """
     base = _ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.col(content_col).alias("_content"),
         F.sha2(F.col(content_col), 256).alias("_ch"),
     )
+    n = -1
+    if collapse == "auto":
+        n, d = _collapse_stats(base, "_ch")
+        collapse = _should_collapse(n, d)
+    if not collapse:
+        return base.select("id", "_content", F.lit(1).alias("grp_n")), None, n
     reps = base.groupBy("_ch").agg(
         F.min("id").alias("id"),
         F.count(F.lit(1)).alias("grp_n"),
@@ -236,7 +274,7 @@ def _exact_collapse(
         .join(reps.select("_ch", F.col("id").alias("rid"), "grp_n"), "_ch")
         .select("rid", "id", "grp_n")
     )
-    return reps.select("id", "_content", "grp_n"), members
+    return reps.select("id", "_content", "grp_n"), members, n
 
 
 def minhash_lsh_pairs(
@@ -282,6 +320,10 @@ def minhash_lsh_pairs(
         threshold=threshold,
         max_bucket=max_bucket,
     )
+    if members is None:
+        # auto-gate skipped the collapse: the "rep" pipeline ran at
+        # document grain, so rep pairs ARE the answer (no expansion arms)
+        return rep_pairs
     # id-level expansion: every cross pair between the two groups carries
     # the rep pair's jaccard verbatim; intra-group pairs are exact dups
     # (jaccard 1.0 by definition) gated on the group keeping >=1 bucket
@@ -329,7 +371,6 @@ def _minhash_rep_stage(
     the post-cap bucketed reps (rid) that gate intra-group emission."""
     rows = num_hashes // bands
     _release_stale()  # free any previous operator call's cached blocks
-    max_bucket = _resolve_max_bucket(docs, max_bucket)
     # r11 exact-dup pre-collapse (the strings.py/editdist r10 pattern —
     # PLANS note 107 measured this tier OUTPUT-VOLUME-bound at high
     # duplication: every heavy stage below was quadratic in the dup
@@ -343,7 +384,11 @@ def _minhash_rep_stage(
     # emitted iff the group retains >=1 surviving bucket — the same
     # "some shared bucket under cap" condition the uncollapsed join
     # applied to them.
-    reps, members = _exact_collapse(docs, content_col, id_col)
+    reps, members, n_docs = _exact_collapse(docs, content_col, id_col)
+    if max_bucket == "auto":
+        # the collapse probe already counted the docs; fall back to a
+        # count job only when the gate was pinned by the caller
+        max_bucket = auto_max_bucket(n_docs if n_docs >= 0 else docs.count())
     sh = _scoped_cache(
         shingle_sets(reps.select("id", "_content"), "_content", "id", shingle_n)
     )
@@ -444,7 +489,7 @@ def ngram_jaccard_pairs(
     # and s = its shingles surviving max_df (s = n when max_df is None ⇒
     # jaccard exactly 1.0), emitted only when s ≥ 1 — the "shares ≥1
     # surviving posting" condition the uncollapsed self-join applied.
-    reps, members = _exact_collapse(docs, content_col, id_col)
+    reps, members, _n = _exact_collapse(docs, content_col, id_col)
     sh = shingle_sets(reps.select("id", "_content"), "_content", "id", shingle_n)
     # cache the postings: both sides of the self-join read them, and without a
     # materialization barrier each side re-runs tokenize+shingle+explode
@@ -474,6 +519,8 @@ def ngram_jaccard_pairs(
         inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    if members is None:
+        return rep_pairs  # auto-gate: document grain, no expansion arms
     ma = members.select(F.col("rid").alias("id_a"), F.col("id").alias("xa"))
     mb = members.select(F.col("rid").alias("id_b"), F.col("id").alias("xb"))
     cross = (
@@ -573,7 +620,6 @@ def simhash_pairs(
     """
     n_blocks = max_hamming + 1
     _release_stale()
-    max_bucket = _resolve_max_bucket(docs, max_bucket)
     # r12 exact-dup pre-collapse (note 108's remaining sibling): identical
     # texts have IDENTICAL simhash signatures, so the tokenize+hash
     # projection, the block explode, and the bucket self-join all run at
@@ -584,7 +630,9 @@ def simhash_pairs(
     # verbatim, and intra-group pairs (hamming exactly 0) are emitted iff
     # the rep retains ≥1 post-cap bucket — the same "shares a surviving
     # (block, value) key" condition the uncollapsed join applied to them.
-    reps, members = _exact_collapse(docs, content_col, id_col)
+    reps, members, n_docs = _exact_collapse(docs, content_col, id_col)
+    if max_bucket == "auto":
+        max_bucket = auto_max_bucket(n_docs if n_docs >= 0 else docs.count())
     sig = simhash_signatures(
         reps.select("id", "_content"), content_col="_content", id_col="id", bits=bits
     )
@@ -623,6 +671,8 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    if members is None:
+        return rep_pairs  # auto-gate: document grain, no expansion arms
     ma = members.select(F.col("rid").alias("id_a"), F.col("id").alias("xa"))
     mb = members.select(F.col("rid").alias("id_b"), F.col("id").alias("xb"))
     cross = (
@@ -651,8 +701,8 @@ def simhash_pairs(
 
 
 def _exact_collapse_vec(
-    embeddings: DataFrame, vec_col: str, id_col: str
-) -> tuple[DataFrame, DataFrame]:
+    embeddings: DataFrame, vec_col: str, id_col: str, collapse: bool | str = "auto"
+) -> tuple[DataFrame, DataFrame | None, int]:
     """`_exact_collapse` for VECTORS (r12 — note 108's pattern applied to
     the embedding near-dup family): collapse bit-identical embedding
     arrays to a min-id representative on ONE array-keyed shuffle, so the
@@ -668,12 +718,24 @@ def _exact_collapse_vec(
     the value the uncollapsed pass computed for the member pair (1.0 for
     any nonzero vector; the 0.0 zero-norm guard fires identically).
 
-    Returns (reps, members): reps = (id, v, grp_n); members = (rid, id,
-    grp_n).
+    ``collapse``: the same auto gate as _exact_collapse — True forces,
+    False skips (document grain, members None), "auto" probes duplication
+    with one count+HLL aggregate over the array column and skips below
+    COLLAPSE_MIN_DUP_FRAC. Byte-identical output on every setting.
+
+    Returns (reps, members, n_vecs): reps = (id, v, grp_n); members =
+    (rid, id, grp_n) or None when skipped; n_vecs = the vector count from
+    the probe (-1 when the gate was pinned).
     """
     base = _ensure_parallelism(embeddings).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
+    n = -1
+    if collapse == "auto":
+        n, d = _collapse_stats(base, "v")
+        collapse = _should_collapse(n, d)
+    if not collapse:
+        return base.select("id", "v", F.lit(1).alias("grp_n")), None, n
     reps = base.groupBy("v").agg(
         F.min("id").alias("id"), F.count(F.lit(1)).alias("grp_n")
     )
@@ -681,7 +743,7 @@ def _exact_collapse_vec(
         base.join(reps.select("v", F.col("id").alias("rid"), "grp_n"), "v")
         .select("rid", "id", "grp_n")
     )
-    return reps.select("id", "v", "grp_n"), members
+    return reps.select("id", "v", "grp_n"), members, n
 
 
 def _expand_vec_pairs(
@@ -785,7 +847,7 @@ def embedding_near_dup_pairs(
     # pass runs at DISTINCT-VECTOR grain — quadratic in distinct vectors,
     # not documents — and the id contract is recovered by expansion.
     _release_stale()
-    reps, members = _exact_collapse_vec(embeddings, vec_col, id_col)
+    reps, members, _n = _exact_collapse_vec(embeddings, vec_col, id_col)
     base = _scoped_cache(
         reps.select("id", "v", norm(as_double(F.col("v"))).alias("nrm"))
     )
@@ -819,6 +881,8 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+    if members is None:
+        return rep_pairs  # auto-gate: document grain, no expansion arms
     # exact arm: every rep reached the (all-pairs) candidate stage
     return _expand_vec_pairs(
         rep_pairs, members, base, value_col="cosine", threshold=threshold, dim=dim
@@ -876,16 +940,19 @@ def embedding_near_dup_pairs_lsh(
     # auto_n_planes keeps sizing on the DOCUMENT count, so bucket
     # parameters — hence the candidate set and recall — are byte-identical
     # to the uncollapsed pass.
-    reps, members = _exact_collapse_vec(embeddings, vec_col, id_col)
+    reps, members, n_vecs = _exact_collapse_vec(embeddings, vec_col, id_col)
     base = _scoped_cache(
         reps.select("id", "v", norm(as_double(F.col("v"))).alias("nrm"), "grp_n")
     )
     if n_planes is None:
         # sized on DOCUMENTS (sum of group sizes), not representatives —
         # the plane count must match the uncollapsed pipeline's exactly;
-        # the one tiny agg doubles as the cache materialization
+        # the collapse probe already counted them (fall back to the
+        # grp_n sum, which doubles as the cache materialization)
         n_planes = auto_n_planes(
-            base.agg(F.sum("grp_n").alias("n")).collect()[0]["n"]
+            n_vecs
+            if n_vecs >= 0
+            else base.agg(F.sum("grp_n").alias("n")).collect()[0]["n"]
         )
     bucket_arr = F.array(
         *[
@@ -925,6 +992,8 @@ def embedding_near_dup_pairs_lsh(
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+    if members is None:
+        return rep_pairs  # auto-gate: document grain, no expansion arms
     # intra-group pairs are emitted iff the rep kept >=1 post-cap bucket —
     # the same "shares a surviving bucket" condition the uncollapsed join
     # applied to a pair of identical vectors
@@ -1194,7 +1263,7 @@ def dedup_incremental(
         # identical-content ids, which is the rep id, so no member
         # expansion is needed; the occupancy cap keeps counting DOCUMENTS
         # via the group-size weight).
-        c_reps, _c_members = _exact_collapse(corpus, content_col, id_col)
+        c_reps, _c_members, _n = _exact_collapse(corpus, content_col, id_col)
         c_reps = _scoped_cache(c_reps)
         c_hash = c_reps.select(
             F.col("id").alias("cid"), content_hash(F.col("_content")).alias("ch")
@@ -1337,7 +1406,7 @@ def dedup_index_write(
 
     rows = num_hashes // bands
     _release_stale()
-    reps, _members = _exact_collapse(corpus, content_col, id_col)
+    reps, _members, _n = _exact_collapse(corpus, content_col, id_col)
     reps = _scoped_cache(reps)
     # cache: the rep shingles feed BOTH the signature pipeline and the
     # digest part (the old code recomputed them once per written part)

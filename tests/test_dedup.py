@@ -951,3 +951,33 @@ def test_dedup_index_probe_cap_counts_documents(spark, tmp_path):
     assert uncapped[9001] == "exact_dup" and capped[9001] == "exact_dup"
     assert uncapped[9002] == "near_dup" and capped[9002] == "admitted"  # cap bites
     assert uncapped[9003] == "admitted"
+
+
+def test_collapse_auto_gate_fires_on_duplication_only(spark):
+    """r12 auto gate: the exact-dup collapse must engage on a dup-heavy
+    corpus and SKIP (identity, members=None) on a dup-free one — outputs
+    are byte-identical either way (the byte-identity tests cover both
+    corpora shapes); this pins the physical decision itself."""
+    heavy = spark.createDataFrame(
+        [(i, "same text for everyone") for i in range(20)]
+        + [(100 + i, f"unique text number {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    light = spark.createDataFrame(
+        [(i, f"unique text number {i}") for i in range(25)],
+        "doc_id long, text string",
+    )
+    _, members_h, n_h = D._exact_collapse(heavy, "text", "doc_id")
+    _, members_l, n_l = D._exact_collapse(light, "text", "doc_id")
+    assert members_h is not None and n_h == 25
+    assert members_l is None and n_l == 25
+    ve = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(20)] + [(100 + i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    vl = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(25)],
+        "vec_id long, embedding array<float>",
+    )
+    assert D._exact_collapse_vec(ve, "embedding", "vec_id")[1] is not None
+    assert D._exact_collapse_vec(vl, "embedding", "vec_id")[1] is None
