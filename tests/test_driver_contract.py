@@ -143,3 +143,32 @@ def test_evidence_ledger_is_complete_and_fresh():
     )
     violations = check()
     assert violations == [], "\n".join(violations)
+
+
+def test_evidence_stamps_match_actual_driver_grades():
+    """VERDICT r12 What's-wrong #1: a `window_round: R` stamp must name a
+    round that ACTUALLY graded the query — i.e. the query appears in the
+    driver's own `CORRECTNESS_rR.json`. A registry insertion made after
+    `evidence.py update` ran can push a stamped query past slot 50; the
+    stamp then claims a grade that never happened (events_conversion_lag
+    carried a phantom r12 stamp this way — re-stamped to its true r10).
+    The current round's stamp is exempt only until its correctness file
+    lands; the next round's run of this test retro-checks it."""
+    import json
+    import os
+
+    with open("/root/repo/EVIDENCE.json") as f:
+        ledger = json.load(f)
+    phantom = []
+    for q, row in ledger.items():
+        r = row.get("window_round")
+        if r is None:
+            continue
+        path = f"/root/repo/CORRECTNESS_r{r:02d}.json"
+        if not os.path.exists(path):
+            continue  # the in-flight round: driver hasn't graded yet
+        with open(path) as f:
+            graded = set(json.load(f))
+        if q not in graded:
+            phantom.append(f"{q}: stamped r{r} but absent from {os.path.basename(path)}")
+    assert phantom == [], "\n".join(phantom)

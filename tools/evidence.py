@@ -206,14 +206,35 @@ def _load() -> dict:
     return {}
 
 
+def _graded_set(round_n: int, window: set[str]) -> set[str]:
+    """The set of queries round `round_n` actually graded.
+
+    VERDICT r12 What's-wrong #1: stamping the PREDICTED 50-slot window lets
+    a registry insertion made after `update()` ran silently shift a query
+    outside the driver's real window while its ledger row still claims that
+    round's grade (events_conversion_lag carried a phantom r12 stamp this
+    way). When the driver's own `CORRECTNESS_r<N>.json` exists its key set
+    is the ground truth and overrides the prediction; the prediction is
+    used only for the current round, whose correctness file hasn't been
+    written yet — and test_driver_contract.py's stamp-vs-grade test
+    retro-checks that prediction the moment the file lands.
+    """
+    path = os.path.join(REPO, f"CORRECTNESS_r{round_n:02d}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return set(json.load(f))
+    return window
+
+
 def update(round_n: int) -> dict:
     names, window = _window_names()
+    graded = _graded_set(round_n, window)
     ledger = _load()
     for q in names:
         files = QUERY_FILES.get(q)
         if files is None:
             raise KeyError(f"query {q!r} has no QUERY_FILES entry — add one")
-        if q in window:
+        if q in graded:
             ledger[q] = {
                 "window_round": round_n,
                 "files": {f: _sha(f) for f in files},
