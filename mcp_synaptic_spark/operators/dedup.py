@@ -558,11 +558,13 @@ def simhash_signatures(
     """Per-doc SimHash: bit b set iff Σ_tokens (±1 by token-hash bit b) > 0.
 
     One explode + one groupBy(id) with `bits` conditional sums — single
-    shuffle, combiner-friendly. Input parallelism is the CALLER's job
-    (simhash_pairs fans out inside its exact-dup collapse; a direct caller
-    reading a single-split parquet should wrap the input in
-    util.ensure_parallelism first).
+    shuffle, combiner-friendly. Input fan-out is applied here (ADVICE r12:
+    r12 briefly shifted it onto callers, silently single-tasking any direct
+    caller reading a one-file table) — ensure_parallelism is idempotent, so
+    simhash_pairs' collapse-side fan-out composes with it at no extra
+    shuffle.
     """
+    docs = _ensure_parallelism(docs)
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(whitespace_tokens(F.col(content_col))).alias("tok")
     )
@@ -1196,6 +1198,7 @@ def dedup_incremental(
     batch: DataFrame,
     *,
     content_col: str = "text",
+    batch_content_col: str | None = None,
     id_col: str = "doc_id",
     shingle_n: int = 3,
     num_hashes: int = 16,
@@ -1238,8 +1241,12 @@ def dedup_incremental(
     _release_stale()
     from ..functions.text import content_hash
 
-    b_hash = batch.select(F.col(id_col).alias("bid"), content_hash(F.col(content_col)).alias("ch"))
-    b_sh = _scoped_cache(shingle_sets(batch, content_col, id_col, shingle_n))
+    # batch_content_col (ADVICE r12): the batch side may carry its text under
+    # a different name than the corpus (quality_admit_verdicts forwards its
+    # text_col here while the corpus keeps its own column); None = same name.
+    bcol = batch_content_col or content_col
+    b_hash = batch.select(F.col(id_col).alias("bid"), content_hash(F.col(bcol)).alias("ch"))
+    b_sh = _scoped_cache(shingle_sets(batch, bcol, id_col, shingle_n))
     # batch-side digest sets for the near verify (r12 — same fixed-width
     # recipe as minhash_lsh_pairs' verify block; oracle-mirrored)
     b_dg = b_sh.select(
@@ -1358,6 +1365,25 @@ def dedup_incremental(
     )
 
 
+#: Persisted dedup-index layout version (ADVICE r12): r12 moved the on-disk
+#: layout from shingles/ to digests/ and added grp_n to buckets. A legacy
+#: (pre-marker) index read by the new code would silently lose every legacy
+#: corpus document from the near-dup screen, so load/append REFUSE any
+#: manifest that doesn't carry exactly this marker.
+INDEX_FORMAT = "rep-digest-v2"
+
+
+def _check_index_format(meta: dict, path: str) -> None:
+    got = meta.get("index_format")
+    if got != INDEX_FORMAT:
+        raise ValueError(
+            f"dedup index at {path!r} has layout {got or 'legacy (pre-r12, unversioned)'!s}, "
+            f"this code reads {INDEX_FORMAT!r} — rebuild it with dedup_index_write "
+            "(appending to or probing a legacy layout would silently drop the "
+            "legacy corpus from the near-dup screen)"
+        )
+
+
 def dedup_index_write(
     corpus: DataFrame,
     path: str,
@@ -1459,7 +1485,13 @@ def dedup_index_write(
         tmp = meta_path + f".tmp-{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(
-                {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}, f
+                {
+                    "index_format": INDEX_FORMAT,
+                    "shingle_n": shingle_n,
+                    "num_hashes": num_hashes,
+                    "bands": bands,
+                },
+                f,
             )
         os.replace(tmp, meta_path)
 
@@ -1488,6 +1520,7 @@ def dedup_index_append(
 
     with open(os.path.join(path, "_meta.json")) as f:
         meta = json.load(f)
+    _check_index_format(meta, path)
     dedup_index_write(
         admitted,
         path,
@@ -1560,6 +1593,7 @@ def dedup_index_load(spark, path: str):
 
     with open(os.path.join(path, "_meta.json")) as f:
         meta = json.load(f)
+    _check_index_format(meta, path)
     return (
         spark.read.parquet(os.path.join(path, "hashes")),
         spark.read.parquet(os.path.join(path, "buckets")),

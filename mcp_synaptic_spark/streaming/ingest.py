@@ -205,9 +205,13 @@ def quality_admit_verdicts(
     ppl_cutoff: float = 3.5,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
+    corpus_content_col: str | None = None,
 ) -> DataFrame:
     """One micro-batch through the full quality front door — the BATCH
     composition `quality_admit_stream` applies per trigger (kept separate
@@ -238,8 +242,10 @@ def quality_admit_verdicts(
         batch_df = batch_df.withColumnRenamed(id_col, "doc_id")
         out = quality_admit_verdicts(
             batch_df, lm, corpus=corpus, index=index, ppl_cutoff=ppl_cutoff,
-            threshold=threshold, max_bucket=max_bucket, id_col="doc_id",
+            threshold=threshold, max_bucket=max_bucket, shingle_n=shingle_n,
+            num_hashes=num_hashes, bands=bands, id_col="doc_id",
             text_col=text_col, lang_col=lang_col,
+            corpus_content_col=corpus_content_col,
         )
         return out.withColumnRenamed("doc_id", id_col)
     gate = quality_gate(batch_df, content_col=text_col).select(
@@ -257,11 +263,20 @@ def quality_admit_verdicts(
             scored.where(F.col("logppl") <= ppl_cutoff).select(id_col), id_col, "semi"
         )
     )
+    # batch_content_col=text_col (ADVICE r12): the gate and LM tiers already
+    # score text_col; leaving the screen on its 'text' default either crashed
+    # on a renamed column or silently screened the wrong one. The corpus
+    # frame keeps its own column via corpus_content_col.
     screened = dedup_incremental(
         corpus,
         survivors,
+        content_col=corpus_content_col or text_col,
+        batch_content_col=text_col,
         threshold=threshold,
         max_bucket=max_bucket,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
         index=index,
         id_col=id_col,
     )
@@ -305,6 +320,9 @@ def quality_admit_stream(
     ppl_cutoff: float = 3.5,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
     append_admitted: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -338,6 +356,9 @@ def quality_admit_stream(
             ppl_cutoff=ppl_cutoff,
             threshold=threshold,
             max_bucket=max_bucket,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            bands=bands,
             id_col=id_col,
             text_col=text_col,
             lang_col=lang_col,
@@ -350,7 +371,9 @@ def quality_admit_stream(
                 vd.where(F.col("verdict") == "admitted").select(id_col), id_col, "semi"
             )
             if vd.where(F.col("verdict") == "admitted").limit(1).count():
-                dedup_index_append(admitted_docs, index_path, id_col=id_col)
+                dedup_index_append(
+                    admitted_docs, index_path, content_col=text_col, id_col=id_col
+                )
             sink(vd, batch_id)
         else:
             sink(verdicts, batch_id)

@@ -504,6 +504,38 @@ def test_dedup_index_append_closes_the_lifecycle(spark, sf_dir, tmp_path):
     assert second[0].verdict == "exact_dup" and second[0].match_id == 90_001
 
 
+def test_dedup_index_legacy_layout_rejected(spark, tmp_path):
+    """ADVICE r12: a pre-r12 index (shingles/ layout, no format marker) must
+    be REFUSED loudly by load and append — the new code reading a legacy
+    manifest used to silently drop every legacy corpus doc from the
+    near-dup screen (append) or fail with an opaque missing-path error
+    (load)."""
+    import json
+
+    import pytest
+
+    from mcp_synaptic_spark.operators.dedup import (
+        INDEX_FORMAT,
+        dedup_index_append,
+        dedup_index_load,
+        dedup_index_write,
+    )
+
+    path = str(tmp_path / "legacy_idx")
+    corpus = spark.createDataFrame([(1, "a b c d e f")], "doc_id LONG, text STRING")
+    dedup_index_write(corpus, path)
+    meta_path = tmp_path / "legacy_idx" / "_meta.json"
+    meta = json.loads(meta_path.read_text())
+    assert meta["index_format"] == INDEX_FORMAT
+    del meta["index_format"]  # what a pre-r12 manifest looks like
+    meta_path.write_text(json.dumps(meta))
+
+    with pytest.raises(ValueError, match="legacy .*rebuild"):
+        dedup_index_load(spark, path)
+    with pytest.raises(ValueError, match="legacy .*rebuild"):
+        dedup_index_append(corpus, path)
+
+
 def test_auto_max_bucket_sizing_and_default_equivalence(spark):
     """r9 (VERDICT r8 #4): the capped-by-default path. auto_max_bucket is
     ⌈4·√N⌉ floored at 1024 — any single bucket bounded at 16·N candidate

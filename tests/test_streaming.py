@@ -932,3 +932,42 @@ def test_quality_admit_stream_composed_front_door(spark, sf_dir, tmp_path):
         assert twin[910_003].verdict == by_doc[910_003].verdict
     for t in lm_tabs:
         t.unpersist()
+
+
+def test_quality_admit_verdicts_text_col_reaches_dedup_screen(spark, sf_dir):
+    """ADVICE r12: text_col must be forwarded to the dedup tier too — a
+    caller using text_col='body' used to crash in dedup_incremental (or
+    silently screen a stray 'text' column while the gate/LM tiers scored
+    'body'). Pinned: the renamed-column run equals the default-column run
+    verdict-for-verdict, including on a frame that ALSO carries a decoy
+    'text' column."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.lm import train_bigram_lm
+    from mcp_synaptic_spark.streaming.ingest import quality_admit_verdicts
+
+    corpus = load_table(spark, sf_dir, "documents").limit(200)
+    lm_tabs = tuple(t.cache() for t in train_bigram_lm(corpus))
+    batch = corpus.limit(5).select(
+        (F.col("doc_id") + 920_000).alias("doc_id"), "text", "lang"
+    )
+    base = {
+        r.doc_id: (r.verdict, r.match_id)
+        for r in quality_admit_verdicts(batch, lm_tabs, corpus=corpus).collect()
+    }
+    # at least one copy must clear gate+LM and reach the dedup tier — that
+    # exact_dup is the witness the screen saw the real text column
+    assert "exact_dup" in {v for v, _ in base.values()}
+
+    renamed = batch.withColumnRenamed("text", "body").withColumn(
+        "text", F.lit("decoy never matches anything in the corpus at all")
+    )
+    got = {
+        r.doc_id: (r.verdict, r.match_id)
+        for r in quality_admit_verdicts(
+            renamed, lm_tabs, corpus=corpus, text_col="body", corpus_content_col="text"
+        ).collect()
+    }
+    assert got == base
+    for t in lm_tabs:
+        t.unpersist()
