@@ -32,6 +32,68 @@ from ..functions.vector import as_double, cosine_similarity, dot, dot_fixed, l2_
 from .rag import ORDER_DP, ROUND_DP
 
 
+def _collapse_to_reps(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    stats: tuple[int, int] | None = None,
+    collapse: bool | str = "auto",
+) -> tuple[DataFrame, int]:
+    """Distinct-VECTOR grain for the persisted-index tiers (r13, VERDICT r12
+    next-round #1 / PLANS note 117b): one row per distinct embedding value,
+    carrying ALL member ids as a sorted array — `(ids array<long>, v)`. The
+    per-row, data-independent transforms (BRP hashing, IVF cell assignment,
+    SQ8 quantization, probe-side cosine/l2 verifies) then run once per
+    distinct vector, and the id-level contract is recovered by exploding
+    `ids` — no member-map join at all. Byte-safety: identical arrays have
+    identical hashes/cells/codes/cosines, so exploding after the transform
+    yields exactly the per-id rows the uncollapsed pipeline computed.
+
+    Same measured auto gate as dedup's _exact_collapse (note 120): below
+    COLLAPSE_MIN_DUP_FRAC duplication the groupBy shuffle doesn't pay — emit
+    identity rows (singleton ids) with no shuffle, same schema either way.
+    ``stats`` lets a caller that already paid the count+HLL probe (index
+    writers need the row count for their staleness manifests anyway) pass
+    it through instead of re-probing. Returns (reps, n_rows); n_rows is -1
+    if unknown (gate pinned and no stats given).
+    """
+    from ..util import ensure_parallelism
+
+    from .dedup import _collapse_stats, _should_collapse
+
+    base = ensure_parallelism(emb).select(
+        F.col(id_col).alias("_mid"), F.col(vec_col).alias("v")
+    )
+    n = stats[0] if stats is not None else -1
+    if collapse == "auto":
+        n, d = stats if stats is not None else _collapse_stats(base, "v")
+        collapse = _should_collapse(n, d)
+    if not collapse:
+        return base.select(F.array("_mid").alias("ids"), "v"), n
+    return base.groupBy("v").agg(F.sort_array(F.collect_list("_mid")).alias("ids")), n
+
+
+#: On-disk layout version for the persisted ANN indexes (BRP + IVF). r13
+#: moved both to REP GRAIN: one row per distinct vector with `ids
+#: array<long>` (sorted member ids) instead of one row per document — at
+#: crawl-corpus duplication the index shrinks by the duplication factor and
+#: every probe scans/verifies distinct vectors only. Loaders REFUSE a legacy
+#: per-id layout (same rationale as dedup.INDEX_FORMAT: silently probing the
+#: wrong grain is worse than a rebuild error), and the writers' staleness
+#: manifests include the marker so stale layouts rebuild on the next write.
+ANN_INDEX_FORMAT = "rep-v2"
+
+
+def _check_ann_index_format(columns, path: str) -> None:
+    if "ids" not in columns:
+        raise ValueError(
+            f"ANN index at {path!r} uses the legacy per-id layout; this code "
+            f"reads {ANN_INDEX_FORMAT!r} (rep-grain, `ids array<long>`) — "
+            "rebuild it with the index writer (overwrite=True)"
+        )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes (seeded PRNG, driver-side only)."""
     rng = random.Random(seed)
@@ -224,29 +286,39 @@ def mllib_lsh_index_write(
     import json
     import os
 
+    from ..util import ensure_parallelism
+
+    from .dedup import _collapse_stats
+
+    # ONE count+HLL aggregate serves both the staleness manifest's row count
+    # and the rep-collapse gate (note 120's merged-probe discipline)
+    base = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("_mid"), F.col(vec_col).alias("v")
+    )
+    stats = _collapse_stats(base, "v")
     meta = {
+        "format": ANN_INDEX_FORMAT,
         "planes": [[float(x) for x in p] for p in planes],
         "bucket_length": bucket_length,
-        "n_rows": corpus.count(),
+        "n_rows": stats[0],
     }
     sidecar = os.path.join(path, "_planes.json")
     if not overwrite and os.path.exists(sidecar):
         with open(sidecar) as f:
             if json.load(f) == meta:
                 return
-    # the hash+normalize stage is CPU-bound per row and values are
-    # partitioning-independent (pure projection, unlike the IVF builder
-    # whose k-means|| init is partitioning-sensitive and fixture-pinned) —
-    # without the fan-out a ~100 MB corpus parquet is ONE input split and
-    # the whole build runs on a single task (r11: 148 s → ~11 s at the
-    # 200k-vector artifact tier)
-    from ..util import ensure_parallelism
-
-    normalized = ensure_parallelism(corpus).select(
-        F.col(id_col), l2_normalize(F.col(vec_col)).alias("vn")
-    )
+    # r13 rep grain: the hash+normalize stage is per-row and data-independent
+    # (pure projection of the vector), so it runs once per DISTINCT vector;
+    # the written rows carry the member-id arrays. At crawl duplication the
+    # build hashes and writes 1/dup_factor of the rows; on a dup-free corpus
+    # the gate skips the groupBy and this is the old full-grain build with an
+    # ids=[id] wrapper. (The fan-out inside _collapse_to_reps replaces the
+    # ensure_parallelism that used to live here — r11: 148 s → ~11 s at the
+    # 200k-vector artifact tier.)
+    reps, _n = _collapse_to_reps(corpus, id_col, vec_col, stats=stats)
+    normalized = reps.select("ids", l2_normalize(F.col("v")).alias("vn"))
     hashed = normalized.select(
-        id_col,
+        "ids",
         "vn",
         *[_brp_hash_expr("vn", p, bucket_length).alias(f"h{i}") for i, p in enumerate(planes)],
     )
@@ -256,14 +328,18 @@ def mllib_lsh_index_write(
 
 
 def mllib_lsh_index_load(spark, path: str) -> tuple[DataFrame, list[list[float]], float]:
-    """Open a persisted BRP-LSH index → (hashed corpus frame, planes,
-    bucket_length)."""
+    """Open a persisted BRP-LSH index → (rep-grain hashed corpus frame,
+    planes, bucket_length). Refuses a legacy per-id layout loudly."""
     import json
     import os
 
     with open(os.path.join(path, "_planes.json")) as f:
         meta = json.load(f)
-    return spark.read.parquet(path), meta["planes"], float(meta["bucket_length"])
+    if meta.get("format") != ANN_INDEX_FORMAT:
+        _check_ann_index_format((), path)
+    frame = spark.read.parquet(path)
+    _check_ann_index_format(frame.columns, path)
+    return frame, meta["planes"], float(meta["bucket_length"])
 
 
 def mllib_lsh_topk_indexed(
@@ -333,18 +409,27 @@ def mllib_lsh_topk_indexed(
     # small-file inputs and is a no-op at production split counts
     from ..util import ensure_parallelism
 
-    scored = (
+    _check_ann_index_format(indexed_corpus.columns, "<indexed_corpus>")
+    # r13 rep grain: the l2 verify runs once per (distinct vector × query);
+    # member ids explode back in AFTER the verdict (identical vectors have
+    # identical l2, so the exploded (id, score) set is byte-identical to the
+    # per-id verify). The explode happens before the rank window — every
+    # member competes for top-k exactly as before.
+    rep_scored = (
         ensure_parallelism(indexed_corpus.where(prune))
         .crossJoin(F.broadcast(q))
         .where(any_table_match)
         .select(
             F.col(query_id_col),
-            F.col(id_col),
+            F.col("ids"),
             F.round(F.lit(1.0) - l2 * l2 / 2.0, ROUND_DP).alias("score"),
             l2.alias("_l2"),
         )
         .where(F.col("_l2") < threshold)
         .drop("_l2")
+    )
+    scored = rep_scored.select(
+        query_id_col, F.explode("ids").alias(id_col), "score"
     )
     w = Window.partitionBy(query_id_col).orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -383,8 +468,33 @@ def ivf_build(
     the result partitioned by `cell` — queries then prune to nprobe cells at
     the parquet-partition level.
     """
+    assigned, centroids = _ivf_build_reps(
+        corpus, n_cells=n_cells, seed=seed, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+    )
+    return (
+        assigned.select(F.explode("ids").alias(id_col), F.col(vec_col), "cell"),
+        centroids,
+    )
+
+
+def _ivf_build_reps(
+    corpus: DataFrame,
+    *,
+    n_cells: int | None = None,
+    seed: int = 42,
+    max_iter: int = 8,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """ivf_build at REP GRAIN (r13, note 117b): the KMeans FIT stays at full
+    document grain — fitting on distinct vectors would change the weighting
+    k-means|| init sees and move every committed centroid fixture — but the
+    TRANSFORM (cell assignment) is a pure per-row argmin over the fitted
+    centroids, so it runs once per distinct vector and identical vectors
+    provably land in the same cell. Returns (`(ids, vec_col, cell)` one row
+    per distinct vector, centroids)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
     feats = corpus.select(F.col(id_col), F.col(vec_col), array_to_vector(as_double(F.col(vec_col))).alias("features"))
     if n_cells is None:
@@ -392,7 +502,11 @@ def ivf_build(
     # a coarse quantizer needs rough cells, not convergence — cap iterations
     km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features", predictionCol="cell")
     model = km.fit(feats)
-    assigned = model.transform(feats).select(id_col, vec_col, "cell")
+    reps, _n = _collapse_to_reps(corpus, id_col, vec_col)
+    rep_feats = reps.select(
+        "ids", F.col("v").alias(vec_col), array_to_vector(as_double(F.col("v"))).alias("features")
+    )
+    assigned = model.transform(rep_feats).select("ids", vec_col, "cell")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     return assigned, centroids
 
@@ -431,18 +545,28 @@ def ivf_index_write(
 
     sidecar = os.path.join(path, "_centroids.json")
     cells_path = os.path.join(path, "_cells.json")
+    fmt_path = os.path.join(path, "_index_meta.json")
     if not overwrite and os.path.exists(sidecar):
-        with open(sidecar) as f:
-            stored = json.load(f)
-        if cells_sidecar and not os.path.exists(cells_path):
-            _write_cells_sidecar(corpus.sparkSession, path, cells_path, id_col)
-        return stored
-    assigned, centroids = ivf_build(
+        # a legacy per-id layout (no format marker) is STALE: rebuild rather
+        # than return centroids for parquet the loader will refuse
+        fmt_ok = False
+        if os.path.exists(fmt_path):
+            with open(fmt_path) as f:
+                fmt_ok = json.load(f).get("format") == ANN_INDEX_FORMAT
+        if fmt_ok:
+            with open(sidecar) as f:
+                stored = json.load(f)
+            if cells_sidecar and not os.path.exists(cells_path):
+                _write_cells_sidecar(corpus.sparkSession, path, cells_path, id_col)
+            return stored
+    assigned, centroids = _ivf_build_reps(
         corpus, n_cells=n_cells, seed=seed, max_iter=max_iter, id_col=id_col, vec_col=vec_col
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     with open(sidecar, "w") as f:
         json.dump(centroids, f)
+    with open(fmt_path, "w") as f:
+        json.dump({"format": ANN_INDEX_FORMAT}, f)
     if cells_sidecar:
         _write_cells_sidecar(corpus.sparkSession, path, cells_path, id_col)
     return centroids
@@ -465,7 +589,9 @@ def _write_cells_sidecar(spark, index_path: str, cells_path: str, id_col: str) -
     than collect a corpus-sized assignment to the driver."""
     import json
 
-    cells = spark.read.parquet(index_path).select(id_col, "cell")
+    frame = spark.read.parquet(index_path)
+    _check_ann_index_format(frame.columns, index_path)
+    cells = frame.select(F.explode("ids").alias(id_col), "cell")
     n = cells.count()
     if n > _CELLS_SIDECAR_MAX_ROWS:
         raise ValueError(
@@ -489,7 +615,9 @@ def ivf_index_load(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
 
     with open(os.path.join(path, "_centroids.json")) as f:
         centroids = json.load(f)
-    return spark.read.parquet(path), centroids
+    frame = spark.read.parquet(path)
+    _check_ann_index_format(frame.columns, path)
+    return frame, centroids
 
 
 def ivf_topk(
@@ -521,14 +649,22 @@ def ivf_topk(
     )
 
     sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    # r13 rep grain: a persisted index carries `ids array<long>` per distinct
+    # vector — the cosine runs once per (distinct vector × probe) and member
+    # ids explode back in before the rank window (identical vectors score
+    # identically, so the exploded (id, score) set matches the per-id pass).
+    # A per-id frame (ivf_build output / legacy callers) takes the old path.
+    rep_grain = "ids" in indexed_corpus.columns
     scored = (
         indexed_corpus.join(F.broadcast(probes), "cell")
         .select(
             F.col(query_id_col),
-            F.col(id_col),
+            F.col("ids") if rep_grain else F.col(id_col),
             F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), sim)), ROUND_DP).alias("score"),
         )
     )
+    if rep_grain:
+        scored = scored.select(query_id_col, F.explode("ids").alias(id_col), "score")
     w = Window.partitionBy(query_id_col).orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -596,6 +732,19 @@ def semantic_dedup(
     if dim is None:
         dim = len(centroids[0])
     _release_stale()
+    # r13: a rep-grain persisted index (`ids array<long>` per distinct
+    # vector) IS the exact-duplicate collapse this operator used to compute
+    # itself. The collapse_exact path consumes the rows directly as reps —
+    # rid = ids[0] (sorted ascending = the min member id), nm = size(ids) —
+    # so the groupBy(cell, v) shuffle disappears entirely; the member-level
+    # audit arm explodes first and runs unchanged. Removal semantics are
+    # byte-identical to the full-grain input either way.
+    rep_input = "ids" in indexed.columns and id_col not in indexed.columns
+    if rep_input and not collapse_exact:
+        indexed = indexed.select(
+            F.explode("ids").alias(id_col), F.col(vec_col), F.col("cell")
+        )
+        rep_input = False
     clamp6 = lambda c: F.round(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), c)), ROUND_DP)  # noqa: E731
     # centroid matrix as ONE parsed SQL literal — the 16x64 F.lit() version
     # cost ~1-2 s of py4j round-trips per query construction (the note-9
@@ -616,7 +765,7 @@ def semantic_dedup(
     # including the centroid HOF (measured 2x on the bench corpus).
     base = _scoped_cache(
         indexed.select(
-            F.col(id_col).alias("id"),
+            F.col("ids").alias("ids") if rep_input else F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             F.col("cell").cast("int").alias("cell"),
             norm(as_double(F.col(vec_col))).alias("nrm"),
@@ -659,15 +808,31 @@ def semantic_dedup(
     # --- exact-duplicate pre-collapse ------------------------------------
     # One representative per identical vector value per cell. min() of the
     # per-member centroid_sim is deterministic (identical inputs produce the
-    # identical value; min only defends the aggregation contract).
-    reps = _scoped_cache(
-        base.groupBy("cell", "v").agg(
-            F.min("id").alias("rid"),
-            F.min("nrm").alias("rnrm"),
-            F.min("centroid_sim").alias("rsim"),
-            F.count("*").alias("nm"),
+    # identical value; min only defends the aggregation contract). A
+    # rep-grain index row already IS the group (ids sorted ascending, one
+    # cell per distinct vector — assignment is deterministic), so it maps
+    # shuffle-free.
+    if rep_input:
+        reps = _scoped_cache(
+            base.select(
+                "cell",
+                "v",
+                "ids",
+                F.element_at("ids", 1).alias("rid"),
+                F.col("nrm").alias("rnrm"),
+                F.col("centroid_sim").alias("rsim"),
+                F.size("ids").cast("long").alias("nm"),
+            )
         )
-    )
+    else:
+        reps = _scoped_cache(
+            base.groupBy("cell", "v").agg(
+                F.min("id").alias("rid"),
+                F.min("nrm").alias("rnrm"),
+                F.min("centroid_sim").alias("rsim"),
+                F.count("*").alias("nm"),
+            )
+        )
     a = reps.select(
         F.col("cell"), F.col("rid").alias("id_a"), F.col("v").alias("va"),
         F.col("rnrm").alias("na"), F.col("rsim").alias("ca"),
@@ -696,13 +861,31 @@ def semantic_dedup(
     self_cos = clamp6(F.when(F.col("rnrm") == 0.0, F.lit(0.0)).otherwise(F.lit(1.0)))
     groups = reps.join(group_removed, "rid", "left").select(
         "cell",
-        "v",
+        *(("ids", "rsim") if rep_input else ("v",)),
         "rid",
         F.coalesce("_grm", F.lit(False)).alias("grm"),
         ((F.col("nm") > 1) & (self_cos >= threshold)).alias("selfdup"),
     )
     # expand: member removed iff its group is removed outright, or the group
     # self-pairs and the member is not the group's min id
+    if rep_input:
+        # members come straight off the group's ids array — no join back
+        m = groups.select(
+            "cell",
+            F.col("rsim").alias("centroid_sim"),
+            "rid",
+            "grm",
+            "selfdup",
+            F.explode("ids").alias("id"),
+        )
+        return m.select(
+            F.col("id").alias(id_col),
+            "cell",
+            "centroid_sim",
+            (
+                F.col("grm") | (F.col("selfdup") & (F.col("id") != F.col("rid")))
+            ).alias("removed"),
+        )
     return (
         base.join(groups, ["cell", "v"])
         .select(
@@ -829,8 +1012,14 @@ def ivf_quantized_topk(
     """
     # the code column is renamed away from quantize's default "qvec" — the
     # conventional QUERY vector column shares that name (ambiguous post-join)
+    # r13 rep grain: quantization + dequantized cosine run per distinct
+    # vector when the index carries `ids`; members explode in pre-rank
+    rep_grain = "ids" in indexed_corpus.columns
     qemb = quantize_embeddings(
-        indexed_corpus, id_col=id_col, vec_col=vec_col, keep_cols=("cell",)
+        indexed_corpus,
+        id_col="ids" if rep_grain else id_col,
+        vec_col=vec_col,
+        keep_cols=("cell",),
     ).withColumnRenamed("qvec", "_codes")
     cent = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
     qcells = (
@@ -849,9 +1038,11 @@ def ivf_quantized_topk(
     sim = cosine_similarity(dequantize_expr("_codes"), F.col(query_vec_col))
     scored = qemb.join(F.broadcast(probes), "cell").select(
         F.col(query_id_col),
-        F.col(id_col),
+        F.col("ids") if rep_grain else F.col(id_col),
         F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), sim)), ROUND_DP).alias("score"),
     )
+    if rep_grain:
+        scored = scored.select(query_id_col, F.explode("ids").alias(id_col), "score")
     w = Window.partitionBy(query_id_col).orderBy(
         F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc()
     )

@@ -179,6 +179,96 @@ def test_mllib_lsh_indexed_matches_fit_path(spark, sf_dir, tmp_path):
     assert rebuilt.count() == 1
 
 
+def test_rep_grain_index_byte_identical_on_dup_heavy_corpus(spark, sf_dir, tmp_path):
+    """r13 rep-grain indexes (VERDICT r12 next-round #1, note 117b): on a
+    corpus with heavy vector duplication the persisted BRP and IVF indexes
+    store ONE row per distinct vector (the collapse gate fires) and every
+    probe — BRP top-k, IVF top-k, IVF-SQ8 top-k, SemDeDup — returns exactly
+    the rows the per-id (full-grain) pipeline returns. Mirrors
+    test_embedding_collapse_byte_identical_to_uncollapsed for the index
+    tiers."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    with open("/root/repo/.brp_cache/brp_seed42_d64_t3.json") as f:
+        planes = json.load(f)
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    rep = 8
+    emb = base.selectExpr(
+        f"explode(sequence(0, {rep - 1})) as copy", "vec_id", "embedding"
+    ).select(
+        (F.col("vec_id") * 10 + F.col("copy")).alias("vec_id"), "embedding"
+    )
+    n_distinct = base.select("embedding").distinct().count()
+    queries = base.limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    k = 3 * rep  # force top-k across member-group boundaries
+
+    # --- BRP: rep-grain index == fit-per-call over the full corpus --------
+    brp_path = str(tmp_path / "brp")
+    S.mllib_lsh_index_write(emb, brp_path, planes, id_col="vec_id")
+    bidx, bplanes, bl = S.mllib_lsh_index_load(spark, brp_path)
+    assert bidx.count() == n_distinct, "collapse gate did not fire on the index"
+    got_brp = sorted(
+        (r.qid, r.vec_id, r.score, r.rank)
+        for r in S.mllib_lsh_topk_indexed(
+            queries, bidx, bplanes, k=k, bucket_length=bl, id_col="vec_id"
+        ).collect()
+    )
+    want_brp = sorted(
+        (r.qid, r.vec_id, r.score, r.rank)
+        for r in S.mllib_lsh_topk(
+            queries, emb, k=k, num_hash_tables=3, seed=42, id_col="vec_id"
+        ).collect()
+    )
+    assert got_brp == want_brp
+
+    # --- IVF: rep-grain persisted probe == per-id in-memory probe ---------
+    ivf_path = str(tmp_path / "ivf")
+    cents = S.ivf_index_write(emb, ivf_path, n_cells=8, id_col="vec_id")
+    indexed, cents2 = S.ivf_index_load(spark, ivf_path)
+    assert cents2 == cents and "ids" in indexed.columns
+    assert indexed.count() == n_distinct
+    full_grain, cents3 = S.ivf_build(emb, n_cells=8, id_col="vec_id")
+    assert cents3 == cents  # same fit: full-document grain both times
+    probe = lambda frame: sorted(  # noqa: E731
+        (r.qid, r.vec_id, r.score, r.rank)
+        for r in S.ivf_topk(queries, frame, cents, k=k, nprobe=3, id_col="vec_id").collect()
+    )
+    assert probe(indexed) == probe(full_grain)
+
+    # --- IVF-SQ8: same equality through the quantized re-rank -------------
+    probe_q = lambda frame: sorted(  # noqa: E731
+        (r.qid, r.vec_id, r.score, r.rank)
+        for r in S.ivf_quantized_topk(
+            queries, frame, cents, k=k, nprobe=3, id_col="vec_id"
+        ).collect()
+    )
+    assert probe_q(indexed) == probe_q(full_grain)
+
+    # --- SemDeDup: rep-grain input == exploded full-grain input -----------
+    sem = lambda frame, **kw: sorted(  # noqa: E731
+        (r.vec_id, r.cell, r.centroid_sim, r.removed)
+        for r in S.semantic_dedup(frame, cents, threshold=0.9, **kw).collect()
+    )
+    assert sem(indexed) == sem(full_grain)
+    # the member-level audit arm agrees too (rep input explodes up front)
+    assert sem(indexed, collapse_exact=False) == sem(full_grain, collapse_exact=False)
+    # replicas actually get removed (each distinct vector keeps min id only)
+    removed = sum(1 for _, _, _, rm in sem(indexed) if rm)
+    assert removed >= emb.count() - n_distinct
+
+    # --- legacy layout refused loudly --------------------------------------
+    import pytest
+
+    legacy = full_grain  # per-id frame, no `ids` column
+    with pytest.raises(ValueError, match="legacy"):
+        S._check_ann_index_format(legacy.columns, "x")
+
+
 # --- semantic_dedup (SemDeDup, arXiv:2303.09540) ---------------------------
 
 
@@ -420,7 +510,11 @@ def test_mllib_lsh_indexed_probe_plan_is_pruned_single_scan(spark, sf_dir, tmp_p
         queries, indexed, loaded_planes, k=3, bucket_length=bl, id_col="vec_id"
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Generate" not in plan, "corpus explode crept back into the probe"
+    # r13 rep grain: exactly ONE Generate — the post-verify member-id
+    # explode (expansion of survivors only) — never the old ×L per-table
+    # corpus explode (which generated before any filter)
+    assert plan.count("Generate explode(ids") == 1, plan
+    assert plan.count("Generate") == 1, "corpus explode crept back into the probe"
     assert "HashAggregate" not in plan, "candidate distinct crept back"
     # exactly one hash-partitioned shuffle: the rank window's (the tiny
     # query side may carry a SinglePartition limit exchange — broadcast-
