@@ -1124,20 +1124,38 @@ def substring_dedup_apply(
     words, bounded by doc length). The keeper choice is a min-struct
     aggregate per hash, not a global sort. Same collision caveat as
     substring_dup_stats: the oracle groups by window text.
+
+    r13 keeper-split exact-dup pre-collapse (note 117a — the one dedup
+    operator a plain collapse couldn't take, because exact-dup group
+    members have DIFFERENT outputs): the windowing, hash stats, coverage
+    and text rebuild all run at distinct-text grain, with exactly TWO
+    logical outputs per multi-member group. Why two suffice: for a group
+    with rep r = min member id, every occurrence (m, pos) of a non-rep
+    member m has the twin (r, pos) with r < m, so min(struct(id, pos)) —
+    the keeper — is NEVER a non-rep occurrence; non-rep members therefore
+    share one "shadow" output (every in-range duplicated window occurrence
+    covered, no keeper exemption), while the rep competes for keeper
+    status exactly as before. Window df counts member DOCUMENTS
+    (Σ grp_n over distinct reps containing the hash), so the df≥2 floor
+    and the max_df boilerplate cap are byte-identical to the member-level
+    pass. With the duplication gate off the reps ARE the docs, the shadow
+    side is empty, and the plan reduces to the old member-grain pass.
     """
     if n < 1:
         raise ValueError(f"window size n must be >= 1, got {n}")
     _release_stale()
+    reps, members, _n_docs = _exact_collapse(docs, content_col, id_col)
     w = F.expr(
-        f"IF(trim(`{content_col}`) = '', CAST(array() AS ARRAY<STRING>), "
-        f"split(trim(`{content_col}`), '\\\\s+'))"
+        "IF(trim(`_content`) = '', CAST(array() AS ARRAY<STRING>), "
+        "split(trim(`_content`), '\\\\s+'))"
     )
-    # (id, w) is read by both the window pass and the word-position pass
+    # (rid, grp_n, w) is read by the window pass and the word-position pass
     base = _scoped_cache(
-        _ensure_parallelism(docs).select(F.col(id_col).alias("id"), w.alias("w"))
+        reps.select(F.col("id").alias("rid"), "grp_n", w.alias("w"))
     )
     occ = base.select(
-        "id",
+        "rid",
+        "grp_n",
         F.posexplode(
             F.expr(
                 f"IF(size(w) >= {n}, "
@@ -1146,51 +1164,95 @@ def substring_dedup_apply(
             )
         ).alias("pos", "h"),
     )
-    per_hash = occ.groupBy("h").agg(
-        F.count_distinct("id").alias("df"),
-        F.min(F.struct("id", "pos")).alias("keeper"),
+    # two-stage df: (h, rid) grain first so a doc with the window at many
+    # positions still counts once, then Σ grp_n = distinct member documents
+    per_doc_hash = occ.groupBy("h", "rid").agg(
+        F.min("pos").alias("minpos"), F.first("grp_n").alias("grp_n")
+    )
+    per_hash = per_doc_hash.groupBy("h").agg(
+        F.sum("grp_n").alias("df"),
+        # per-rid minpos structs preserve the global lexicographic min
+        F.min(F.struct(F.col("rid").alias("id"), F.col("minpos").alias("pos"))).alias("keeper"),
     )
     dup = per_hash.where(F.col("df") >= 2)
     if max_df is not None:
         dup = dup.where(F.col("df") <= max_df)
-    nonkeep = (
-        occ.join(dup, "h")
-        .where(~((F.col("id") == F.col("keeper.id")) & (F.col("pos") == F.col("keeper.pos"))))
-        .select("id", "pos")
+    hits = occ.join(dup.select("h", "keeper"), "h").select(
+        "rid",
+        "pos",
+        ((F.col("rid") == F.col("keeper.id")) & (F.col("pos") == F.col("keeper.pos"))).alias(
+            "is_keeper"
+        ),
     )
-    covered = nonkeep.select(
-        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("widx")
-    ).distinct()
-    word_pos = base.select("id", F.posexplode("w").alias("pos", "word"))
+    span = F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("widx")
+    # rep coverage: non-keeper occurrences only; shadow coverage (the shared
+    # non-rep-member output): every duplicated occurrence — reuse one pass
+    # over `hits` with the keeper flag deciding which outputs it covers
+    # a position is covered for the REP iff some covering occurrence is a
+    # non-keeper (boolean min = AND, so ~AND(is_keeper) = OR(~is_keeper));
+    # for the shadow output every row here covers
+    covered = _scoped_cache(
+        hits.select("rid", "is_keeper", span)
+        .groupBy("rid", "widx")
+        .agg((~F.min("is_keeper")).alias("covers_rep_too"))
+    )
+    word_pos = base.select("rid", F.posexplode("w").alias("pos", "word"))
     # word_pos and covered both derive from the cached `base`, so the join
     # condition must name its sides explicitly — attribute-based conditions
     # (word_pos["id"] == covered["id"]) share expression IDs and lean on
     # Spark's ambiguous-self-join disambiguation (analyzer-version fragile;
     # ADVICE r7).
-    kept = word_pos.alias("wp").join(
-        covered.alias("cv"),
-        (F.col("wp.id") == F.col("cv.id")) & (F.col("wp.pos") == F.col("cv.widx")),
-        "left_anti",
+
+    def _rebuild(cov):
+        kept = word_pos.alias("wp").join(
+            cov.alias("cv"),
+            (F.col("wp.rid") == F.col("cv.rid")) & (F.col("wp.pos") == F.col("cv.widx")),
+            "left_anti",
+        )
+        return kept.groupBy("rid").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))), lambda s: s["word"]
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_words_kept"),
+        )
+
+    rebuilt_rep = _rebuild(covered.where("covers_rep_too"))
+    totals = base.select("rid", F.size("w").alias("_nw"), "grp_n")
+    rep_out = totals.join(rebuilt_rep, "rid", "left").select(
+        F.col("rid").alias("_oid"),
+        "rid",
+        "grp_n",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_words_kept", F.lit(0)).alias("n_words_kept"),
+        (F.col("_nw") - F.coalesce("n_words_kept", F.lit(0))).alias("n_words_dropped"),
     )
-    rebuilt = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))), lambda s: s["word"]
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").alias("n_words_kept"),
-    )
-    totals = base.select("id", F.size("w").alias("_nw"))
-    return (
-        totals.join(rebuilt, "id", "left")
+    if members is None:
+        return rep_out.select(
+            F.col("_oid").alias(id_col), "clean_text", "n_words_kept", "n_words_dropped"
+        )
+    # shadow outputs: one per multi-member group, expanded to member ids
+    rebuilt_shadow = _rebuild(covered)  # all duplicated occurrences covered
+    shadow_out = (
+        totals.where(F.col("grp_n") > 1)
+        .join(rebuilt_shadow, "rid", "left")
         .select(
-            F.col("id").alias(id_col),
+            "rid",
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             F.coalesce("n_words_kept", F.lit(0)).alias("n_words_kept"),
             (F.col("_nw") - F.coalesce("n_words_kept", F.lit(0))).alias("n_words_dropped"),
         )
+        .join(members.select("rid", "id"), "rid")
+        .where(F.col("id") != F.col("rid"))
+        .select(
+            F.col("id").alias(id_col), "clean_text", "n_words_kept", "n_words_dropped"
+        )
     )
+    return rep_out.select(
+        F.col("_oid").alias(id_col), "clean_text", "n_words_kept", "n_words_dropped"
+    ).unionByName(shadow_out)
 
 
 def dedup_incremental(

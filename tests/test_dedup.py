@@ -337,6 +337,117 @@ def test_substring_dedup_apply_within_doc_second_occurrence_dropped(spark):
     assert out[2].clean_text == "mid" and out[2].n_words_dropped == 20
 
 
+def test_substring_apply_keeper_split_collapse_byte_identical(spark):
+    """r13 (note 117a / VERDICT r12 next-round #4): the keeper-split
+    exact-dup pre-collapse must reproduce the member-level pass exactly on
+    a corpus with heavy verbatim duplication — the one dedup operator where
+    group members have DIFFERENT outputs (the globally-first occurrence
+    keeps its spans, every other copy loses them). The reference below is
+    the pre-r13 member-grain algorithm verbatim; exercised with and
+    without max_df, plus sub-window docs, empty docs, and within-doc
+    repeats inside multi-member groups."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.dedup import substring_dedup_apply
+
+    w10 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    # a 9-member group of 12-word docs (every 10-window duplicated): rep 100
+    # keeps everything, shadows collapse to empty
+    for i in range(9):
+        rows.append((100 + i, w10 + " lambda mu"))
+    # a 6-member group sharing a window with the group above via a common
+    # prefix — cross-group keeper competition
+    for i in range(6):
+        rows.append((200 + i, w10 + " nu xi omicron"))
+    # within-doc repeat inside a 4-member group
+    for i in range(4):
+        rows.append((300 + i, w10 + " " + w10))
+    # sub-window and empty docs, replicated
+    for i in range(3):
+        rows.append((400 + i, "too short to window"))
+        rows.append((500 + i, ""))
+    # a singleton doc sharing no windows
+    rows.append((600, "completely different words one two three four five six seven"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def member_level(docs, n, max_df=None):
+        w = F.expr(
+            "IF(trim(`text`) = '', CAST(array() AS ARRAY<STRING>), "
+            "split(trim(`text`), '\\\\s+'))"
+        )
+        base = docs.select(F.col("doc_id").alias("id"), w.alias("w")).cache()
+        occ = base.select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    f"IF(size(w) >= {n}, "
+                    f"transform(sequence(1, size(w) - {n - 1}), i -> xxhash64(array_join(slice(w, i, {n}), ' '))), "
+                    "CAST(array() AS ARRAY<BIGINT>))"
+                )
+            ).alias("pos", "h"),
+        )
+        per_hash = occ.groupBy("h").agg(
+            F.count_distinct("id").alias("df"),
+            F.min(F.struct("id", "pos")).alias("keeper"),
+        )
+        dup = per_hash.where(F.col("df") >= 2)
+        if max_df is not None:
+            dup = dup.where(F.col("df") <= max_df)
+        nonkeep = (
+            occ.join(dup, "h")
+            .where(~((F.col("id") == F.col("keeper.id")) & (F.col("pos") == F.col("keeper.pos"))))
+            .select("id", "pos")
+        )
+        covered = nonkeep.select(
+            "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("widx")
+        ).distinct()
+        word_pos = base.select("id", F.posexplode("w").alias("pos", "word"))
+        kept = word_pos.alias("wp").join(
+            covered.alias("cv"),
+            (F.col("wp.id") == F.col("cv.id")) & (F.col("wp.pos") == F.col("cv.widx")),
+            "left_anti",
+        )
+        rebuilt = kept.groupBy("id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))), lambda s: s["word"]
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_words_kept"),
+        )
+        totals = base.select("id", F.size("w").alias("_nw"))
+        return (
+            totals.join(rebuilt, "id", "left")
+            .select(
+                F.col("id").alias("doc_id"),
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                F.coalesce("n_words_kept", F.lit(0)).alias("n_words_kept"),
+                (F.col("_nw") - F.coalesce("n_words_kept", F.lit(0))).alias("n_words_dropped"),
+            )
+        )
+
+    for max_df in (None, 14):
+        want = {
+            r.doc_id: (r.clean_text, r.n_words_kept, r.n_words_dropped)
+            for r in member_level(docs, 10, max_df).collect()
+        }
+        got = {
+            r.doc_id: (r.clean_text, r.n_words_kept, r.n_words_dropped)
+            for r in substring_dedup_apply(docs, n=10, max_df=max_df).collect()
+        }
+        assert got == want, f"max_df={max_df}: " + str(
+            {k: (got.get(k), want.get(k)) for k in set(got) | set(want) if got.get(k) != want.get(k)}
+        )
+    # semantics spot-checks: rep of group 100 keeps everything (it is the
+    # global keeper for every one of its windows), its shadows are emptied
+    out = {r.doc_id: r for r in substring_dedup_apply(docs, n=10).collect()}
+    assert out[100].n_words_dropped == 0 and out[100].clean_text.startswith("alpha")
+    assert all(out[100 + i].clean_text == "" for i in range(1, 9))
+    assert out[600].n_words_dropped == 0  # singleton untouched
+
+
 def test_substring_dedup_apply_conserves_words_against_stats(spark, sf_dir):
     """Cross-check the two halves: per doc, words dropped by apply can be
     nonzero only if stats reported duplicated windows, and fully-duplicated

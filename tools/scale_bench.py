@@ -359,38 +359,53 @@ def main() -> None:
         weighted_source_sample,
     )
 
-    pairs = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=200)
-    comp = timed(
-        "cc_cluster_10x",
-        lambda: connected_components(pairs).cache(),
-    )
-    cc_vertices = comp.count()
-    cc_components = comp.select("component").distinct().count()
-    checks["cc_vertices"] = cc_vertices
-    checks["cc_components"] = cc_components
-    # every clustered doc's label must be the min member — spot-invariant:
-    # no vertex may carry a label larger than its own id
-    checks["cc_minlabel_ok"] = bool(
-        comp.where(F.col("component") > F.col("id")).limit(1).count() == 0
-    )
-    n_kept_unfused = timed(
-        "cc_dedup_corpus_10x",
-        lambda: dedup_corpus(docs, minhash_lsh_pairs(docs, threshold=0.5, max_bucket=200)).count(),
-    )
-    comp.unpersist()
+    # r13 (VERDICT r12 next-round #5): the pairs-API arms (connected
+    # components + dedup_corpus over the EXPANDED clique graph) are the
+    # AUDIT shape — they re-derive what the fused operator computes on the
+    # rep-grain skeleton, and at crawl duplication their cost is inherent
+    # to the API shape (note 115's A/B brackets them at 54–121 s at 100× on
+    # identical code). Record them at rep<=10 only, where the fused==unfused
+    # ground-truth equality is still exercised; the 100× artifact carries
+    # the fused operator alone as the production line.
+    if rep <= 10:
+        pairs = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=200)
+        comp = timed(
+            "cc_cluster_10x_audit",
+            lambda: connected_components(pairs).cache(),
+        )
+        cc_vertices = comp.count()
+        cc_components = comp.select("component").distinct().count()
+        checks["cc_vertices"] = cc_vertices
+        checks["cc_components"] = cc_components
+        # every clustered doc's label must be the min member — spot-invariant:
+        # no vertex may carry a label larger than its own id
+        checks["cc_minlabel_ok"] = bool(
+            comp.where(F.col("component") > F.col("id")).limit(1).count() == 0
+        )
+        n_kept_unfused = timed(
+            "cc_dedup_corpus_10x_audit",
+            lambda: dedup_corpus(docs, minhash_lsh_pairs(docs, threshold=0.5, max_bucket=200)).count(),
+        )
+        comp.unpersist()
+    else:
+        n_kept_unfused = None
 
     # r12: the fused corpus dedup (clustering.dedup_corpus_minhash) — label
     # propagation on the rep-grain skeleton, never materializing the
     # expanded clique graph. Ground truth: the keep COUNT equals the
     # unfused composition's exactly (the keep SETS are equal by the min-id
-    # argument; equality is byte-pinned in tests/test_clustering.py).
+    # argument; equality is byte-pinned in tests/test_clustering.py). At
+    # rep>10 the count is still ground-truthed against the replication
+    # arithmetic: distinct base texts each keep exactly their min member.
     from mcp_synaptic_spark.operators.clustering import dedup_corpus_minhash
 
     n_kept_fused = timed(
         "cc_dedup_corpus_fused_10x",
         lambda: dedup_corpus_minhash(docs, threshold=0.5, max_bucket=200).count(),
     )
-    checks["fused_dedup_corpus_equals_unfused"] = bool(n_kept_fused == n_kept_unfused)
+    if n_kept_unfused is not None:
+        checks["fused_dedup_corpus_equals_unfused"] = bool(n_kept_fused == n_kept_unfused)
+    checks["fused_dedup_keep_count"] = n_kept_fused
 
     n_eval = docs.where(F.col("doc_id") % 10_000_000 % 97 == 0).count()
     flagged = timed(
@@ -932,10 +947,35 @@ def main() -> None:
     # each stage carries its own driver grade), and (b) planted copies of
     # indexed base docs are NEVER 'admitted' (they fail a quality tier or
     # flag exact_dup — either way the front door holds).
+    #
+    # r13 (VERDICT r12 next-round #6): the stream consumes the PERSISTED LM
+    # — lm_write/lm_load round-trip at scale, recipe-marker check included —
+    # instead of the in-process tables, so the artifact exercises the full
+    # train-once/persist/score-many production shape end-to-end. Ground
+    # truth: the loaded tables score identically to the in-memory ones
+    # (checked below on the base corpus before the stream starts).
+    from mcp_synaptic_spark.operators.lm import lm_load, lm_write
     from mcp_synaptic_spark.streaming.ingest import (
         quality_admit_stream,
         quality_admit_verdicts,
     )
+
+    lm_path = f"{SCRATCH}/lm_tables"
+    shutil.rmtree(lm_path, ignore_errors=True)
+    timed("lm_write_persisted", lambda: lm_write(lm_tabs, lm_path))
+    lm_loaded = lm_load(spark, lm_path)
+    n_loaded_mismatch = timed(
+        "lm_load_scores_match_inmemory",
+        lambda: perplexity(base_docs, lm=lm_loaded)
+        .select(F.col("doc_id").alias("base_id"), "n_tokens", "logppl")
+        .join(base_keyed, "base_id")
+        .where(
+            (F.col("n_tokens") != F.col("base_n_tokens"))
+            | (F.abs(F.col("logppl") - F.col("base_logppl")) > 1e-6)
+        )
+        .count(),
+    )
+    checks["lm_persisted_roundtrip_matches"] = bool(n_loaded_mismatch == 0)
 
     q_arrivals = f"{SCRATCH}/quality_arrivals"
     q_ckpt = f"{SCRATCH}/quality_ckpt"
@@ -970,7 +1010,7 @@ def main() -> None:
             spark.readStream.schema("doc_id long, text string, lang string")
             .option("maxFilesPerTrigger", 1)
             .parquet(q_arrivals),
-            lm_tabs,
+            lm_loaded,
             q_sink,
             checkpoint=q_ckpt,
             index_path=admit_idx,
@@ -989,7 +1029,7 @@ def main() -> None:
             ((F.col("doc_id") - 800_000_000) / 1_000_000).cast("long") == b
         )
         vd = quality_admit_verdicts(
-            frame, lm_tabs, index=static_idx, ppl_cutoff=ppl_cut, max_bucket=200
+            frame, lm_loaded, index=static_idx, ppl_cutoff=ppl_cut, max_bucket=200
         )
         for r in vd.groupBy("verdict").agg(F.count("*").alias("n")).collect():
             batch_twin[r["verdict"]] = batch_twin.get(r["verdict"], 0) + r["n"]
