@@ -4490,47 +4490,98 @@ _ORACLE_QUALITY_ADMIT = _mk_oracle_quality_admit()
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver grades dict entries in order (it stops
     after 50), so the graded window rotates per round until every oracled
-    query has a green CORRECTNESS row in some round.
+    query has a green CORRECTNESS row in some round. (Rotation history
+    through r12 is in the git log of this docstring; the evidence ledger
+    `EVIDENCE.json` + tools/evidence.py carry the machine-checked state.)
 
-    Rotation history: r9 graded the dedup.py/pipeline.py/similarity.py/
-    txn.py families (all touched that round), the r9-new
-    bm25_search_indexed, and the r6-stamped refreshes; its 17 tail-born
-    analytics queries rode the contract's escape hatch into r10. r10
-    first-graded those seventeen, re-graded the r10-touched txn/bm25
-    queries, and refreshed the whole r7-stamped cohort (nothing predates
-    r8 afterward); its two tail-born drift queries rode the escape hatch
-    into r11 (the generalized pin in tests/test_driver_contract.py).
-
-    Round-12 window (this file): slots 1-2 first-grade the two tail-born
-    LM-perplexity queries (pinned by the r11 contract's r12_rotation_pins).
-    Then every query whose operator files r12 touches: the note-105
-    ensure_parallelism fan-out landed in pipeline.py / stats.py / terms.py
-    (A/B: decontaminate 81-87s -> 18-31s, corpus_summary 17-25s -> 2.4-2.7s,
-    tfidf 32-48s -> 5.5-18s at the 100x grain), rotating the pipeline /
-    corpus_summary / tfidf / source_overlap families in; and the dedup.py
-    work (exact-dup pre-collapse extended to ngram/simhash and the
-    persisted index build, the digest-based verify joins, the sha2 collapse
-    key) rotates the whole dedup/clustering/semantic family in. The free
-    slots retire ALL remaining r9-stamped rows (embed_texts /
-    ts_parse_multi / memory_access_replay — the trio evicted un-regraded in
-    r11 — plus sanitize and the streaming-windows/multimodal families) and
-    seven of the eight oldest r10 rows (the events temporal suite;
-    events_conversion_lag yields its slot to the r12-born quality_admit's
-    first grade and keeps valid tail evidence). After this rotation
-    nothing in the ledger predates r10.
+    Round-13 window (this file): slot 1 first-grades dedup_apply_fused (the
+    r12 tail-born fused corpus dedup, pinned by the r12 contract's escape
+    hatch). Then every query whose operator files r13 touches: dedup.py
+    (the substring-apply keeper-split collapse, the versioned index
+    manifest, the batch_content_col split, the simhash fan-out restore)
+    stales the whole dedup/clustering family plus corpus_prep_pipeline and
+    quality_admit (streaming/ingest.py also touched — the text_col
+    forwarding fix); similarity.py (the rep-grain persisted ANN indexes,
+    note 117b) stales the ann_*/dedup_semantic/dedup_embedding*/
+    decontaminate_semantic rows. The discretionary slots take the
+    VERDICT-r12-requested rag_* family refresh (r11-stamped; rag.py/
+    vector.py untouched but named in next-round #1's done-criteria),
+    events_conversion_lag (whose r12 stamp was the phantom the new
+    stamp-vs-grade contract test caught — this is its honest re-grade),
+    and the oldest-first r10 refresh: the TPC-H suite, the documents CRUD
+    family, the txn trio, and the editdist pair. After this rotation the
+    oldest stamps are the 18 remaining r10 memory/TTL/screen rows (files
+    bit-unchanged; they lead the r14 refresh queue).
     """
     return {
-        # --- r12 graded window (50): see docstring for the rotation logic
-        # first driver grade for the r11 tail-born LM pair (contract pins)
+        # --- r13 graded window (50): see docstring for the rotation logic
+        # first driver grade for the r12 tail-born fused corpus dedup (pin)
+        "dedup_apply_fused": _q_dedup_apply_fused,
+        # r13-touched: operators/dedup.py (keeper-split substring-apply
+        # collapse, versioned index manifest, batch_content_col split,
+        # simhash fan-out restore) — stales every dedup.py/clustering.py row
+        "dedup_exact": _q_dedup_exact,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_capped": _q_dedup_simhash_capped,
+        "dedup_substring": _q_dedup_substring,
+        "dedup_substring_apply": _q_dedup_substring_apply,
+        "dedup_incremental": _q_dedup_incremental,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "dedup_semantic": _q_dedup_semantic,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_twostar": _q_dedup_clusters_twostar,
+        "dedup_apply_clusters": _q_dedup_apply_clusters,
+        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
+        # r13-touched: streaming/ingest.py (text_col forwarding) + dedup.py
+        "quality_admit": _q_quality_admit,
+        # r13-touched: operators/similarity.py (rep-grain ANN indexes, note
+        # 117b) — the ann_* family and the SIM-backed pipeline screen
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_mllib_lsh": _q_ann_mllib_lsh,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_quantized_topk": _q_ann_quantized_topk,
+        "ann_ivf_sq8_topk": _q_ann_ivf_sq8_topk,
+        "decontaminate_semantic": _q_decontaminate_semantic,
+        # VERDICT r12 next-round #1 done-criteria: the rag_* family refresh
+        # (r11-stamped; rag.py/functions/vector.py bit-unchanged)
+        "rag_search": _q_rag_search,
+        "rag_search_filtered": _q_rag_search_filtered,
+        "find_similar": _q_find_similar,
+        "batch_topk": _q_batch_topk,
+        "pairwise_similarity": _q_pairwise_similarity,
+        "knn_classify": _q_knn_classify,
+        # the phantom-stamp row's honest re-grade (VERDICT r12 wrong-item 1)
+        "events_conversion_lag": _q_events_conversion_lag,
+        # oldest-first r10 ledger refresh: TPC-H, docs CRUD, txn, editdist
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "orders_semi_join": _q_orders_semi_join,
+        "customers_anti_join": _q_customers_anti_join,
+        "orders_rollup": _q_orders_rollup,
+        "doc_add": _q_doc_add,
+        "doc_get": _q_doc_get,
+        "doc_update": _q_doc_update,
+        "doc_delete": _q_doc_delete,
+        "doc_stats": _q_doc_stats,
+        "memory_upsert_txn": _q_memory_upsert_txn,
+        "memory_upsert_ckpt": _q_memory_upsert_ckpt,
+        "memory_snapshot_read": _q_memory_snapshot_read,
+        "dedup_editdist": _q_dedup_editdist,
+        "dedup_editdist_segment": _q_dedup_editdist_segment,
+        # ---- entry 50 ends here ------------------------------------------
+        # tail: every entry below is green in CORRECTNESS_r10/r11/r12 with
+        # operator files unchanged since (EVIDENCE.json + tools/evidence.py
+        # enforce it; the 18 r10-stamped memory/TTL/screen rows lead r14)
         "lm_perplexity": _q_lm_perplexity,
         "lm_ppl_buckets": _q_lm_ppl_buckets,
-        # r12-born: the composed quality front door's batch twin — first
-        # grade in its birth round (takes the slot of one discretionary
-        # r10 refresh, events_conversion_lag, which keeps valid tail
-        # evidence)
-        "quality_admit": _q_quality_admit,
-        # r12-touched: operators/pipeline.py (+stats.py/terms.py below) —
-        # the note-105 ensure_parallelism fan-out
         "decontaminate": _q_decontaminate,
         "train_test_split": _q_train_test_split,
         "pii_redact": _q_pii_redact,
@@ -4541,34 +4592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
         "token_budget_select": _q_token_budget_select,
-        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
-        # r12-touched: operators/stats.py and operators/terms.py
         "corpus_summary": _q_corpus_summary,
         "tfidf_terms": _q_tfidf_terms,
         "source_overlap": _q_source_overlap,
-        # r12-touched: operators/dedup.py (pre-collapse extension to the
-        # ngram/simhash tiers + the persisted index build, digest-based
-        # verify joins, sha2 collapse key) — stales every dedup.py/
-        # clustering.py-backed row
-        "dedup_exact": _q_dedup_exact,
-        "dedup_keep_first": _q_dedup_keep_first,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash_capped": _q_dedup_simhash_capped,
-        "dedup_substring": _q_dedup_substring,
-        "dedup_substring_apply": _q_dedup_substring_apply,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_clusters_twostar": _q_dedup_clusters_twostar,
-        "dedup_apply_clusters": _q_dedup_apply_clusters,
-        "dedup_rate_by_source": _q_dedup_rate_by_source,
-        "dedup_incremental": _q_dedup_incremental,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "dedup_semantic": _q_dedup_semantic,
-        "decontaminate_semantic": _q_decontaminate_semantic,
-        # r9-stamped ledger retirement: the trio evicted un-regraded in r11
-        # plus the remaining r9 rows (streaming windows / multimodal)
         "embed_texts": _q_embed_texts,
         "ts_parse_multi": _q_ts_parse_multi,
         "memory_access_replay": _q_memory_access_replay,
@@ -4578,7 +4604,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "frame_sample": _q_frame_sample,
         "multimodal_features": _q_multimodal_features,
-        # oldest r10 rows: the events temporal suite refresh
         "events_asof_join": _q_events_asof_join,
         "events_range_join": _q_events_range_join,
         "events_funnel": _q_events_funnel,
@@ -4586,11 +4611,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_weekly": _q_events_retention_weekly,
         "events_active_users": _q_events_active_users,
         "events_anomaly": _q_events_anomaly,
-        # ---- entry 50 ends here ------------------------------------------
-        # tail: every entry below is green in CORRECTNESS_r10/r11 with
-        # operator files unchanged since (EVIDENCE.json + tools/evidence.py
-        # enforce it)
-        "events_conversion_lag": _q_events_conversion_lag,
         "corpus_drift": _q_corpus_drift,
         "corpus_drift_lang": _q_corpus_drift_lang,
         "token_stats": _q_token_stats,
@@ -4611,34 +4631,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "props_keys": _q_props_keys,
         "max_score": _q_max_score,
-        "rag_search": _q_rag_search,
-        "rag_search_filtered": _q_rag_search_filtered,
-        "find_similar": _q_find_similar,
-        "batch_topk": _q_batch_topk,
-        "pairwise_similarity": _q_pairwise_similarity,
-        "knn_classify": _q_knn_classify,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_mllib_lsh": _q_ann_mllib_lsh,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_quantized_topk": _q_ann_quantized_topk,
-        "ann_ivf_sq8_topk": _q_ann_ivf_sq8_topk,
         "bm25_search_indexed": _q_bm25_search_indexed,
-        "dedup_editdist": _q_dedup_editdist,
-        "dedup_editdist_segment": _q_dedup_editdist_segment,
         "embedding_screen": _q_embedding_screen,
         "dims_profile": _q_dims_profile,
         "text_screen": _q_text_screen,
-        "memory_upsert_txn": _q_memory_upsert_txn,
-        "memory_upsert_ckpt": _q_memory_upsert_ckpt,
-        "memory_snapshot_read": _q_memory_snapshot_read,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q6": _q_tpch_q6,
-        "top_orders_per_customer": _q_top_orders_per_customer,
-        "orders_semi_join": _q_orders_semi_join,
-        "customers_anti_join": _q_customers_anti_join,
-        "orders_rollup": _q_orders_rollup,
         "parse_ttl": _q_parse_ttl,
         "time_until_expiry": _q_time_until_expiry,
         "filter_tags_created": _q_filter_tags_created,
@@ -4654,17 +4650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_delete": _q_memory_delete,
         "memory_exists": _q_memory_exists,
         "memory_update": _q_memory_update,
-        "doc_add": _q_doc_add,
-        "doc_get": _q_doc_get,
-        "doc_update": _q_doc_update,
-        "doc_delete": _q_doc_delete,
-        "doc_stats": _q_doc_stats,
-        # r12 tail-born (window full and stamped before it was written):
-        # pending first grade, pinned into the r13 rotation by
-        # tests/test_driver_contract.py (the LM pair's escape hatch)
-        "dedup_apply_fused": _q_dedup_apply_fused,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     return {

@@ -25,53 +25,50 @@ def test_every_query_has_an_oracle():
 
 
 def test_graded_window_holds_the_round_targets():
-    """The driver grades the FIRST 50 dict entries only. The r12 window must
-    hold (a) the queries pending their FIRST driver grade — the two
-    LM-perplexity queries (tail-born in r11, pinned by the r11 contract's
-    escape hatch) and the r12-born quality_admit,
-    (b) every query whose operator files r12 touches — the note-105
-    ensure_parallelism fan-out (pipeline.py / stats.py / terms.py families)
-    and the dedup.py rework (pre-collapse on ngram/simhash/index build,
-    digest verify joins, rep-grain persisted index; stales every dedup.py/
-    clustering.py-backed row), (c) the oldest ledger rows — all remaining
-    r9-stamped entries (including the trio evicted un-regraded in r11) and
-    seven of the eight oldest r10 rows (the events temporal suite —
-    events_conversion_lag yields its slot to quality_admit); after this
-    rotation nothing predates r10."""
+    """The driver grades the FIRST 50 dict entries only. The r13 window must
+    hold (a) the query pending its FIRST driver grade — dedup_apply_fused
+    (tail-born in r12, pinned by the r12 contract's escape hatch),
+    (b) every query whose operator files r13 touches — dedup.py (keeper-
+    split substring-apply collapse, versioned index manifest,
+    batch_content_col split, simhash fan-out restore: stales every
+    dedup.py/clustering.py-backed row plus corpus_prep_pipeline),
+    streaming/ingest.py (text_col forwarding: quality_admit), and
+    similarity.py (rep-grain persisted ANN indexes: the ann_* family,
+    dedup_semantic/dedup_embedding*/decontaminate_semantic),
+    (c) the VERDICT-r12-requested rag_* refresh and events_conversion_lag's
+    honest re-grade (its r12 stamp was phantom — wrong-item 1), and
+    (d) oldest-first r10 refreshes (TPC-H / docs CRUD / txn / editdist)."""
     names = list(entry.queries())
     assert len(names) >= 96
     window = set(names[:50])
-    pending_first_grade = ("lm_perplexity", "lm_ppl_buckets", "quality_admit")
-    r12_touched = (
-        # operators/pipeline.py (+functions/text.py shared): the fan-out
-        "decontaminate", "train_test_split", "pii_redact",
-        "stratified_sample", "dedup_within_doc", "source_cap", "source_mix",
-        "pack_sequences", "chunk_documents", "token_budget_select",
-        "corpus_prep_pipeline",
-        # operators/stats.py and operators/terms.py: the fan-out
-        "corpus_summary", "tfidf_terms", "source_overlap",
-        # operators/dedup.py (+clustering.py consumers): pre-collapse
-        # extension, digest verify, rep-grain index, sha2 collapse key
+    pending_first_grade = ("dedup_apply_fused",)
+    r13_touched = (
+        # operators/dedup.py (+clustering.py / pipeline composition rows)
         "dedup_exact", "dedup_keep_first", "dedup_minhash",
         "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_capped",
-        "dedup_substring", "dedup_substring_apply", "dedup_clusters",
-        "dedup_clusters_twostar", "dedup_apply_clusters",
-        "dedup_rate_by_source", "dedup_incremental", "dedup_embedding",
-        "dedup_embedding_lsh", "dedup_semantic", "decontaminate_semantic",
+        "dedup_substring", "dedup_substring_apply", "dedup_incremental",
+        "dedup_rate_by_source", "dedup_clusters", "dedup_clusters_twostar",
+        "dedup_apply_clusters", "corpus_prep_pipeline",
+        # streaming/ingest.py
+        "quality_admit",
+        # operators/similarity.py (rep-grain ANN indexes)
+        "ann_lsh_topk", "ann_mllib_lsh", "ann_ivf_topk",
+        "ann_quantized_topk", "ann_ivf_sq8_topk", "dedup_semantic",
+        "dedup_embedding", "dedup_embedding_lsh", "decontaminate_semantic",
+    )
+    requested_and_regrade = (
+        "rag_search", "rag_search_filtered", "find_similar", "batch_topk",
+        "pairwise_similarity", "knn_classify", "events_conversion_lag",
     )
     old_refresh = (
-        # the last r9-stamped rows (the r11-evicted trio among them)
-        "embed_texts", "ts_parse_multi", "memory_access_replay", "sanitize",
-        "events_hourly", "events_sliding", "events_sessions", "frame_sample",
-        "multimodal_features",
-        # the eight oldest r10 rows: the events temporal suite
-        # (events_conversion_lag yielded its slot to the r12-born
-        # quality_admit's first grade; it keeps valid r10 tail evidence)
-        "events_asof_join", "events_range_join", "events_funnel",
-        "events_retention", "events_retention_weekly", "events_active_users",
-        "events_anomaly",
+        "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+        "top_orders_per_customer", "orders_semi_join",
+        "customers_anti_join", "orders_rollup",
+        "doc_add", "doc_get", "doc_update", "doc_delete", "doc_stats",
+        "memory_upsert_txn", "memory_upsert_ckpt", "memory_snapshot_read",
+        "dedup_editdist", "dedup_editdist_segment",
     )
-    for must_grade in pending_first_grade + r12_touched + old_refresh:
+    for must_grade in pending_first_grade + r13_touched + requested_and_regrade + old_refresh:
         assert must_grade in window, f"{must_grade} rotated out of the graded window"
 
 
@@ -100,12 +97,11 @@ def test_no_query_left_ungraded_behind_the_window():
     # mandatory rotation (dedup_incremental / memory_snapshot_read rode it
     # r8→r9; the seventeen analytics queries rode it r9→r10; the two drift
     # queries rode it r10→r11; the two LM-perplexity queries rode it
-    # r11→r12; all were graded on schedule). r12 births ONE tail query
-    # after its window froze — dedup_apply_fused (the fused corpus dedup's
-    # grade; same oracle as dedup_apply_clusters) — so it rides the hatch
-    # into r13: this pin IS its mandatory first grade next round.
-    r13_rotation_pins: set[str] = {"dedup_apply_fused"}
-    out = [q for q in pending if q not in window and q not in r13_rotation_pins]
+    # r11→r12; dedup_apply_fused rode it r12→r13 and now sits at window
+    # slot 1; all were graded on schedule). r13 births no tail queries —
+    # the hatch is empty.
+    r14_rotation_pins: set[str] = set()
+    out = [q for q in pending if q not in window and q not in r14_rotation_pins]
     assert out == [], f"pending-first-grade queries left in the tail: {out}"
 
 
