@@ -490,27 +490,31 @@ def main() -> None:
     flagged_auto.unpersist()
 
     # --- r8: two-star CC equivalence on the real 10x pair graph -------------
-    from mcp_synaptic_spark.operators.clustering import connected_components_twostar
+    # r13: same audit-tier gating as the HashMin/dedup_corpus pairs-API arms
+    # above — the expanded clique graph is the audit shape, recorded at
+    # rep<=10 only (where cc_vertices exists for the equality check)
+    if rep <= 10:
+        from mcp_synaptic_spark.operators.clustering import connected_components_twostar
 
-    ts_comp = timed(
-        "cc_twostar_10x",
-        lambda: connected_components_twostar(
+        ts_comp = timed(
+            "cc_twostar_10x_audit",
+            lambda: connected_components_twostar(
+                minhash_lsh_pairs(docs, threshold=0.5, max_bucket=200)
+            ).cache(),
+        )
+        hm_comp = connected_components(
             minhash_lsh_pairs(docs, threshold=0.5, max_bucket=200)
-        ).cache(),
-    )
-    hm_comp = connected_components(
-        minhash_lsh_pairs(docs, threshold=0.5, max_bucket=200)
-    )
-    n_label_mismatch = (
-        ts_comp.join(hm_comp.withColumnRenamed("component", "hm"), "id")
-        .where(F.col("component") != F.col("hm"))
-        .limit(1)
-        .count()
-    )
-    checks["cc_twostar_equals_hashmin"] = bool(
-        n_label_mismatch == 0 and ts_comp.count() == cc_vertices
-    )
-    ts_comp.unpersist()
+        )
+        n_label_mismatch = (
+            ts_comp.join(hm_comp.withColumnRenamed("component", "hm"), "id")
+            .where(F.col("component") != F.col("hm"))
+            .limit(1)
+            .count()
+        )
+        checks["cc_twostar_equals_hashmin"] = bool(
+            n_label_mismatch == 0 and ts_comp.count() == cc_vertices
+        )
+        ts_comp.unpersist()
 
     # --- r8: SQ8 + ADC at 10x ------------------------------------------------
     # Ground truth: the query vector (vec_id 0) has `rep` byte-identical
