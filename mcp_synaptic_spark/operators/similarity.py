@@ -70,8 +70,49 @@ def _collapse_to_reps(
         n, d = stats if stats is not None else _collapse_stats(base, "v")
         collapse = _should_collapse(n, d)
     if not collapse:
-        return base.select(F.array("_mid").alias("ids"), "v"), n
-    return base.groupBy("v").agg(F.sort_array(F.collect_list("_mid")).alias("ids")), n
+        return base.select(F.array("_mid").alias("ids"), "v"), n, False
+    return base.groupBy("v").agg(F.sort_array(F.collect_list("_mid")).alias("ids")), n, True
+
+
+def _collapse_query_side(
+    queries: DataFrame, query_id_col: str, query_vec_col: str
+) -> tuple[DataFrame, DataFrame | None]:
+    """Distinct-vector grain for the QUERY side of the ANN probes (r13):
+    batch ANN query sets are themselves corpus slices, so at crawl
+    duplication the same query vector arrives under many qids — and every
+    probe's per-query work (centroid assignment explode, bucket hashing,
+    candidate verify, rank window input) multiplies by that duplication for
+    identical results. Collapse to one representative qid per distinct
+    vector (same measured auto gate as the corpus side), run the probe at
+    rep grain, and fan the FINAL ranked rows back out to every member qid —
+    per-qid output for identical vectors is identical by construction, so
+    the expansion is byte-exact. Returns (rep_queries, expand): expand is
+    None when the gate skipped (results need no fan-out), else a tiny
+    (_qrep → member qid) broadcast map for `_expand_query_side`."""
+    reps, _n, did = _collapse_to_reps(queries, query_id_col, query_vec_col)
+    if not did:
+        return queries.select(query_id_col, query_vec_col), None
+    rep_q = reps.select(
+        F.element_at("ids", 1).alias(query_id_col), F.col("v").alias(query_vec_col)
+    )
+    expand = reps.select(
+        F.element_at("ids", 1).alias("_qrep"), F.explode("ids").alias(query_id_col)
+    )
+    return rep_q, expand
+
+
+def _expand_query_side(out: DataFrame, expand: DataFrame | None, query_id_col: str) -> DataFrame:
+    """Fan per-rep-qid probe results back out to every member qid (see
+    `_collapse_query_side`); the rank column is per-qid and identical
+    across members, so it rides the expansion untouched."""
+    if expand is None:
+        return out
+    rest = [c for c in out.columns if c != query_id_col]
+    return (
+        out.withColumnRenamed(query_id_col, "_qrep")
+        .join(F.broadcast(expand), "_qrep")
+        .select(query_id_col, *rest)
+    )
 
 
 #: On-disk layout version for the persisted ANN indexes (BRP + IVF). r13
@@ -181,6 +222,7 @@ def lsh_topk_join(
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.select(F.col(id_col), F.col(vec_col), hyperplane_bucket(vec_col, planes).alias("bucket"))
 
+    queries, q_expand = _collapse_query_side(queries, query_id_col, query_vec_col)
     qb = queries.select(
         F.col(query_id_col), F.col(query_vec_col), hyperplane_bucket(query_vec_col, planes).alias("qbucket")
     )
@@ -201,7 +243,8 @@ def lsh_topk_join(
         .dropDuplicates([query_id_col, id_col])
     )
     w = Window.partitionBy(query_id_col).orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _expand_query_side(out, q_expand, query_id_col)
 
 
 def mllib_lsh_topk(
@@ -315,7 +358,7 @@ def mllib_lsh_index_write(
     # ids=[id] wrapper. (The fan-out inside _collapse_to_reps replaces the
     # ensure_parallelism that used to live here — r11: 148 s → ~11 s at the
     # 200k-vector artifact tier.)
-    reps, _n = _collapse_to_reps(corpus, id_col, vec_col, stats=stats)
+    reps, _n, _did = _collapse_to_reps(corpus, id_col, vec_col, stats=stats)
     normalized = reps.select("ids", l2_normalize(F.col("v")).alias("vn"))
     hashed = normalized.select(
         "ids",
@@ -378,6 +421,7 @@ def mllib_lsh_topk_indexed(
     split counts it is a no-op).
     """
     nt = len(planes)
+    queries, q_expand = _collapse_query_side(queries, query_id_col, query_vec_col)
     q = queries.select(
         F.col(query_id_col), l2_normalize(F.col(query_vec_col)).alias("qn")
     ).select(
@@ -432,7 +476,8 @@ def mllib_lsh_topk_indexed(
         query_id_col, F.explode("ids").alias(id_col), "score"
     )
     w = Window.partitionBy(query_id_col).orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _expand_query_side(out, q_expand, query_id_col)
 
 
 def auto_n_cells(n_rows: int, *, lo: int = 4, hi: int = 65536) -> int:
@@ -502,7 +547,7 @@ def _ivf_build_reps(
     # a coarse quantizer needs rough cells, not convergence — cap iterations
     km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features", predictionCol="cell")
     model = km.fit(feats)
-    reps, _n = _collapse_to_reps(corpus, id_col, vec_col)
+    reps, _n, _did = _collapse_to_reps(corpus, id_col, vec_col)
     rep_feats = reps.select(
         "ids", F.col("v").alias(vec_col), array_to_vector(as_double(F.col("v"))).alias("features")
     )
@@ -635,8 +680,13 @@ def ivf_topk(
     """IVF query: probe the nprobe nearest cells, exact cosine re-rank inside.
 
     The (qid, cell) probe list is tiny and broadcast; with the corpus
-    partitioned by cell the join is a partition-pruned scan.
+    partitioned by cell the join is a partition-pruned scan. The query side
+    runs at distinct-vector grain (r13, `_collapse_query_side`): the
+    centroid-assignment explode — |queries| × n_cells cosines, the probe's
+    dominant cost on a replicated query slice — and the in-cell verify pay
+    once per distinct query vector.
     """
+    queries, q_expand = _collapse_query_side(queries, query_id_col, query_vec_col)
     cent = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
     qcells = (
         queries.select(query_id_col, query_vec_col)
@@ -666,7 +716,8 @@ def ivf_topk(
     if rep_grain:
         scored = scored.select(query_id_col, F.explode("ids").alias(id_col), "score")
     w = Window.partitionBy(query_id_col).orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _expand_query_side(out, q_expand, query_id_col)
 
 
 def semantic_dedup(
@@ -1013,7 +1064,9 @@ def ivf_quantized_topk(
     # the code column is renamed away from quantize's default "qvec" — the
     # conventional QUERY vector column shares that name (ambiguous post-join)
     # r13 rep grain: quantization + dequantized cosine run per distinct
-    # vector when the index carries `ids`; members explode in pre-rank
+    # vector when the index carries `ids`; members explode in pre-rank.
+    # The query side collapses the same way (see ivf_topk).
+    queries, q_expand = _collapse_query_side(queries, query_id_col, query_vec_col)
     rep_grain = "ids" in indexed_corpus.columns
     qemb = quantize_embeddings(
         indexed_corpus,
@@ -1046,4 +1099,5 @@ def ivf_quantized_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _expand_query_side(out, q_expand, query_id_col)

@@ -261,6 +261,30 @@ def test_rep_grain_index_byte_identical_on_dup_heavy_corpus(spark, sf_dir, tmp_p
     removed = sum(1 for _, _, _, rm in sem(indexed) if rm)
     assert removed >= emb.count() - n_distinct
 
+    # --- duplicated QUERY side: probe at distinct-qvec grain ----------------
+    # (r13 `_collapse_query_side`): each query vector arrives under 8 qids;
+    # per-qid output must equal the unduplicated run's rows verbatim
+    q_dup = queries.selectExpr(
+        f"explode(sequence(0, {rep - 1})) as copy", "qid", "qvec"
+    ).select((F.col("qid") * 100 + F.col("copy")).alias("qid"), "qvec")
+    for fn in (
+        lambda q: S.ivf_topk(q, indexed, cents, k=k, nprobe=3, id_col="vec_id"),
+        lambda q: S.ivf_quantized_topk(q, indexed, cents, k=k, nprobe=3, id_col="vec_id"),
+        lambda q: S.mllib_lsh_topk_indexed(
+            q, bidx, bplanes, k=k, bucket_length=bl, id_col="vec_id"
+        ),
+        lambda q: S.lsh_topk_join(q, emb, dim=64, k=k, n_planes=4, id_col="vec_id"),
+    ):
+        single = {}
+        for r in fn(queries).collect():
+            single.setdefault(r.qid, []).append((r.vec_id, r.score, r.rank))
+        dup = {}
+        for r in fn(q_dup).collect():
+            dup.setdefault(r.qid, []).append((r.vec_id, r.score, r.rank))
+        assert set(dup) == {q * 100 + c for q in single for c in range(rep)}
+        for qid, rows in dup.items():
+            assert sorted(rows) == sorted(single[qid // 100]), qid
+
     # --- legacy layout refused loudly --------------------------------------
     import pytest
 
