@@ -215,12 +215,29 @@ def lsh_topk_join(
 
     Physical shape: corpus bucketed once (narrow projection, shuffle on
     bucket only if the join needs it); the join key is (bucket), so the
-    corpus never cross-joins the query set.
+    corpus never cross-joins the query set. r13: BOTH sides run at
+    distinct-vector grain behind the measured duplication gate — corpus
+    hashing/candidate-join/cosine per distinct corpus vector (members
+    explode back in after the per-(qid, rep) dedup, before the rank
+    window), query work per distinct query vector (_collapse_query_side).
     """
+    stats = None
     if n_planes is None:
-        n_planes = auto_n_planes(corpus.count())
+        # ONE count+HLL aggregate serves both the plane-count dial and the
+        # collapse gate (the note-120 merged-probe discipline)
+        from ..util import ensure_parallelism
+
+        from .dedup import _collapse_stats
+
+        stats = _collapse_stats(
+            ensure_parallelism(corpus).select(F.col(vec_col).alias("v")), "v"
+        )
+        n_planes = auto_n_planes(stats[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(F.col(id_col), F.col(vec_col), hyperplane_bucket(vec_col, planes).alias("bucket"))
+    c_reps, _n, c_did = _collapse_to_reps(corpus, id_col, vec_col, stats=stats)
+    c = c_reps.select(
+        "ids", F.col("v").alias(vec_col), hyperplane_bucket("v", planes).alias("bucket")
+    )
 
     queries, q_expand = _collapse_query_side(queries, query_id_col, query_vec_col)
     qb = queries.select(
@@ -233,14 +250,18 @@ def lsh_topk_join(
         qb = qb.withColumn("bucket", F.col("qbucket"))
 
     sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    # dedup multiprobe re-matches per (qid, rep) — members of a rep share
+    # every bucket, so this equals the old per (qid, id) dedup — then
+    # explode member ids before the rank window
     scored = (
         c.join(F.broadcast(qb.select(query_id_col, query_vec_col, "bucket")), "bucket")
         .select(
             F.col(query_id_col),
-            F.col(id_col),
+            F.col("ids"),
             F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), sim)), ROUND_DP).alias("score"),
         )
-        .dropDuplicates([query_id_col, id_col])
+        .dropDuplicates([query_id_col, "ids"])
+        .select(query_id_col, F.explode("ids").alias(id_col), "score")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.round(F.col("score"), ORDER_DP).desc(), F.col(id_col).asc())
     out = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
