@@ -86,12 +86,18 @@ def _collapse_query_side(
     vector (same measured auto gate as the corpus side), run the probe at
     rep grain, and fan the FINAL ranked rows back out to every member qid —
     per-qid output for identical vectors is identical by construction, so
-    the expansion is byte-exact. Returns (rep_queries, expand): expand is
-    None when the gate skipped (results need no fan-out), else a tiny
-    (_qrep → member qid) broadcast map for `_expand_query_side`."""
-    reps, _n, did = _collapse_to_reps(queries, query_id_col, query_vec_col)
-    if not did:
-        return queries.select(query_id_col, query_vec_col), None
+    the expansion is byte-exact. Returns (rep_queries, expand): a tiny
+    (_qrep → member qid) broadcast map for `_expand_query_side`.
+
+    No duplication gate HERE, unlike the corpus side: query sets are
+    broadcast-sized by contract (the BRP probe collects their bucket ids
+    driver-side), so the collapse groupBy is a tiny lazy shuffle stage
+    inside the main plan — whereas a count+HLL gate probe is a separate
+    eager job whose scheduling floor (~0.2-0.5 s at toy scale, measured in
+    the r13 interleaved A/B) costs more than the collapse it would skip."""
+    reps, _n, did = _collapse_to_reps(
+        queries, query_id_col, query_vec_col, collapse=True
+    )
     rep_q = reps.select(
         F.element_at("ids", 1).alias(query_id_col), F.col("v").alias(query_vec_col)
     )
@@ -234,7 +240,14 @@ def lsh_topk_join(
         )
         n_planes = auto_n_planes(stats[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    c_reps, _n, c_did = _collapse_to_reps(corpus, id_col, vec_col, stats=stats)
+    # corpus collapse only when the gate probe came free with the plane
+    # dial: an explicit n_planes call would pay a separate eager probe job
+    # whose toy-scale scheduling floor exceeds the collapse's benefit (the
+    # r13 interleaved A/B measured ~0.4 s) — the auto-sized path is the
+    # production/scale route and carries the collapse
+    c_reps, _n, c_did = _collapse_to_reps(
+        corpus, id_col, vec_col, stats=stats, collapse="auto" if stats else False
+    )
     c = c_reps.select(
         "ids", F.col("v").alias(vec_col), hyperplane_bucket("v", planes).alias("bucket")
     )

@@ -534,14 +534,19 @@ def test_mllib_lsh_indexed_probe_plan_is_pruned_single_scan(spark, sf_dir, tmp_p
         queries, indexed, loaded_planes, k=3, bucket_length=bl, id_col="vec_id"
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # r13 rep grain: exactly ONE Generate — the post-verify member-id
-    # explode (expansion of survivors only) — never the old ×L per-table
-    # corpus explode (which generated before any filter)
-    assert plan.count("Generate explode(ids") == 1, plan
-    assert plan.count("Generate") == 1, "corpus explode crept back into the probe"
-    assert "HashAggregate" not in plan, "candidate distinct crept back"
-    # exactly one hash-partitioned shuffle: the rank window's (the tiny
-    # query side may carry a SinglePartition limit exchange — broadcast-
-    # subtree only, never corpus data)
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # r13 rep grain: exactly TWO Generates, both member-id explodes — the
+    # post-verify corpus-member expansion and the query-side fan-out map
+    # (broadcast subtree) — never the old ×L per-table corpus explode
+    # (which generated before any filter)
+    assert plan.count("Generate") == 2, "corpus explode crept back into the probe"
+    assert plan.count("Generate explode(ids") == 2, plan
+    # no aggregate over CORPUS data (the candidate distinct of the r8 plan):
+    # the only aggregates are the query-collapse collect_list pair, which
+    # plan as ObjectHashAggregate on the tiny query subtree
+    assert plan.count("HashAggregate") == plan.count("ObjectHashAggregate"), plan
+    # three hash-partitioned shuffles: the rank window's (the only CORPUS
+    # data shuffle) plus two instances of the tiny query-collapse groupBy —
+    # the rep-query subtree plans twice, once feeding the probe and once
+    # the fan-out map
+    assert plan.count("Exchange hashpartitioning") == 3, plan
     assert "PushedFilters" in plan  # bucket IN-lists reach the parquet scan
