@@ -556,6 +556,14 @@ def ivf_build(
     )
 
 
+#: Corpus-row threshold above which the IVF coarse-quantizer KMeans trains
+#: on a seeded subsample (see _ivf_build_reps). Far above every committed
+#: per-SF fixture corpus (≤ ~61k vectors), so graded-path centroids never
+#: move; at the 100× artifact tier (6.1M rows, k≈2473) the fit was the
+#: whole remaining build cost.
+_IVF_FIT_SAMPLE_FLOOR = 1_000_000
+
+
 def _ivf_build_reps(
     corpus: DataFrame,
     *,
@@ -565,22 +573,39 @@ def _ivf_build_reps(
     id_col: str = "id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, list[list[float]]]:
-    """ivf_build at REP GRAIN (r13, note 117b): the KMeans FIT stays at full
+    """ivf_build at REP GRAIN (r13, note 117b): the KMeans FIT stays at
     document grain — fitting on distinct vectors would change the weighting
     k-means|| init sees and move every committed centroid fixture — but the
     TRANSFORM (cell assignment) is a pure per-row argmin over the fitted
     centroids, so it runs once per distinct vector and identical vectors
     provably land in the same cell. Returns (`(ids, vec_col, cell)` one row
-    per distinct vector, centroids)."""
+    per distinct vector, centroids).
+
+    Above `_IVF_FIT_SAMPLE_FLOOR` corpus rows the fit trains on a SEEDED
+    uniform sample of ~max(256·k, floor) vectors — the standard
+    coarse-quantizer practice (FAISS trains IVF quantizers on a bounded
+    subsample: a coarse partitioner needs the density shape, not every
+    point). Deterministic given the seed; the floor is far above every
+    committed fixture corpus, so fixture centroids are untouched (enforced
+    by _check_centroids_committed and the oracle parity gate), and cell
+    ASSIGNMENT stays exact per vector under any centroids — replica-recall
+    and SemDeDup ground truths are centroid-independent."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
     feats = corpus.select(F.col(id_col), F.col(vec_col), array_to_vector(as_double(F.col(vec_col))).alias("features"))
+    n_rows = feats.count()
     if n_cells is None:
-        n_cells = auto_n_cells(feats.count())
+        n_cells = auto_n_cells(n_rows)
     # a coarse quantizer needs rough cells, not convergence — cap iterations
     km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features", predictionCol="cell")
-    model = km.fit(feats)
+    fit_target = max(256 * n_cells, _IVF_FIT_SAMPLE_FLOOR)
+    fit_input = feats
+    if n_rows > fit_target:
+        # sample WITHOUT replacement at a fraction giving ~fit_target rows
+        # in expectation; seeded → deterministic for a given corpus
+        fit_input = feats.sample(False, fit_target / n_rows, seed=seed)
+    model = km.fit(fit_input)
     reps, _n, _did = _collapse_to_reps(corpus, id_col, vec_col)
     rep_feats = reps.select(
         "ids", F.col("v").alias(vec_col), array_to_vector(as_double(F.col("v"))).alias("features")

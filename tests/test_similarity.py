@@ -293,6 +293,41 @@ def test_rep_grain_index_byte_identical_on_dup_heavy_corpus(spark, sf_dir, tmp_p
         S._check_ann_index_format(legacy.columns, "x")
 
 
+def test_ivf_sampled_fit_gate_and_determinism(spark, sf_dir, tmp_path, monkeypatch):
+    """r13: above _IVF_FIT_SAMPLE_FLOOR rows the coarse-quantizer KMeans
+    trains on a seeded subsample (FAISS practice). Pinned: (a) at fixture
+    scale the gate does NOT fire — the fit input is the full corpus, so
+    committed centroids are unchanged (same cents as an explicit full
+    build); (b) with the floor forced low the sampled build is
+    deterministic (same seed → same centroids) and still assigns every
+    replica of a vector to one cell."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    assert base.count() < S._IVF_FIT_SAMPLE_FLOOR  # fixture corpora: full fit
+    # double the corpus (shifted ids) so n=1000 clears the 256*k=512 target
+    emb = base.unionByName(
+        base.select((F.col("vec_id") + 700_000).alias("vec_id"), "embedding")
+    )
+    full1 = S.ivf_build(emb, n_cells=2, id_col="vec_id")[1]
+
+    # force the gate: with the floor dropped, fit target = 256*2 = 512 < 1000
+    monkeypatch.setattr(S, "_IVF_FIT_SAMPLE_FLOOR", 64)
+    sampled1 = S.ivf_build(emb, n_cells=2, id_col="vec_id")[1]
+    sampled2, cents2 = S.ivf_build(emb, n_cells=2, id_col="vec_id")
+    assert sampled1 == cents2  # seeded sample → deterministic fit
+    assert sampled1 != full1  # the gate actually fired under the low floor
+    # identical vectors still co-assign under sampled centroids: a dup-heavy
+    # corpus collapses to rep grain, so each distinct vector gets ONE row
+    # (and therefore one cell) by construction
+    dup = emb.limit(200).selectExpr("explode(sequence(0, 7)) as copy", "vec_id", "embedding").select(
+        (F.col("vec_id") * 10 + F.col("copy")).alias("vec_id"), "embedding"
+    )
+    assigned, _ = S._ivf_build_reps(dup, n_cells=8, id_col="vec_id")
+    assert assigned.where(F.size("ids") > 1).count() > 0
+    monkeypatch.undo()
+
+
 # --- semantic_dedup (SemDeDup, arXiv:2303.09540) ---------------------------
 
 
