@@ -141,6 +141,20 @@ def test_evidence_ledger_is_complete_and_fresh():
     assert violations == [], "\n".join(violations)
 
 
+def test_graded_round_stamps_match_committed_tree():
+    """VERDICT r13 What's-wrong #1: a `window_round: R` stamp whose
+    `CORRECTNESS_rR.json` has landed must carry the graded tree's file
+    hashes — the in-window "hashes refresh at update" exemption applies
+    only to the in-flight round, whose grade hasn't happened yet. This is
+    what forces `tools/evidence.py update R` to be re-run from the tree
+    the driver actually graded (r13's ledger carried rotation-time hashes
+    that predated five graded similarity.py commits)."""
+    from tools.evidence import check_graded_stamps
+
+    stale = check_graded_stamps()
+    assert stale == [], "\n".join(stale)
+
+
 def test_evidence_stamps_match_actual_driver_grades():
     """VERDICT r12 What's-wrong #1: a `window_round: R` stamp must name a
     round that ACTUALLY graded the query — i.e. the query appears in the

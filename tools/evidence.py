@@ -258,6 +258,36 @@ def update(round_n: int) -> dict:
     return ledger
 
 
+def check_graded_stamps() -> list[str]:
+    """VERDICT r13 What's-wrong #1 (the hash-snapshot twin of r12's phantom
+    round stamp): once `CORRECTNESS_rR.json` exists, round R's grade already
+    happened — a row stamped `window_round: R` gets NO window exemption and
+    its ledger hashes must match the committed tree byte-for-byte. In r13
+    the ledger was stamped at window rotation and five later graded commits
+    changed similarity.py, so the ledger misdescribed what the driver
+    graded. The discipline this enforces: re-run `update <R>` the moment
+    `CORRECTNESS_rR.json` lands (before any new-round edit), and re-run
+    `update <R+1>` after every in-round edit to a graded file.
+    """
+    ledger = _load()
+    stale = []
+    for q, row in ledger.items():
+        r = row.get("window_round")
+        if r is None:
+            continue
+        if not os.path.exists(os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")):
+            continue  # the in-flight round: its grade hasn't landed yet
+        for f, h in row["files"].items():
+            if not os.path.exists(os.path.join(REPO, f)):
+                stale.append(f"{q}: graded-round evidence file {f} is gone")
+            elif _sha(f) != h:
+                stale.append(
+                    f"{q}: {f} drifted from its round-{r} graded-tree stamp — "
+                    "rotate into the current window and re-run update"
+                )
+    return stale
+
+
 def check() -> list[str]:
     names, window = _window_names()
     ledger = _load()
