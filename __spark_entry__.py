@@ -1537,7 +1537,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     return indexed, centroids
 
 
-def _check_centroids_committed(sf_dir: str, centroids) -> None:
+def _check_centroids_committed(sf_dir: str, centroids, suffix: str = "") -> None:
     """Raise if this dataset has a committed IVF fixture but the loaded
     centroids differ from it (index rebuilt at a different mount path, or a
     Spark/KMeans change altered the fit). JSON round-trips float64 exactly,
@@ -1561,7 +1561,7 @@ def _check_centroids_committed(sf_dir: str, centroids) -> None:
     sf = next((s for s, n in _SF_EVENT_COUNTS.items() if n == n_events), None)
     if sf is None:
         return  # no committed fixture for this dataset
-    sidecar = os.path.join(_IVF_CACHE_ROOT, f"root_testdata_{sf}", "_centroids.json")
+    sidecar = os.path.join(_IVF_CACHE_ROOT, f"root_testdata_{sf}{suffix}", "_centroids.json")
     if not os.path.exists(sidecar):
         return
     with open(sidecar) as f:
@@ -1636,7 +1636,7 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SF_EVENT_COUNTS = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000}
 
 
-def _ivf_fixture_ctes() -> tuple[str, str] | None:
+def _ivf_fixture_ctes(suffix: str = "") -> tuple[str, str] | None:
     """The shared (cent, cellmap) CTE bodies every IVF-fixture oracle opens
     with: each SF's persisted centroids AND its persisted (vec_id → cell)
     assignment (`_cells.json`, written by ivf_index_write from the committed
@@ -1658,7 +1658,7 @@ def _ivf_fixture_ctes() -> tuple[str, str] | None:
     branches = []
     cell_branches = []
     for sf, n_events in _SF_EVENT_COUNTS.items():
-        fixture_dir = os.path.join(_IVF_CACHE_ROOT, f"root_testdata_{sf}")
+        fixture_dir = os.path.join(_IVF_CACHE_ROOT, f"root_testdata_{sf}{suffix}")
         sidecar = os.path.join(fixture_dir, "_centroids.json")
         cells_sidecar = os.path.join(fixture_dir, "_cells.json")
         if not (os.path.exists(sidecar) and os.path.exists(cells_sidecar)):
@@ -1711,11 +1711,16 @@ cellmap AS (
     return cent_sql, cellmap_sql
 
 
-def _mk_oracle_ann_ivf() -> str | None:
+def _mk_oracle_ann_ivf(suffix: str = "", qid_mod: int = 500) -> str | None:
     """SQL twin of ivf_topk over the committed per-SF IVF fixtures
     (_ivf_fixture_ctes): recomputes only the nprobe=4 nearest-centroid probe
-    (by 1−cosine, cell asc ties) and the exact re-rank."""
-    ctes = _ivf_fixture_ctes()
+    (by 1−cosine, cell asc ties) and the exact re-rank. With
+    suffix="_append" it reads the APPENDED fixture's sidecars instead —
+    the centroids are the subset fit and the cell assignment is the
+    merged/append-assigned one the index itself committed, so the oracle
+    grades probe/re-rank semantics over exactly the state the append
+    produced."""
+    ctes = _ivf_fixture_ctes(suffix)
     if ctes is None:
         return None
     cent_sql, cellmap_sql = ctes
@@ -1728,7 +1733,7 @@ base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 assigned AS (
   SELECT b.vec_id, b.v, m.cell FROM base b JOIN cellmap m USING (vec_id)
 ),
-q AS (SELECT vec_id AS qid, v AS qvec FROM base WHERE vec_id % 500 = 0),
+q AS (SELECT vec_id AS qid, v AS qvec FROM base WHERE vec_id % {qid_mod} = 0),
 probes AS (
   SELECT qid, qvec, cell FROM (
     SELECT q.qid, q.qvec, c.cell,
@@ -1753,6 +1758,54 @@ SELECT * FROM ranked WHERE rank <= 5
 _ORACLE_ANN_IVF = _mk_oracle_ann_ivf()
 
 
+def _ivf_append_index(spark: SparkSession, sf_dir: str):
+    """Build-once APPENDED IVF index per sf_dir: the base index is fitted on
+    the 80% of embeddings with vec_id % 5 != 0, then the held-out 20% is
+    appended under the stored centroids (similarity.py:ivf_index_append) —
+    identical vectors merge into their existing rep rows, fresh vectors get
+    exact-argmin cells, and only the affected cell partitions rewrite.
+    Idempotent across processes at BOTH stages: the base build reuses the
+    committed fixture, and the append's batch fingerprint makes re-appends
+    a metadata no-op, so the committed fixture bytes never churn."""
+    from mcp_synaptic_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_load,
+        ivf_index_write,
+    )
+
+    path = os.path.join(_IVF_CACHE_ROOT, sf_dir.strip("/").replace("/", "_") + "_append")
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf_index_write(
+        emb.where(F.col("vec_id") % 5 != 0), path, n_cells=16, id_col="vec_id",
+        cells_sidecar=True,
+    )
+    ivf_index_append(emb.where(F.col("vec_id") % 5 == 0), path, id_col="vec_id")
+    indexed, centroids = ivf_index_load(spark, path)
+    _check_centroids_committed(sf_dir, centroids, suffix="_append")
+    return indexed, centroids
+
+
+def _q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index growth (VERDICT r13 next-round #3): append a
+    held-out slice into the persisted index under the STORED centroids —
+    no refit, no full rewrite — then probe it. Every probed qid is an
+    APPENDED vector (vec_id % 100 = 0 ⊂ vec_id % 5 = 0), so the graded
+    rows prove appended vectors are findable and rank identically to a
+    native build's probe semantics; the oracle reads the appended index's
+    own committed (centroids, cell-assignment) sidecars."""
+    from mcp_synaptic_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    indexed, centroids = _ivf_append_index(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(queries, indexed, centroids, k=5, nprobe=4, id_col="vec_id")
+
+
+_ORACLE_ANN_IVF_APPEND = _mk_oracle_ann_ivf("_append", qid_mod=100)
+
+
 def _q_ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-SQ8 (similarity.py:ivf_quantized_topk) — new r8: the composed
     billion-scale layout (FAISS IVF+SQ8): the persisted coarse quantizer
@@ -1770,7 +1823,7 @@ def _q_ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_quantized_topk(queries, indexed, centroids, k=5, nprobe=4, id_col="vec_id")
 
 
-def _mk_oracle_ann_ivf_sq8() -> str | None:
+def _mk_oracle_ann_ivf_sq8(qid_mod: int = 500) -> str | None:
     """SQL twin of ivf_quantized_topk: the ann_ivf probe verbatim, but the
     re-rank scores the DEQUANTIZED corpus vector (same floor-code recipe as
     the ann_quantized_topk oracle)."""
@@ -1799,7 +1852,7 @@ dq AS (
 assigned AS (
   SELECT d.vec_id, d.dv, m.cell FROM dq d JOIN cellmap m USING (vec_id)
 ),
-q AS (SELECT vec_id AS qid, v AS qvec FROM base WHERE vec_id % 500 = 0),
+q AS (SELECT vec_id AS qid, v AS qvec FROM base WHERE vec_id % {qid_mod} = 0),
 probes AS (
   SELECT qid, qvec, cell FROM (
     SELECT q.qid, q.qvec, c.cell,
@@ -4491,35 +4544,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver grades dict entries in order (it stops
     after 50), so the graded window rotates per round until every oracled
     query has a green CORRECTNESS row in some round. (Rotation history
-    through r12 is in the git log of this docstring; the evidence ledger
+    through r13 is in the git log of this docstring; the evidence ledger
     `EVIDENCE.json` + tools/evidence.py carry the machine-checked state.)
 
-    Round-13 window (this file): slot 1 first-grades dedup_apply_fused (the
-    r12 tail-born fused corpus dedup, pinned by the r12 contract's escape
-    hatch). Then every query whose operator files r13 touches: dedup.py
-    (the substring-apply keeper-split collapse, the versioned index
-    manifest, the batch_content_col split, the simhash fan-out restore)
-    stales the whole dedup/clustering family plus corpus_prep_pipeline and
-    quality_admit (streaming/ingest.py also touched — the text_col
-    forwarding fix); similarity.py (the rep-grain persisted ANN indexes,
-    note 117b) stales the ann_*/dedup_semantic/dedup_embedding*/
-    decontaminate_semantic rows. The discretionary slots take the
-    VERDICT-r12-requested rag_* family refresh (r11-stamped; rag.py/
-    vector.py untouched but named in next-round #1's done-criteria),
-    events_conversion_lag (whose r12 stamp was the phantom the new
-    stamp-vs-grade contract test caught — this is its honest re-grade),
-    and the oldest-first r10 refresh: the TPC-H suite, the documents CRUD
-    family, the txn trio, and the editdist pair. After this rotation the
-    oldest stamps are the 18 remaining r10 memory/TTL/screen rows (files
-    bit-unchanged; they lead the r14 refresh queue).
+    Round-14 window (this file): the VERDICT-r13-ordered oldest-first
+    refresh — all 18 remaining r10-stamped memory/TTL/screen rows (files
+    bit-unchanged since r10 per the ledger; no r10 stamp survives r14).
+    Then every query whose operator files r14 touches: similarity.py (the
+    five ADVICE fixes, the layout-independent sampled fit, and the new
+    ivf_index_append) stales the ann_*/dedup_semantic/dedup_embedding*/
+    decontaminate_semantic rows; retention.py (the rolling-AU sketch tier)
+    stales the three events_retention*/active_users rows. Slot for the
+    round's one tail-born query: ann_ivf_append (first grade). The
+    remaining 19 discretionary slots take the r11 cohort oldest-first;
+    window arithmetic leaves exactly two r11 rows in the tail —
+    events_json and props_keys, both backed only by sources/tables.py
+    (bit-unchanged since r10-era; the most stable evidence in the ledger)
+    — and they lead the r15 refresh queue.
     """
     return {
-        # --- r13 graded window (50): see docstring for the rotation logic
-        # first driver grade for the r12 tail-born fused corpus dedup (pin)
+        # --- r14 graded window (50): see docstring for the rotation logic
+        # 1) oldest-first r10 ledger refresh: the full memory/TTL/screen cohort
+        "parse_ttl": _q_parse_ttl,
+        "time_until_expiry": _q_time_until_expiry,
+        "filter_tags_created": _q_filter_tags_created,
+        "memory_list": _q_memory_list,
+        "memory_list_expired": _q_memory_list_expired,
+        "memory_list_by_keys": _q_memory_list_by_keys,
+        "memory_stats": _q_memory_stats,
+        "memory_stats_by_type": _q_memory_stats_by_type,
+        "cleanup_expired_count": _q_cleanup_expired_count,
+        "memories_live_count": _q_memories_live_count,
+        "memory_upsert": _q_memory_upsert,
+        "memory_touch": _q_memory_touch,
+        "memory_delete": _q_memory_delete,
+        "memory_exists": _q_memory_exists,
+        "memory_update": _q_memory_update,
+        "embedding_screen": _q_embedding_screen,
+        "dims_profile": _q_dims_profile,
+        "text_screen": _q_text_screen,
+        # 2) r14-touched: operators/similarity.py (ADVICE fixes, layout-
+        # independent sampled fit, ivf_index_append) — the SIM-backed rows
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_mllib_lsh": _q_ann_mllib_lsh,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_quantized_topk": _q_ann_quantized_topk,
+        "ann_ivf_sq8_topk": _q_ann_ivf_sq8_topk,
+        "dedup_semantic": _q_dedup_semantic,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "decontaminate_semantic": _q_decontaminate_semantic,
+        # 3) first driver grade: the incremental IVF index append (r13 #3)
+        "ann_ivf_append": _q_ann_ivf_append,
+        # 4) r14-touched: operators/retention.py (rolling-AU sketch tier)
+        "events_retention": _q_events_retention,
+        "events_retention_weekly": _q_events_retention_weekly,
+        "events_active_users": _q_events_active_users,
+        # 5) discretionary: the r11 cohort oldest-first (all but the two
+        # tables.py-only rows events_json/props_keys — see docstring)
+        "assemble_context": _q_assemble_context,
+        "bm25_search": _q_bm25_search,
+        "bm25_search_indexed": _q_bm25_search_indexed,
+        "corpus_drift": _q_corpus_drift,
+        "corpus_drift_lang": _q_corpus_drift_lang,
+        "doc_change_feed": _q_doc_change_feed,
+        "doc_summary": _q_doc_summary,
+        "fingerprint": _q_fingerprint,
+        "hybrid_search": _q_hybrid_search,
+        "lang_distribution": _q_lang_distribution,
+        "lang_id": _q_lang_id,
+        "max_score": _q_max_score,
+        "memory_report": _q_memory_report,
+        "orders_page": _q_orders_page,
+        "quality_gate": _q_quality_gate,
+        "quality_score": _q_quality_score,
+        "repetition_stats": _q_repetition_stats,
+        "search_by_metadata": _q_search_by_metadata,
+        "token_stats": _q_token_stats,
+        # ---- entry 50 ends here ------------------------------------------
+        # tail: every entry below is green in CORRECTNESS_r11/r12/r13 with
+        # operator files unchanged since (EVIDENCE.json + tools/evidence.py
+        # enforce it; events_json/props_keys lead the r15 refresh queue)
         "dedup_apply_fused": _q_dedup_apply_fused,
-        # r13-touched: operators/dedup.py (keeper-split substring-apply
-        # collapse, versioned index manifest, batch_content_col split,
-        # simhash fan-out restore) — stales every dedup.py/clustering.py row
         "dedup_exact": _q_dedup_exact,
         "dedup_keep_first": _q_dedup_keep_first,
         "dedup_minhash": _q_dedup_minhash,
@@ -4530,34 +4636,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_apply": _q_dedup_substring_apply,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "dedup_semantic": _q_dedup_semantic,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_twostar": _q_dedup_clusters_twostar,
         "dedup_apply_clusters": _q_dedup_apply_clusters,
         "corpus_prep_pipeline": _q_corpus_prep_pipeline,
-        # r13-touched: streaming/ingest.py (text_col forwarding) + dedup.py
         "quality_admit": _q_quality_admit,
-        # r13-touched: operators/similarity.py (rep-grain ANN indexes, note
-        # 117b) — the ann_* family and the SIM-backed pipeline screen
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_mllib_lsh": _q_ann_mllib_lsh,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_quantized_topk": _q_ann_quantized_topk,
-        "ann_ivf_sq8_topk": _q_ann_ivf_sq8_topk,
-        "decontaminate_semantic": _q_decontaminate_semantic,
-        # VERDICT r12 next-round #1 done-criteria: the rag_* family refresh
-        # (r11-stamped; rag.py/functions/vector.py bit-unchanged)
         "rag_search": _q_rag_search,
         "rag_search_filtered": _q_rag_search_filtered,
         "find_similar": _q_find_similar,
         "batch_topk": _q_batch_topk,
         "pairwise_similarity": _q_pairwise_similarity,
         "knn_classify": _q_knn_classify,
-        # the phantom-stamp row's honest re-grade (VERDICT r12 wrong-item 1)
         "events_conversion_lag": _q_events_conversion_lag,
-        # oldest-first r10 ledger refresh: TPC-H, docs CRUD, txn, editdist
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
@@ -4576,10 +4666,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_snapshot_read": _q_memory_snapshot_read,
         "dedup_editdist": _q_dedup_editdist,
         "dedup_editdist_segment": _q_dedup_editdist_segment,
-        # ---- entry 50 ends here ------------------------------------------
-        # tail: every entry below is green in CORRECTNESS_r10/r11/r12 with
-        # operator files unchanged since (EVIDENCE.json + tools/evidence.py
-        # enforce it; the 18 r10-stamped memory/TTL/screen rows lead r14)
         "lm_perplexity": _q_lm_perplexity,
         "lm_ppl_buckets": _q_lm_ppl_buckets,
         "decontaminate": _q_decontaminate,
@@ -4607,49 +4693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_events_asof_join,
         "events_range_join": _q_events_range_join,
         "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "events_retention_weekly": _q_events_retention_weekly,
-        "events_active_users": _q_events_active_users,
         "events_anomaly": _q_events_anomaly,
-        "corpus_drift": _q_corpus_drift,
-        "corpus_drift_lang": _q_corpus_drift_lang,
-        "token_stats": _q_token_stats,
-        "quality_score": _q_quality_score,
-        "lang_id": _q_lang_id,
-        "lang_distribution": _q_lang_distribution,
-        "fingerprint": _q_fingerprint,
-        "repetition_stats": _q_repetition_stats,
-        "quality_gate": _q_quality_gate,
-        "bm25_search": _q_bm25_search,
-        "hybrid_search": _q_hybrid_search,
-        "assemble_context": _q_assemble_context,
-        "search_by_metadata": _q_search_by_metadata,
-        "doc_summary": _q_doc_summary,
-        "doc_change_feed": _q_doc_change_feed,
-        "orders_page": _q_orders_page,
-        "memory_report": _q_memory_report,
         "events_json": _q_events_json,
         "props_keys": _q_props_keys,
-        "max_score": _q_max_score,
-        "bm25_search_indexed": _q_bm25_search_indexed,
-        "embedding_screen": _q_embedding_screen,
-        "dims_profile": _q_dims_profile,
-        "text_screen": _q_text_screen,
-        "parse_ttl": _q_parse_ttl,
-        "time_until_expiry": _q_time_until_expiry,
-        "filter_tags_created": _q_filter_tags_created,
-        "memory_list": _q_memory_list,
-        "memory_list_expired": _q_memory_list_expired,
-        "memory_list_by_keys": _q_memory_list_by_keys,
-        "memory_stats": _q_memory_stats,
-        "memory_stats_by_type": _q_memory_stats_by_type,
-        "cleanup_expired_count": _q_cleanup_expired_count,
-        "memories_live_count": _q_memories_live_count,
-        "memory_upsert": _q_memory_upsert,
-        "memory_touch": _q_memory_touch,
-        "memory_delete": _q_memory_delete,
-        "memory_exists": _q_memory_exists,
-        "memory_update": _q_memory_update,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -4665,6 +4711,7 @@ def oracle_sql() -> dict[str, str]:
         "memory_list_by_keys": _ORACLE_MEMORY_LIST_BY_KEYS,
         "ann_lsh_topk": _ORACLE_ANN_LSH,
         **({"ann_ivf_topk": _ORACLE_ANN_IVF} if _ORACLE_ANN_IVF else {}),
+        **({"ann_ivf_append": _ORACLE_ANN_IVF_APPEND} if _ORACLE_ANN_IVF_APPEND else {}),
         "ann_quantized_topk": _ORACLE_ANN_QUANTIZED,
         **({"ann_ivf_sq8_topk": _ORACLE_ANN_IVF_SQ8} if _ORACLE_ANN_IVF_SQ8 else {}),
         "memory_stats": _ORACLE_MEMORY_STATS,

@@ -39,7 +39,7 @@ def _collapse_to_reps(
     *,
     stats: tuple[int, int] | None = None,
     collapse: bool | str = "auto",
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, bool]:
     """Distinct-VECTOR grain for the persisted-index tiers (r13, VERDICT r12
     next-round #1 / PLANS note 117b): one row per distinct embedding value,
     carrying ALL member ids as a sorted array — `(ids array<long>, v)`. The
@@ -55,8 +55,11 @@ def _collapse_to_reps(
     identity rows (singleton ids) with no shuffle, same schema either way.
     ``stats`` lets a caller that already paid the count+HLL probe (index
     writers need the row count for their staleness manifests anyway) pass
-    it through instead of re-probing. Returns (reps, n_rows); n_rows is -1
-    if unknown (gate pinned and no stats given).
+    it through instead of re-probing. Returns (reps, n_rows, did_collapse);
+    n_rows is -1 if unknown (gate pinned and no stats given), did_collapse
+    says which physical shape the reps frame took (ADVICE r13: the 3-tuple
+    is the real contract — callers that only need the frame unpack
+    `reps, _n, _did`).
     """
     from ..util import ensure_parallelism
 
@@ -94,9 +97,20 @@ def _collapse_query_side(
     driver-side), so the collapse groupBy is a tiny lazy shuffle stage
     inside the main plan — whereas a count+HLL gate probe is a separate
     eager job whose scheduling floor (~0.2-0.5 s at toy scale, measured in
-    the r13 interleaved A/B) costs more than the collapse it would skip."""
+    the r13 interleaved A/B) costs more than the collapse it would skip.
+
+    Degenerate query frames (ADVICE r13): an exactly-repeated (qid, vector)
+    row is deduped HERE (the pre-collapse dropDuplicates below — it rides
+    the same tiny shuffle stage), restoring the pre-r13 per-(qid, id)
+    dedup for replayed query rows. One qid bound to TWO DISTINCT vectors
+    remains a caller contract violation — a query id names one vector, as
+    in the brute-force rag.py baseline — and would merge both vectors'
+    ranked lists under that qid after expansion."""
     reps, _n, did = _collapse_to_reps(
-        queries, query_id_col, query_vec_col, collapse=True
+        queries.select(query_id_col, query_vec_col).dropDuplicates(),
+        query_id_col,
+        query_vec_col,
+        collapse=True,
     )
     rep_q = reps.select(
         F.element_at("ids", 1).alias(query_id_col), F.col("v").alias(query_vec_col)
@@ -487,12 +501,20 @@ def mllib_lsh_topk_indexed(
     # small-file inputs and is a no-op at production split counts
     from ..util import ensure_parallelism
 
-    _check_ann_index_format(indexed_corpus.columns, "<indexed_corpus>")
     # r13 rep grain: the l2 verify runs once per (distinct vector × query);
     # member ids explode back in AFTER the verdict (identical vectors have
     # identical l2, so the exploded (id, score) set is byte-identical to the
     # per-id verify). The explode happens before the rank window — every
-    # member competes for top-k exactly as before.
+    # member competes for top-k exactly as before. A per-id frame (an
+    # in-memory hashed corpus that never went through the rep-grain writer)
+    # is wrapped into singleton `ids` here — the same 'ids'-presence
+    # tolerance the IVF probes have (ADVICE r13); only the LOADER refuses
+    # legacy on-disk layouts, where the wrong grain means a stale index.
+    if "ids" not in indexed_corpus.columns:
+        rest = [c for c in indexed_corpus.columns if c != id_col]
+        indexed_corpus = indexed_corpus.select(
+            F.array(F.col(id_col).cast("long")).alias("ids"), *rest
+        )
     rep_scored = (
         ensure_parallelism(indexed_corpus.where(prune))
         .crossJoin(F.broadcast(q))
@@ -564,6 +586,17 @@ def ivf_build(
 _IVF_FIT_SAMPLE_FLOOR = 1_000_000
 
 
+def _fit_sample_pred(id_col: str, seed: int, frac: float):
+    """Layout-independent Bernoulli-style sample membership: a row is in
+    the coarse-quantizer fit set iff pmod(xxhash64(id, seed)) falls under
+    the fraction threshold — a pure function of (id, seed), so the fit set
+    is identical however the corpus is partitioned or split."""
+    denom = 1 << 30
+    return F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(denom)) < F.lit(
+        int(frac * denom)
+    )
+
+
 def _ivf_build_reps(
     corpus: DataFrame,
     *,
@@ -585,28 +618,50 @@ def _ivf_build_reps(
     uniform sample of ~max(256·k, floor) vectors — the standard
     coarse-quantizer practice (FAISS trains IVF quantizers on a bounded
     subsample: a coarse partitioner needs the density shape, not every
-    point). Deterministic given the seed; the floor is far above every
+    point). The sample predicate is CONTENT-keyed — pmod(xxhash64(id,
+    seed)) below a fraction threshold (_fit_sample_pred) — so MEMBERSHIP
+    depends only on (row id, seed), never on the scan's split layout
+    (ADVICE r13: `DataFrame.sample` is deterministic only for a fixed
+    partitioning, which would let a repartitioned re-read feed a different
+    fit set into the persisted `_centroids.json` sidecar). The KMeans fit
+    itself retains MLlib's inherent partitioning sensitivity (k-means||
+    init draws and fp aggregation order), so full determinism is
+    (corpus, layout, seed)-keyed — the predicate removes the sampling
+    layer's contribution, the one this module introduced. The floor is far above every
     committed fixture corpus, so fixture centroids are untouched (enforced
     by _check_centroids_committed and the oracle parity gate), and cell
     ASSIGNMENT stays exact per vector under any centroids — replica-recall
-    and SemDeDup ground truths are centroid-independent."""
+    and SemDeDup ground truths are centroid-independent.
+
+    ONE count+HLL aggregate feeds auto_n_cells, the fit-sample gate, AND
+    the rep-collapse gate (ADVICE r13 / the note-120 merged-probe
+    discipline — the old shape paid feats.count() plus a separate collapse
+    probe, two eager jobs per build even with n_cells explicit)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
-    feats = corpus.select(F.col(id_col), F.col(vec_col), array_to_vector(as_double(F.col(vec_col))).alias("features"))
-    n_rows = feats.count()
+    from ..util import ensure_parallelism
+
+    from .dedup import _collapse_stats
+
+    stats = _collapse_stats(
+        ensure_parallelism(corpus).select(
+            F.col(id_col).alias("_mid"), F.col(vec_col).alias("v")
+        ),
+        "v",
+    )
+    n_rows = stats[0]
     if n_cells is None:
         n_cells = auto_n_cells(n_rows)
+    feats = corpus.select(F.col(id_col), F.col(vec_col), array_to_vector(as_double(F.col(vec_col))).alias("features"))
     # a coarse quantizer needs rough cells, not convergence — cap iterations
     km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features", predictionCol="cell")
     fit_target = max(256 * n_cells, _IVF_FIT_SAMPLE_FLOOR)
     fit_input = feats
     if n_rows > fit_target:
-        # sample WITHOUT replacement at a fraction giving ~fit_target rows
-        # in expectation; seeded → deterministic for a given corpus
-        fit_input = feats.sample(False, fit_target / n_rows, seed=seed)
+        fit_input = feats.where(_fit_sample_pred(id_col, seed, fit_target / n_rows))
     model = km.fit(fit_input)
-    reps, _n, _did = _collapse_to_reps(corpus, id_col, vec_col)
+    reps, _n, _did = _collapse_to_reps(corpus, id_col, vec_col, stats=stats)
     rep_feats = reps.select(
         "ids", F.col("v").alias(vec_col), array_to_vector(as_double(F.col("v"))).alias("features")
     )
@@ -722,6 +777,183 @@ def ivf_index_load(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     frame = spark.read.parquet(path)
     _check_ann_index_format(frame.columns, path)
     return frame, centroids
+
+
+def _argmin_cell(frame: DataFrame, centroids: Sequence[Sequence[float]], vec_name: str) -> DataFrame:
+    """Assign each row's `vec_name` vector to its nearest stored centroid by
+    exact squared-L2 argmin (ties → smallest cell id) — the assignment rule
+    for vectors arriving AFTER the KMeans fit (ivf_index_append). One parsed
+    SQL expression per row, no explode: the centroid matrix is a constant
+    array literal and the argmin folds over it with HOFs, so the plan stays
+    a narrow projection regardless of k. Deterministic and engine-portable;
+    near-equidistant vectors may round differently than MLlib's
+    fastSquaredDistance, which is semantically fine for a FRESH vector (any
+    consistent cell is a valid IVF assignment — probes read the assignment
+    from the index itself, and the parity oracles read `_cells.json`)."""
+    cent = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+    d2 = (
+        f"transform({cent}, c -> aggregate(zip_with(transform(`{vec_name}`, "
+        "e -> CAST(e AS DOUBLE)), c, (x, y) -> (x - y) * (x - y)), 0.0D, "
+        "(acc, x) -> acc + x))"
+    )
+    # array_position returns the FIRST index of the minimum → smallest cell
+    cell = f"CAST(array_position({d2}, array_min({d2})) - 1 AS INT)"
+    return frame.withColumn("cell", F.expr(cell))
+
+
+def ivf_index_append(
+    new_corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append a batch of vectors into a persisted IVF index WITHOUT refitting
+    or rewriting it — the production twin of the reference's incremental
+    `add_document` write path (rag/database/documents.py:22-64) at index
+    scale. Before this existed, any corpus growth forced a full index
+    rebuild (KMeans fit + full write: ~50 s at the 100× artifact tier, hours
+    at 100 TB); an append touches only the cell partitions the batch lands
+    in.
+
+    Semantics (rep grain, byte-compatible with a fresh build's probe path):
+    - a batch vector IDENTICAL to an indexed vector merges its member ids
+      into the existing rep row — the cell is the INDEX's cell, never
+      reassigned, so one distinct vector can never occupy two cells (which
+      would duplicate ids in a probe's top-k);
+    - a genuinely new vector is assigned under the STORED centroids
+      (`_argmin_cell` — the coarse quantizer is fixed at build time, the
+      FAISS IVF add() contract) and written as a new rep row.
+
+    Physical shape: ONE narrow scan of the index (broadcast hash join
+    against the collapsed batch — the batch is the small side by contract),
+    then a partition-pruned re-read of ONLY the affected cells, rewritten
+    in-place via dynamic partition overwrite. Per-append cost is one index
+    scan + |affected cells| of rewrite, so batch your appends — the scan
+    amortizes over the batch size, and the affected-cell count is bounded
+    by the batch's distinct-vector count.
+
+    Idempotent via a batch fingerprint in `_index_meta.json` (the
+    bm25_index staleness pattern): an order-independent sum of
+    xxhash64(id, vector) identifies the batch; re-appending an absorbed
+    batch is a metadata no-op — no scan, no rewrite, committed fixture
+    bytes stay stable. The `_cells.json` oracle sidecar, when present, is
+    refreshed to cover the appended ids.
+
+    Returns {"skipped", "n_batch", "fresh_reps", "merged_reps",
+    "cells_rewritten"}.
+    """
+    import json
+    import os
+
+    from ..util import ensure_parallelism
+
+    from .dedup import _should_collapse
+
+    spark = new_corpus.sparkSession
+    fmt_path = os.path.join(path, "_index_meta.json")
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    with open(fmt_path) as f:
+        meta = json.load(f)
+    if meta.get("format") != ANN_INDEX_FORMAT:
+        _check_ann_index_format((), path)
+
+    # ONE aggregate: batch count + HLL distinct (collapse gate) + fingerprint
+    base = ensure_parallelism(new_corpus).select(
+        F.col(id_col).alias("_mid"), F.col(vec_col).alias("v")
+    )
+    probe = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("v").alias("d"),
+        F.sum(F.xxhash64(F.col("_mid"), F.col("v")).cast("decimal(38,0)")).alias("fp"),
+    ).first()
+    n_batch, fp = int(probe["n"]), int(probe["fp"] or 0)
+    batch_fp = f"{n_batch}:{fp}"
+    if batch_fp in meta.get("appended_fps", []):
+        return {
+            "skipped": True, "n_batch": n_batch, "fresh_reps": 0,
+            "merged_reps": 0, "cells_rewritten": 0,
+        }
+    if n_batch == 0:
+        return {
+            "skipped": True, "n_batch": 0, "fresh_reps": 0,
+            "merged_reps": 0, "cells_rewritten": 0,
+        }
+
+    new_reps, _n, _did = _collapse_to_reps(
+        new_corpus, id_col, vec_col,
+        stats=(n_batch, int(probe["d"])),
+        collapse=_should_collapse(n_batch, int(probe["d"])),
+    )
+    new_reps = new_reps.select(F.col("ids").alias("_nids"), F.col("v").alias(vec_col))
+
+    idx = spark.read.parquet(path)
+    _check_ann_index_format(idx.columns, path)
+    # scan 1: which batch vectors already live in the index, and where
+    hits = (
+        idx.select(vec_col, "cell")
+        .join(F.broadcast(new_reps), vec_col)
+        .persist()
+    )
+    hit_cells = {int(r["cell"]) for r in hits.select("cell").distinct().collect()}
+    fresh = new_reps.join(hits.select(vec_col), vec_col, "left_anti")
+    fresh_assigned = _argmin_cell(fresh, centroids, vec_col).select(
+        F.col("_nids").alias("ids"), F.col(vec_col), "cell"
+    ).persist()
+    fresh_cells = {int(r["cell"]) for r in fresh_assigned.select("cell").distinct().collect()}
+    affected = sorted(hit_cells | fresh_cells)
+    merged_reps = hits.count()
+    fresh_reps = fresh_assigned.count()
+
+    if affected:
+        empty = F.expr("CAST(array() AS ARRAY<BIGINT>)")
+        # scan 2: partition-pruned to the affected cells only; merge member
+        # ids where the batch matched, pass untouched same-cell rows through
+        rewritten = (
+            idx.where(F.col("cell").isin(affected))
+            .join(F.broadcast(new_reps), vec_col, "left")
+            .select(
+                F.sort_array(
+                    F.array_distinct(F.concat(F.col("ids"), F.coalesce(F.col("_nids"), empty)))
+                ).alias("ids"),
+                F.col(vec_col),
+                "cell",
+            )
+            .unionByName(fresh_assigned)
+        )
+        # the write targets the path the plan reads: materialize first
+        # (lineage truncation), then dynamic overwrite replaces ONLY the
+        # affected cell partitions
+        rewritten = rewritten.localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            rewritten.write.mode("overwrite").partitionBy("cell").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    hits.unpersist()
+    fresh_assigned.unpersist()
+
+    meta.setdefault("appended_fps", []).append(batch_fp)
+    tmp = fmt_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, fmt_path)  # atomic: a concurrent load never sees a partial manifest
+    cells_path = os.path.join(path, "_cells.json")
+    if os.path.exists(cells_path):
+        _write_cells_sidecar(spark, path, cells_path, id_col)
+    return {
+        "skipped": False, "n_batch": n_batch, "fresh_reps": fresh_reps,
+        "merged_reps": merged_reps, "cells_rewritten": len(affected),
+    }
 
 
 def ivf_topk(

@@ -25,50 +25,44 @@ def test_every_query_has_an_oracle():
 
 
 def test_graded_window_holds_the_round_targets():
-    """The driver grades the FIRST 50 dict entries only. The r13 window must
-    hold (a) the query pending its FIRST driver grade — dedup_apply_fused
-    (tail-born in r12, pinned by the r12 contract's escape hatch),
-    (b) every query whose operator files r13 touches — dedup.py (keeper-
-    split substring-apply collapse, versioned index manifest,
-    batch_content_col split, simhash fan-out restore: stales every
-    dedup.py/clustering.py-backed row plus corpus_prep_pipeline),
-    streaming/ingest.py (text_col forwarding: quality_admit), and
-    similarity.py (rep-grain persisted ANN indexes: the ann_* family,
-    dedup_semantic/dedup_embedding*/decontaminate_semantic),
-    (c) the VERDICT-r12-requested rag_* refresh and events_conversion_lag's
-    honest re-grade (its r12 stamp was phantom — wrong-item 1), and
-    (d) oldest-first r10 refreshes (TPC-H / docs CRUD / txn / editdist)."""
+    """The driver grades the FIRST 50 dict entries only. The r14 window must
+    hold (a) the full r10-stamped cohort — VERDICT r13 next-round #1's done
+    criterion is "no r10 stamp survives r14", (b) every query whose
+    operator files r14 touches — similarity.py (the five ADVICE fixes, the
+    layout-independent sampled fit, ivf_index_append) and retention.py
+    (the rolling-AU sketch tier), (c) the round's tail-born first grade —
+    ann_ivf_append, and (d) the r11 cohort oldest-first in the remaining
+    discretionary slots (all but the two tables.py-only rows
+    events_json/props_keys, which window arithmetic leaves for r15)."""
     names = list(entry.queries())
     assert len(names) >= 96
     window = set(names[:50])
-    pending_first_grade = ("dedup_apply_fused",)
-    r13_touched = (
-        # operators/dedup.py (+clustering.py / pipeline composition rows)
-        "dedup_exact", "dedup_keep_first", "dedup_minhash",
-        "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_capped",
-        "dedup_substring", "dedup_substring_apply", "dedup_incremental",
-        "dedup_rate_by_source", "dedup_clusters", "dedup_clusters_twostar",
-        "dedup_apply_clusters", "corpus_prep_pipeline",
-        # streaming/ingest.py
-        "quality_admit",
-        # operators/similarity.py (rep-grain ANN indexes)
+    pending_first_grade = ("ann_ivf_append",)
+    r10_refresh = (
+        "parse_ttl", "time_until_expiry", "filter_tags_created",
+        "memory_list", "memory_list_expired", "memory_list_by_keys",
+        "memory_stats", "memory_stats_by_type", "cleanup_expired_count",
+        "memories_live_count", "memory_upsert", "memory_touch",
+        "memory_delete", "memory_exists", "memory_update",
+        "embedding_screen", "dims_profile", "text_screen",
+    )
+    r14_touched = (
+        # operators/similarity.py
         "ann_lsh_topk", "ann_mllib_lsh", "ann_ivf_topk",
         "ann_quantized_topk", "ann_ivf_sq8_topk", "dedup_semantic",
         "dedup_embedding", "dedup_embedding_lsh", "decontaminate_semantic",
+        # operators/retention.py
+        "events_retention", "events_retention_weekly", "events_active_users",
     )
-    requested_and_regrade = (
-        "rag_search", "rag_search_filtered", "find_similar", "batch_topk",
-        "pairwise_similarity", "knn_classify", "events_conversion_lag",
+    r11_refresh = (
+        "assemble_context", "bm25_search", "bm25_search_indexed",
+        "corpus_drift", "corpus_drift_lang", "doc_change_feed",
+        "doc_summary", "fingerprint", "hybrid_search", "lang_distribution",
+        "lang_id", "max_score", "memory_report", "orders_page",
+        "quality_gate", "quality_score", "repetition_stats",
+        "search_by_metadata", "token_stats",
     )
-    old_refresh = (
-        "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-        "top_orders_per_customer", "orders_semi_join",
-        "customers_anti_join", "orders_rollup",
-        "doc_add", "doc_get", "doc_update", "doc_delete", "doc_stats",
-        "memory_upsert_txn", "memory_upsert_ckpt", "memory_snapshot_read",
-        "dedup_editdist", "dedup_editdist_segment",
-    )
-    for must_grade in pending_first_grade + r13_touched + requested_and_regrade + old_refresh:
+    for must_grade in pending_first_grade + r10_refresh + r14_touched + r11_refresh:
         assert must_grade in window, f"{must_grade} rotated out of the graded window"
 
 
@@ -97,11 +91,11 @@ def test_no_query_left_ungraded_behind_the_window():
     # mandatory rotation (dedup_incremental / memory_snapshot_read rode it
     # r8→r9; the seventeen analytics queries rode it r9→r10; the two drift
     # queries rode it r10→r11; the two LM-perplexity queries rode it
-    # r11→r12; dedup_apply_fused rode it r12→r13 and now sits at window
-    # slot 1; all were graded on schedule). r13 births no tail queries —
-    # the hatch is empty.
-    r14_rotation_pins: set[str] = set()
-    out = [q for q in pending if q not in window and q not in r14_rotation_pins]
+    # r11→r12; dedup_apply_fused rode it r12→r13; all were graded on
+    # schedule). r14's one new query (ann_ivf_append) was born INTO the
+    # window — the hatch is empty.
+    r15_rotation_pins: set[str] = set()
+    out = [q for q in pending if q not in window and q not in r15_rotation_pins]
     assert out == [], f"pending-first-grade queries left in the tail: {out}"
 
 

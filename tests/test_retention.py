@@ -128,3 +128,44 @@ def test_retention_and_active_users_on_seeded_random_feeds(spark):
             wau = len({u for u, dd in act if d - k + 1 <= dd <= d})
             assert au[d] == (dau, wau), f"trial {trial} day {d}"
         assert set(au) == set(days)
+
+
+def test_rolling_active_users_sketch_matches_exact_small(spark):
+    """The HLL sketch tier (r14) answers EXACTLY below the sketch's
+    promotion threshold — on small daily cohorts its (day, dau,
+    rolling_au) output must equal the exact operator's row for row, at
+    both a short and a long window."""
+    rows = [
+        (u, d, h)
+        for d in range(1, 15)
+        for u in range(1, 1 + (d * 7) % 13 + 3)
+        for h in (1, (u + d) % 23 + 1)
+    ]
+    ev = _events(spark, rows)
+    for w in (1, 7, 28):
+        exact = {
+            (r["day"], r["dau"], r["rolling_au"])
+            for r in RET.rolling_active_users(ev, window_days=w).collect()
+        }
+        approx = {
+            (r["day"], r["dau"], r["rolling_au"])
+            for r in RET.rolling_active_users_sketch(ev, window_days=w).collect()
+        }
+        assert approx == exact, f"window={w}"
+
+
+def test_rolling_active_users_sketch_tolerance_on_seeded_feed(spark, sf_dir):
+    """On the real events fixture the sketch estimates stay within the HLL
+    error envelope of the exact counts (±3σ ≈ 5% at lg_config_k=12), and
+    the reported day set matches exactly (the observed-day clamp is
+    estimate-independent)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {r["day"]: (r["dau"], r["rolling_au"])
+             for r in RET.rolling_active_users(ev, window_days=7).collect()}
+    approx = {r["day"]: (r["dau"], r["rolling_au"])
+              for r in RET.rolling_active_users_sketch(ev, window_days=7).collect()}
+    assert set(exact) == set(approx)
+    for day, (dau, au) in exact.items():
+        a_dau, a_au = approx[day]
+        assert abs(a_dau - dau) <= max(1, 0.05 * dau), (day, dau, a_dau)
+        assert abs(a_au - au) <= max(1, 0.05 * au), (day, au, a_au)

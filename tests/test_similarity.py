@@ -576,12 +576,198 @@ def test_mllib_lsh_indexed_probe_plan_is_pruned_single_scan(spark, sf_dir, tmp_p
     assert plan.count("Generate") == 2, "corpus explode crept back into the probe"
     assert plan.count("Generate explode(ids") == 2, plan
     # no aggregate over CORPUS data (the candidate distinct of the r8 plan):
-    # the only aggregates are the query-collapse collect_list pair, which
-    # plan as ObjectHashAggregate on the tiny query subtree
-    assert plan.count("HashAggregate") == plan.count("ObjectHashAggregate"), plan
+    # the only aggregates are on the tiny query subtree — the query-collapse
+    # collect_list pair (ObjectHashAggregate) and the r14 degenerate-row
+    # dropDuplicates pair (plain HashAggregate partial+final, planned twice
+    # like the rest of the rep-query subtree)
+    assert plan.count("ObjectHashAggregate") == 4, plan
+    assert plan.count("HashAggregate") - plan.count("ObjectHashAggregate") == 4, plan
+    assert "collect_list(_mid" in plan and "keys=[qid" in plan, plan
     # three hash-partitioned shuffles: the rank window's (the only CORPUS
     # data shuffle) plus two instances of the tiny query-collapse groupBy —
     # the rep-query subtree plans twice, once feeding the probe and once
-    # the fan-out map
+    # the fan-out map (the dropDuplicates pair adds aggregates but no new
+    # exchange: the single-partition query subtree already satisfies its
+    # distribution)
     assert plan.count("Exchange hashpartitioning") == 3, plan
     assert "PushedFilters" in plan  # bucket IN-lists reach the parquet scan
+
+
+# --- ivf_index_append (r14: incremental index growth) ----------------------
+
+
+def _np_argmin_cells(vectors, centroids):
+    """Independent (numpy) nearest-centroid assignment: exact squared-L2
+    argmin, first-index tie-break — the rule ivf_index_append applies to
+    fresh vectors, reimplemented outside Spark so the test is not circular."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype="float64")
+    out = {}
+    for vid, v in vectors:
+        d2 = ((cents - np.asarray(v, dtype="float64")) ** 2).sum(axis=1)
+        out[vid] = int(d2.argmin())
+    return out
+
+
+def test_ivf_index_append_merges_dups_and_assigns_fresh(spark, sf_dir, tmp_path):
+    """VERDICT r13 next-round #3 ground truths: (a) a batch vector identical
+    to an indexed vector merges its member ids into the EXISTING rep row —
+    cell unchanged, so no distinct vector ever occupies two cells; (b) a
+    genuinely new vector gets the exact-argmin cell under the STORED
+    centroids (verified against an independent numpy argmin); (c) base rows
+    the batch doesn't touch are bit-unchanged."""
+    from mcp_synaptic_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    # batch: the held-out slice PLUS an exact duplicate of indexed vec_id=1
+    # under a fresh id — the merge path must fire even if testdata had no
+    # cross-slice duplicates
+    dup_row = emb.where(F.col("vec_id") == 1).select(
+        F.lit(900001).cast("long").alias("vec_id"), "embedding"
+    )
+    batch = emb.where(F.col("vec_id") % 5 == 0).unionByName(dup_row)
+
+    path = str(tmp_path / "ivf_append")
+    S.ivf_index_write(base, path, n_cells=4, id_col="vec_id")
+    before, centroids = S.ivf_index_load(spark, path)
+    # snapshot BEFORE the append: the rewrite invalidates `before`'s file list
+    before_rows = {
+        tuple(r["ids"]): (tuple(r["embedding"]), r["cell"]) for r in before.collect()
+    }
+    base_vecs = {v for (v, _c) in before_rows.values()}
+
+    info = S.ivf_index_append(batch, path, id_col="vec_id")
+    assert info["skipped"] is False and info["n_batch"] == batch.count()
+    after, centroids2 = S.ivf_index_load(spark, path)
+    assert centroids2 == centroids  # append never refits the quantizer
+    rows = after.collect()
+
+    # (one-cell invariant) every distinct vector appears in exactly one rep row
+    vecs = [tuple(r["embedding"]) for r in rows]
+    assert len(vecs) == len(set(vecs))
+
+    # (a) the planted duplicate merged into vec_id=1's rep row, cell kept
+    host = [r for r in rows if 1 in r["ids"]]
+    assert len(host) == 1 and 900001 in host[0]["ids"]
+    old_host = [(ids, vc) for ids, vc in before_rows.items() if 1 in ids]
+    assert host[0]["cell"] == old_host[0][1][1]
+    assert host[0]["ids"] == sorted(host[0]["ids"])
+
+    # (b) fresh vectors carry the independent numpy argmin cell
+    fresh = [
+        (r["vec_id"], r["embedding"])
+        for r in batch.collect()
+        if tuple(r["embedding"]) not in base_vecs
+    ]
+    assert fresh, "test corpus left no fresh vectors"
+    expect = _np_argmin_cells(fresh, centroids)
+    got = {}
+    for r in rows:
+        for vid in r["ids"]:
+            got[vid] = r["cell"]
+    for vid, cell in expect.items():
+        assert got[vid] == cell, f"fresh vec {vid}: {got[vid]} != argmin {cell}"
+
+    # (c) untouched base reps are unchanged (ids and cell)
+    batch_vecs = {tuple(r["embedding"]) for r in batch.collect()}
+    for ids, (v, cell) in before_rows.items():
+        if v in batch_vecs:
+            continue
+        match = [r for r in rows if tuple(r["embedding"]) == v]
+        assert len(match) == 1
+        assert tuple(match[0]["ids"]) == ids and match[0]["cell"] == cell
+
+
+def test_ivf_index_append_idempotent_and_probe_equivalent(spark, sf_dir, tmp_path):
+    """(d) re-appending an absorbed batch is a metadata no-op — the batch
+    fingerprint short-circuits before any scan, and the committed parquet
+    bytes do not churn; (e) a probe over the appended index is byte-identical
+    to the same probe over an independently-merged frame (probe semantics
+    can't tell an appended index from a natively-built one with the same
+    assignment)."""
+    import os
+
+    from mcp_synaptic_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf_append2")
+    S.ivf_index_write(base, path, n_cells=4, id_col="vec_id")
+    before, centroids = S.ivf_index_load(spark, path)
+    before_rows = [(tuple(r["ids"]), tuple(r["embedding"]), r["cell"]) for r in before.collect()]
+
+    info1 = S.ivf_index_append(batch, path, id_col="vec_id")
+    assert info1["skipped"] is False
+
+    def _files(p):
+        out = {}
+        for root, _dirs, names in os.walk(p):
+            for n in names:
+                fp = os.path.join(root, n)
+                out[fp] = os.path.getmtime(fp)
+        return out
+
+    snap = _files(path)
+    info2 = S.ivf_index_append(batch, path, id_col="vec_id")
+    assert info2["skipped"] is True and info2["cells_rewritten"] == 0
+    assert _files(path) == snap  # no parquet/sidecar churn on the no-op
+
+    # independent merge: python-side union of member ids per distinct vector,
+    # numpy argmin for fresh vectors
+    base_by_vec = {v: (list(ids), cell) for ids, v, cell in before_rows}
+    merged = {v: (list(ids), cell) for v, (ids, cell) in base_by_vec.items()}
+    fresh = []
+    for r in batch.collect():
+        v = tuple(r["embedding"])
+        if v in merged:
+            ids, cell = merged[v]
+            merged[v] = (sorted(set(ids) | {r["vec_id"]}), cell)
+        else:
+            fresh.append((r["vec_id"], r["embedding"]))
+    for vid, vec in fresh:
+        v = tuple(vec)
+        if v in merged and merged[v][1] is None:
+            merged[v] = (sorted(set(merged[v][0]) | {vid}), None)
+        elif v in merged:
+            pass
+    # batch-internal duplicates of the same fresh vector share one row
+    fresh_cells = _np_argmin_cells(fresh, centroids)
+    fresh_by_vec = {}
+    for vid, vec in fresh:
+        fresh_by_vec.setdefault(tuple(vec), []).append(vid)
+    for v, vids in fresh_by_vec.items():
+        merged[v] = (sorted(vids), fresh_cells[vids[0]])
+
+    expected = spark.createDataFrame(
+        [(ids, list(map(float, v)), cell) for v, (ids, cell) in merged.items()],
+        "ids array<bigint>, embedding array<double>, cell int",
+    )
+    after, _ = S.ivf_index_load(spark, path)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = S.ivf_topk(queries, after, centroids, k=5, nprobe=2, id_col="vec_id")
+    want = S.ivf_topk(queries, expected, centroids, k=5, nprobe=2, id_col="vec_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivf_fit_sample_membership_is_layout_independent(spark, sf_dir):
+    """ADVICE r13: the coarse-quantizer fit SAMPLE must not depend on the
+    scan's split layout — membership is keyed on pmod(xxhash64(id, seed)),
+    a pure function of (id, seed), so the fit set is identical however the
+    corpus is partitioned (DataFrame.sample, the old mechanism, is only
+    deterministic for a FIXED partitioning). The KMeans fit downstream
+    keeps MLlib's own partitioning sensitivity; this pins the layer the
+    sampling gate added. Also pins the sample size landing near target."""
+    from mcp_synaptic_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    pred = S._fit_sample_pred("vec_id", seed=42, frac=0.5)
+    one = {r["vec_id"] for r in emb.repartition(1).where(pred).collect()}
+    many = {r["vec_id"] for r in emb.repartition(13).where(pred).collect()}
+    assert one == many
+    n = emb.count()
+    assert 0.35 * n < len(one) < 0.65 * n  # a real ~frac sample, not degenerate

@@ -115,6 +115,7 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "ann_lsh_topk": SIM,
     "ann_mllib_lsh": SIM,
     "ann_ivf_topk": SIM,
+    "ann_ivf_append": SIM,
     "dedup_semantic": SIM + DEDUP,
     "ann_quantized_topk": SIM,
     "ann_ivf_sq8_topk": SIM,
