@@ -4554,13 +4554,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     five ADVICE fixes, the layout-independent sampled fit, and the new
     ivf_index_append) stales the ann_*/dedup_semantic/dedup_embedding*/
     decontaminate_semantic rows; retention.py (the rolling-AU sketch tier)
-    stales the three events_retention*/active_users rows. Slot for the
-    round's one tail-born query: ann_ivf_append (first grade). The
-    remaining 19 discretionary slots take the r11 cohort oldest-first;
-    window arithmetic leaves exactly two r11 rows in the tail —
-    events_json and props_keys, both backed only by sources/tables.py
-    (bit-unchanged since r10-era; the most stable evidence in the ledger)
-    — and they lead the r15 refresh queue.
+    stales the three events_retention*/active_users rows; and dedup.py —
+    a REAL BUG found by the r14 scale smoke: _exact_collapse/_vector_
+    collapse emitted grp_n as int32 on the gate-skipped branch but int64 on
+    the fired branch, so a persisted dedup index built with duplication and
+    then appended with (near-dup-free) admitted batches mixed parquet types
+    in buckets/ and the next probe read failed (this was r13's "transient"
+    streaming-quality failure — deterministic after all). The two-line cast
+    fix stales the whole dedup/clustering family, which therefore takes 16
+    window slots for its re-grade. Slot for the round's one tail-born
+    query: ann_ivf_append (first grade). The 3 remaining discretionary
+    slots take the retrieval heads of the r11 cohort (assemble_context,
+    bm25_search, bm25_search_indexed); the other 16 r11 rows plus
+    events_json/props_keys lead the r15 refresh queue — the bug fix
+    displaced the full r11 rotation this round, and the ledger records
+    every one of those rows as bit-unchanged since its green grade.
     """
     return {
         # --- r14 graded window (50): see docstring for the rotation logic
@@ -4600,11 +4608,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _q_events_retention,
         "events_retention_weekly": _q_events_retention_weekly,
         "events_active_users": _q_events_active_users,
-        # 5) discretionary: the r11 cohort oldest-first (all but the two
-        # tables.py-only rows events_json/props_keys — see docstring)
+        # 5) r14-touched: operators/dedup.py (the grp_n int32/int64 mixed-
+        # parquet fix — see docstring) stales the dedup/clustering family
+        "dedup_exact": _q_dedup_exact,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_capped": _q_dedup_simhash_capped,
+        "dedup_substring": _q_dedup_substring,
+        "dedup_substring_apply": _q_dedup_substring_apply,
+        "dedup_incremental": _q_dedup_incremental,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_twostar": _q_dedup_clusters_twostar,
+        "dedup_apply_clusters": _q_dedup_apply_clusters,
+        "dedup_apply_fused": _q_dedup_apply_fused,
+        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
+        "quality_admit": _q_quality_admit,
+        # 6) discretionary: the retrieval heads of the r11 cohort (the layout
+        # arithmetic the bug fix forced — see docstring)
         "assemble_context": _q_assemble_context,
         "bm25_search": _q_bm25_search,
         "bm25_search_indexed": _q_bm25_search_indexed,
+        # ---- entry 50 ends here ------------------------------------------
+        # tail: every entry below is green in CORRECTNESS_r11/r12/r13 with
+        # operator files unchanged since (EVIDENCE.json + tools/evidence.py
+        # enforce it; the 16 remaining r11 rows + events_json/props_keys
+        # lead the r15 refresh queue)
         "corpus_drift": _q_corpus_drift,
         "corpus_drift_lang": _q_corpus_drift_lang,
         "doc_change_feed": _q_doc_change_feed,
@@ -4621,26 +4652,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "search_by_metadata": _q_search_by_metadata,
         "token_stats": _q_token_stats,
-        # ---- entry 50 ends here ------------------------------------------
-        # tail: every entry below is green in CORRECTNESS_r11/r12/r13 with
-        # operator files unchanged since (EVIDENCE.json + tools/evidence.py
-        # enforce it; events_json/props_keys lead the r15 refresh queue)
-        "dedup_apply_fused": _q_dedup_apply_fused,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_keep_first": _q_dedup_keep_first,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash_capped": _q_dedup_simhash_capped,
-        "dedup_substring": _q_dedup_substring,
-        "dedup_substring_apply": _q_dedup_substring_apply,
-        "dedup_incremental": _q_dedup_incremental,
-        "dedup_rate_by_source": _q_dedup_rate_by_source,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_clusters_twostar": _q_dedup_clusters_twostar,
-        "dedup_apply_clusters": _q_dedup_apply_clusters,
-        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
-        "quality_admit": _q_quality_admit,
         "rag_search": _q_rag_search,
         "rag_search_filtered": _q_rag_search_filtered,
         "find_similar": _q_find_similar,

@@ -263,7 +263,14 @@ def _exact_collapse(
         n, d = _collapse_stats(base, "_ch")
         collapse = _should_collapse(n, d)
     if not collapse:
-        return base.select("id", "_content", F.lit(1).alias("grp_n")), None, n
+        # cast matches the fired branch's count() type: the two branches of
+        # the gate feed the SAME persisted index parts, and an initial build
+        # (gate fired → bigint) plus an admitted-batch append (near-dup-free
+        # by construction → gate skipped) wrote mixed int32/int64 parquet
+        # into buckets/ — the next probe read failed with
+        # PARQUET_COLUMN_DATA_TYPE_MISMATCH (r14; this was r13's
+        # "transient" streaming-quality-tier failure, deterministic after all)
+        return base.select("id", "_content", F.lit(1).cast("long").alias("grp_n")), None, n
     reps = base.groupBy("_ch").agg(
         F.min("id").alias("id"),
         F.count(F.lit(1)).alias("grp_n"),
@@ -737,7 +744,9 @@ def _exact_collapse_vec(
         n, d = _collapse_stats(base, "v")
         collapse = _should_collapse(n, d)
     if not collapse:
-        return base.select("id", "v", F.lit(1).alias("grp_n")), None, n
+        # cast("long"): same mixed-parquet-type hazard as _exact_collapse's
+        # identity branch (the fired branch's count() is bigint)
+        return base.select("id", "v", F.lit(1).cast("long").alias("grp_n")), None, n
     reps = base.groupBy("v").agg(
         F.min("id").alias("id"), F.count(F.lit(1)).alias("grp_n")
     )

@@ -29,11 +29,13 @@ def test_graded_window_holds_the_round_targets():
     hold (a) the full r10-stamped cohort — VERDICT r13 next-round #1's done
     criterion is "no r10 stamp survives r14", (b) every query whose
     operator files r14 touches — similarity.py (the five ADVICE fixes, the
-    layout-independent sampled fit, ivf_index_append) and retention.py
-    (the rolling-AU sketch tier), (c) the round's tail-born first grade —
-    ann_ivf_append, and (d) the r11 cohort oldest-first in the remaining
-    discretionary slots (all but the two tables.py-only rows
-    events_json/props_keys, which window arithmetic leaves for r15)."""
+    layout-independent sampled fit, ivf_index_append), retention.py (the
+    rolling-AU sketch tier), and dedup.py (the grp_n int32/int64
+    mixed-parquet-type fix, which stales the whole dedup/clustering
+    family), (c) the round's tail-born first grade — ann_ivf_append, and
+    (d) the retrieval heads of the r11 cohort in the 3 discretionary slots
+    the bug fix left (the other 16 r11 rows + events_json/props_keys lead
+    the r15 refresh queue)."""
     names = list(entry.queries())
     assert len(names) >= 96
     window = set(names[:50])
@@ -53,14 +55,16 @@ def test_graded_window_holds_the_round_targets():
         "dedup_embedding", "dedup_embedding_lsh", "decontaminate_semantic",
         # operators/retention.py
         "events_retention", "events_retention_weekly", "events_active_users",
+        # operators/dedup.py (grp_n type fix)
+        "dedup_exact", "dedup_keep_first", "dedup_minhash",
+        "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_capped",
+        "dedup_substring", "dedup_substring_apply", "dedup_incremental",
+        "dedup_rate_by_source", "dedup_clusters", "dedup_clusters_twostar",
+        "dedup_apply_clusters", "dedup_apply_fused", "corpus_prep_pipeline",
+        "quality_admit",
     )
     r11_refresh = (
         "assemble_context", "bm25_search", "bm25_search_indexed",
-        "corpus_drift", "corpus_drift_lang", "doc_change_feed",
-        "doc_summary", "fingerprint", "hybrid_search", "lang_distribution",
-        "lang_id", "max_score", "memory_report", "orders_page",
-        "quality_gate", "quality_score", "repetition_stats",
-        "search_by_metadata", "token_stats",
     )
     for must_grade in pending_first_grade + r10_refresh + r14_touched + r11_refresh:
         assert must_grade in window, f"{must_grade} rotated out of the graded window"

