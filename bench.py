@@ -52,6 +52,7 @@ def main() -> None:
     # measure the probe (pruned scan + re-rank), matching the build/probe
     # contract.
     entrymod._ivf_index(spark, sf_dir)
+    entrymod._ivf_append_index(spark, sf_dir)
     entrymod._mllib_lsh_index(spark, sf_dir)
     entrymod._bm25_index(spark, sf_dir)
 

@@ -95,12 +95,22 @@ def main() -> None:
             n_reps = assigned.count()
             t_build = round(time.perf_counter() - t0, 3)
 
-            multi = assigned.where(F.size("ids") > 1)
-            n_multi = multi.count()
-            n_multi_members = multi.select(
-                F.sum(F.size("ids") - 1).alias("s")
-            ).collect()[0]["s"]
-            replica_recall_ok = bool(n_multi_members == n_replicas)
+            # replica recall = every planted replica's CELL equals its
+            # source vector's cell. At 0.04% duplication the collapse gate
+            # correctly skips (below COLLAPSE_MIN_DUP_FRAC), so replicas sit
+            # in singleton rep rows — co-assignment must be checked by cell
+            # equality (model.transform is a pure function of the vector),
+            # not by rep-row membership.
+            exploded = assigned.select(F.explode("ids").alias("vid"), "cell")
+            rep_rows = exploded.where(F.col("vid") >= 990_000_000_000).select(
+                (F.col("vid") - 990_000_000_000).alias("vid"),
+                F.col("cell").alias("rcell"),
+            )
+            n_rep_rows = rep_rows.count()
+            n_mismatch = (
+                rep_rows.join(exploded, "vid").where(F.col("cell") != F.col("rcell")).count()
+            )
+            replica_recall_ok = bool(n_rep_rows == n_replicas and n_mismatch == 0)
 
             aud_assigned = S._argmin_cell(
                 audit.select("vec_id", F.col("embedding").alias("v")), cents, "v"

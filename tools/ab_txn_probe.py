@@ -90,7 +90,9 @@ def main() -> None:
         out["create"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         for j in range(4):
+            tj = time.perf_counter()
             t.upsert(big_mem.limit(1000).withColumn("metadata", F.lit(f"u{j}")))
+            out[f"upsert_{j}"] = round(time.perf_counter() - tj, 3)
         out["upserts4"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         cleaned = t.clean_log()
@@ -104,7 +106,10 @@ def main() -> None:
         runs.append(out)
         print(json.dumps({"iter": i, **out}), flush=True)
 
-    keys = ("create", "upserts4", "clean_vacuum", "read_count", "total")
+    keys = (
+        "create", "upsert_0", "upsert_1", "upsert_2", "upsert_3",
+        "upserts4", "clean_vacuum", "read_count", "total",
+    )
     summary = {
         k: {
             "min": min(r[k] for r in runs),
