@@ -65,8 +65,15 @@ def _collapse_to_reps(
 
     from .dedup import _collapse_stats, _should_collapse
 
+    # cast("long"): `ids array<long>` is the DECLARED index format
+    # (ANN_INDEX_FORMAT), and an int-id caller would otherwise persist
+    # array<int> — then ivf_index_append's merge (whose empty-array literal
+    # and batch side are bigint) would rewrite only the affected cells as
+    # int64, mixing parquet physical types in one index dir: the same
+    # PARQUET_COLUMN_DATA_TYPE_MISMATCH class as dedup's grp_n (note 135).
+    # Both gate branches cast, so collapse on/off keeps one schema.
     base = ensure_parallelism(emb).select(
-        F.col(id_col).alias("_mid"), F.col(vec_col).alias("v")
+        F.col(id_col).cast("long").alias("_mid"), F.col(vec_col).alias("v")
     )
     n = stats[0] if stats is not None else -1
     if collapse == "auto":
@@ -779,33 +786,70 @@ def ivf_index_load(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     return frame, centroids
 
 
+#: centroid-matrix size (k·d doubles) above which _argmin_cell switches from
+#: the inline SQL-literal fold to a broadcast centroid-frame join: the
+#: literal is O(k·d) characters of SQL text built and parsed on the driver,
+#: fine at fixture scale but hundreds of MB at the billion-vector design
+#: point (k=2^16, d=768).
+_ARGMIN_LITERAL_MAX_TERMS = 262_144
+
+
 def _argmin_cell(frame: DataFrame, centroids: Sequence[Sequence[float]], vec_name: str) -> DataFrame:
     """Assign each row's `vec_name` vector to its nearest stored centroid by
     exact squared-L2 argmin (ties → smallest cell id) — the assignment rule
-    for vectors arriving AFTER the KMeans fit (ivf_index_append). One parsed
-    SQL expression per row, no explode: the centroid matrix is a constant
-    array literal and the argmin folds over it with HOFs, so the plan stays
-    a narrow projection regardless of k. Deterministic and engine-portable;
-    near-equidistant vectors may round differently than MLlib's
-    fastSquaredDistance, which is semantically fine for a FRESH vector (any
-    consistent cell is a valid IVF assignment — probes read the assignment
-    from the index itself, and the parity oracles read `_cells.json`)."""
-    cent = (
-        "array("
-        + ", ".join(
-            "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c) + ")"
-            for c in centroids
+    for vectors arriving AFTER the KMeans fit (ivf_index_append).
+    Deterministic and engine-portable; near-equidistant vectors may round
+    differently than MLlib's fastSquaredDistance, which is semantically fine
+    for a FRESH vector (any consistent cell is a valid IVF assignment —
+    probes read the assignment from the index itself, and the parity
+    oracles read `_cells.json`).
+
+    Two physical shapes, same values: below _ARGMIN_LITERAL_MAX_TERMS the
+    centroid matrix rides as ONE constant array literal and the argmin
+    folds with HOFs — a narrow projection, no explode, no shuffle. Above
+    it (production cell counts) the centroids become a broadcast k-row
+    frame: |frame|·k distance rows reduce through one min_by aggregate —
+    no O(k·d) SQL text on the driver, and the batch side of an append is
+    small by contract so the pair volume is bounded."""
+    k = len(centroids)
+    dim = len(centroids[0]) if k else 0
+    if k * dim <= _ARGMIN_LITERAL_MAX_TERMS:
+        cent = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c) + ")"
+                for c in centroids
+            )
+            + ")"
         )
-        + ")"
+        d2 = (
+            f"transform({cent}, c -> aggregate(zip_with(transform(`{vec_name}`, "
+            "e -> CAST(e AS DOUBLE)), c, (x, y) -> (x - y) * (x - y)), 0.0D, "
+            "(acc, x) -> acc + x))"
+        )
+        # array_position returns the FIRST index of the minimum → smallest cell
+        cell = f"CAST(array_position({d2}, array_min({d2})) - 1 AS INT)"
+        return frame.withColumn("cell", F.expr(cell))
+    spark = frame.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, _cvec array<double>",
     )
-    d2 = (
-        f"transform({cent}, c -> aggregate(zip_with(transform(`{vec_name}`, "
-        "e -> CAST(e AS DOUBLE)), c, (x, y) -> (x - y) * (x - y)), 0.0D, "
-        "(acc, x) -> acc + x))"
+    d2_col = F.aggregate(
+        F.zip_with(as_double(F.col(vec_name)), F.col("_cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    # array_position returns the FIRST index of the minimum → smallest cell
-    cell = f"CAST(array_position({d2}, array_min({d2})) - 1 AS INT)"
-    return frame.withColumn("cell", F.expr(cell))
+    others = [c for c in frame.columns]
+    # min_by on the (d2, cell) struct = argmin with the smallest-cell tie
+    # break (struct ordering is lexicographic)
+    return (
+        frame.crossJoin(F.broadcast(cent_df))
+        .select(*others, F.struct(d2_col.alias("d2"), F.col("cell")).alias("_dc"))
+        .groupBy(*others)
+        .agg(F.min("_dc").alias("_dc"))
+        .select(*others, F.col("_dc.cell").alias("cell"))
+    )
 
 
 def ivf_index_append(
@@ -942,14 +986,23 @@ def ivf_index_append(
     hits.unpersist()
     fresh_assigned.unpersist()
 
-    meta.setdefault("appended_fps", []).append(batch_fp)
+    # order matters: refresh the oracle sidecar BEFORE recording the
+    # fingerprint — a crash between the two then leaves the fingerprint
+    # absent, so the retry re-runs the (idempotent: array_distinct merge)
+    # append and repairs the sidecar; the reverse order would leave a
+    # permanently stale _cells.json behind a no-op fingerprint.
+    cells_path = os.path.join(path, "_cells.json")
+    if os.path.exists(cells_path):
+        _write_cells_sidecar(spark, path, cells_path, id_col)
+    # bounded: idempotency only needs to recognize RECENT re-applies
+    # (driver replays, crash retries, fixture stability) — an unbounded
+    # list would grow the manifest and its membership scan forever on a
+    # long-lived production index
+    meta["appended_fps"] = (meta.get("appended_fps", []) + [batch_fp])[-64:]
     tmp = fmt_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, fmt_path)  # atomic: a concurrent load never sees a partial manifest
-    cells_path = os.path.join(path, "_cells.json")
-    if os.path.exists(cells_path):
-        _write_cells_sidecar(spark, path, cells_path, id_col)
     return {
         "skipped": False, "n_batch": n_batch, "fresh_reps": fresh_reps,
         "merged_reps": merged_reps, "cells_rewritten": len(affected),

@@ -727,12 +727,6 @@ def test_ivf_index_append_idempotent_and_probe_equivalent(spark, sf_dir, tmp_pat
             merged[v] = (sorted(set(ids) | {r["vec_id"]}), cell)
         else:
             fresh.append((r["vec_id"], r["embedding"]))
-    for vid, vec in fresh:
-        v = tuple(vec)
-        if v in merged and merged[v][1] is None:
-            merged[v] = (sorted(set(merged[v][0]) | {vid}), None)
-        elif v in merged:
-            pass
     # batch-internal duplicates of the same fresh vector share one row
     fresh_cells = _np_argmin_cells(fresh, centroids)
     fresh_by_vec = {}
@@ -771,3 +765,38 @@ def test_ivf_fit_sample_membership_is_layout_independent(spark, sf_dir):
     assert one == many
     n = emb.count()
     assert 0.35 * n < len(one) < 0.65 * n  # a real ~frac sample, not degenerate
+
+
+def test_argmin_cell_paths_agree_and_int_ids_stay_long(spark, sf_dir, monkeypatch):
+    """r14 review follow-ups: (a) _argmin_cell's two physical shapes — the
+    inline SQL-literal fold (fixture k·d) and the broadcast centroid-frame
+    min_by join (production k·d, where an O(k·d) SQL literal would be
+    hundreds of MB of driver-built text) — must assign every vector
+    identically, ties included; (b) _collapse_to_reps must emit
+    `ids array<long>` even for an INT id column, else an int-id-built index
+    appended with bigint batches mixes parquet physical types (the grp_n
+    failure class, note 135)."""
+    from mcp_synaptic_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cents = [
+        [float(x) for x in r["v"]]
+        for r in emb.orderBy("vec_id").limit(6).collect()
+    ]
+    lit_path = {
+        (r["vec_id"], r["cell"])
+        for r in S._argmin_cell(emb, cents, "v").select("vec_id", "cell").collect()
+    }
+    monkeypatch.setattr(S, "_ARGMIN_LITERAL_MAX_TERMS", 0)
+    join_path = {
+        (r["vec_id"], r["cell"])
+        for r in S._argmin_cell(emb, cents, "v").select("vec_id", "cell").collect()
+    }
+    monkeypatch.undo()
+    assert lit_path == join_path and len(lit_path) == emb.count()
+
+    int_ids = emb.select(F.col("vec_id").cast("int").alias("vec_id"), "v")
+    reps, _n, _d = S._collapse_to_reps(int_ids, "vec_id", "v")
+    assert dict(reps.dtypes)["ids"] == "array<bigint>"

@@ -101,7 +101,11 @@ def main() -> None:
         t0 = time.perf_counter()
         n_after = t.read().count()
         out["read_count"] = round(time.perf_counter() - t0, 3)
-        out["total"] = round(sum(out.values()), 3)
+        # upserts4 is already the sum of upsert_0..3 — exclude the per-phase
+        # keys so total isn't double-counted (review r14)
+        out["total"] = round(
+            out["create"] + out["upserts4"] + out["clean_vacuum"] + out["read_count"], 3
+        )
         out["state_ok"] = bool(n_after == n_mem and t.version() == 4 and len(cleaned) >= 3)
         runs.append(out)
         print(json.dumps({"iter": i, **out}), flush=True)
