@@ -1585,13 +1585,33 @@ def dedup_index_append(
     successful append of the same docs (hashes land first, so the exact
     screen stays sound; a torn append can only under-report near-dups),
     and racing appenders can both land the same document — use
-    `dedup_index_append_txn` when admitters race."""
+    `dedup_index_append_txn` when admitters race.
+
+    Replay-idempotent (r14, the ivf_index_append fingerprint pattern):
+    foreachBatch delivery is at-least-once, so the streaming admit path
+    can re-run a batch whose append already landed — duplicate index rows
+    are verdict-benign (exact matches min() over cids; near matches
+    argmax-dedup) but waste index size forever. An order-independent
+    xxhash64(id, content) batch fingerprint is recorded in the manifest
+    (bounded to the 64 most recent — replays are recent by nature) AFTER
+    the three appends, so a matching fingerprint means the data is fully
+    present and the append no-ops; a crash before the record point makes
+    the retry re-append (benign, as above)."""
     import json
     import os
 
     with open(os.path.join(path, "_meta.json")) as f:
         meta = json.load(f)
     _check_index_format(meta, path)
+    probe = admitted.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64(F.col(id_col), F.col(content_col)).cast("decimal(38,0)")
+        ).alias("fp"),
+    ).first()
+    batch_fp = f"{int(probe['n'])}:{int(probe['fp'] or 0)}"
+    if int(probe["n"]) == 0 or batch_fp in meta.get("appended_fps", []):
+        return
     dedup_index_write(
         admitted,
         path,
@@ -1602,6 +1622,12 @@ def dedup_index_append(
         bands=meta["bands"],
         mode="append",
     )
+    meta["appended_fps"] = (meta.get("appended_fps", []) + [batch_fp])[-64:]
+    meta_path = os.path.join(path, "_meta.json")
+    tmp = meta_path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)  # atomic: loads see the old or new manifest, whole
 
 
 def dedup_index_append_txn(

@@ -614,6 +614,25 @@ def test_dedup_index_append_closes_the_lifecycle(spark, sf_dir, tmp_path):
     second = dedup_incremental(None, again, index=dedup_index_load(spark, path)).collect()
     assert second[0].verdict == "exact_dup" and second[0].match_id == 90_001
 
+    # r14 replay idempotence: foreachBatch is at-least-once, so re-appending
+    # the same admitted batch must be a fingerprint no-op — no new parquet
+    # rows, no file churn (the ivf_index_append contract)
+    import os
+
+    def _files(p):
+        out = {}
+        for root, _dirs, names in os.walk(p):
+            for nm in names:
+                fp = os.path.join(root, nm)
+                out[fp] = os.path.getmtime(fp)
+        return out
+
+    n_hashes = spark.read.parquet(os.path.join(path, "hashes")).count()
+    snap = _files(path)
+    dedup_index_append(novel, path)
+    assert _files(path) == snap
+    assert spark.read.parquet(os.path.join(path, "hashes")).count() == n_hashes
+
 
 def test_dedup_index_legacy_layout_rejected(spark, tmp_path):
     """ADVICE r12: a pre-r12 index (shingles/ layout, no format marker) must
@@ -696,11 +715,15 @@ def test_auto_cap_bites_on_degenerate_corpus_above_floor(spark):
     )
 
 
-def test_index_append_skips_manifest_and_meta_write_is_atomic(spark, tmp_path):
-    """r9 (ADVICE r8): append mode must NOT rewrite _meta.json (the params
-    were just read from it; a truncating rewrite races concurrent loads),
-    and the overwrite-mode manifest goes through temp+rename (no .tmp
-    leftovers, never a partial file)."""
+def test_index_append_meta_write_is_atomic_and_replay_noop(spark, tmp_path):
+    """r9 (ADVICE r8), contract updated r14: every manifest write — the
+    overwrite-mode build AND the append's fingerprint record — goes through
+    temp+os.replace (no .tmp leftovers, a concurrent load never sees a
+    truncated/partial file; the r9 hazard was the truncating in-place
+    rewrite, not the rewrite itself). An append preserves the index
+    parameters verbatim and only extends `appended_fps`; replaying the
+    SAME batch is a fingerprint no-op that touches nothing, manifest
+    included."""
     import json
     import os
 
@@ -713,17 +736,24 @@ def test_index_append_skips_manifest_and_meta_write_is_atomic(spark, tmp_path):
     path = str(tmp_path / "idx")
     dedup_index_write(docs, path, shingle_n=2, num_hashes=8, bands=4)
     meta_path = os.path.join(path, "_meta.json")
-    before = os.stat(meta_path).st_mtime_ns
     with open(meta_path) as f:
         meta_before = json.load(f)
-    dedup_index_append(
-        spark.createDataFrame([(3, "nine ten eleven twelve")], "doc_id long, text string"),
-        path,
+    batch = spark.createDataFrame(
+        [(3, "nine ten eleven twelve")], "doc_id long, text string"
     )
-    assert os.stat(meta_path).st_mtime_ns == before, "append rewrote the manifest"
+    dedup_index_append(batch, path)
     with open(meta_path) as f:
-        assert json.load(f) == meta_before
+        meta_after = json.load(f)
+    params = ("index_format", "shingle_n", "num_hashes", "bands")
+    assert {k: meta_after[k] for k in params} == {k: meta_before[k] for k in params}
+    assert len(meta_after["appended_fps"]) == 1
     assert not [p for p in os.listdir(path) if p.startswith("_meta.json.tmp")]
+    # replay: same batch again → fingerprint no-op, manifest untouched
+    before_ns = os.stat(meta_path).st_mtime_ns
+    dedup_index_append(batch, path)
+    assert os.stat(meta_path).st_mtime_ns == before_ns
+    with open(meta_path) as f:
+        assert json.load(f) == meta_after
 
 
 def test_index_append_txn_race_exactly_one_admission(spark, tmp_path):

@@ -638,8 +638,31 @@ def test_ivf_index_append_merges_dups_and_assigns_fresh(spark, sf_dir, tmp_path)
     }
     base_vecs = {v for (v, _c) in before_rows.values()}
 
+    import os
+
+    def _cell_files(p):
+        out = {}
+        for root, _dirs, names in os.walk(p):
+            if "cell=" not in root:
+                continue
+            for nm in names:
+                fp = os.path.join(root, nm)
+                out[fp] = os.path.getmtime(fp)
+        return out
+
+    pre_files = _cell_files(path)
     info = S.ivf_index_append(batch, path, id_col="vec_id")
     assert info["skipped"] is False and info["n_batch"] == batch.count()
+    # the rewrite touches ONLY the affected cell partitions: the number of
+    # cell directories whose files changed equals cells_rewritten, and
+    # every other cell's parquet is bit-untouched on disk
+    post_files = _cell_files(path)
+    changed_dirs = {
+        os.path.dirname(fp)
+        for fp in set(pre_files) ^ set(post_files)
+        | {fp for fp in pre_files if fp in post_files and pre_files[fp] != post_files[fp]}
+    }
+    assert len({d.split("cell=")[1] for d in changed_dirs}) == info["cells_rewritten"]
     after, centroids2 = S.ivf_index_load(spark, path)
     assert centroids2 == centroids  # append never refits the quantizer
     rows = after.collect()
