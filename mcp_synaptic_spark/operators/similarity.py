@@ -403,8 +403,13 @@ def mllib_lsh_index_write(
     sidecar = os.path.join(path, "_planes.json")
     if not overwrite and os.path.exists(sidecar):
         with open(sidecar) as f:
-            if json.load(f) == meta:
-                return
+            stored = json.load(f)
+        # subset compare, not dict equality: an appended index carries extra
+        # bookkeeping keys (appended_rows/appended_fps) that must not read
+        # as staleness — a full-equality check would silently REBUILD the
+        # base corpus over the appends (r14, mllib_lsh_index_append)
+        if all(stored.get(k) == v for k, v in meta.items()):
+            return
     # r13 rep grain: the hash+normalize stage is per-row and data-independent
     # (pure projection of the vector), so it runs once per DISTINCT vector;
     # the written rows carry the member-id arrays. At crawl duplication the
@@ -438,6 +443,84 @@ def mllib_lsh_index_load(spark, path: str) -> tuple[DataFrame, list[list[float]]
     frame = spark.read.parquet(path)
     _check_ann_index_format(frame.columns, path)
     return frame, meta["planes"], float(meta["bucket_length"])
+
+
+def mllib_lsh_index_append(
+    new_corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append a batch into a persisted BRP-LSH index — the second half of
+    the incremental-growth story beside `ivf_index_append`. STRICTLY
+    CHEAPER than the IVF append: the BRP hash of a vector is a pure
+    function of (vector, planes, bucket_length), all fixed at build time,
+    so an appended rep row carrying a vector that ALREADY exists in the
+    index is probe-equivalent to merging it — both rows hash identically,
+    survive the bucket prune together, score the same l2, and contribute
+    disjoint member ids to the same rank window. No merge means no index
+    scan and no rewrite: the append is O(batch) — collapse, normalize,
+    hash, ONE plain parquet append. (IVF cannot relax this way: an
+    unmerged duplicate could be ARGMIN-assigned to a different cell than
+    its indexed twin, and an nprobe scan would then see only part of the
+    member set.) The rep-grain invariant weakens to one-row-per-distinct-
+    vector PER APPEND GENERATION — probe-invisible, as argued above, and
+    pinned byte-identical against a full rebuild in tests.
+
+    Idempotent via the same bounded batch fingerprint as ivf_index_append;
+    the sidecar gains `appended_rows`/`appended_fps` bookkeeping keys that
+    the writer's staleness check ignores (subset compare), so a later
+    idempotent base-corpus write does NOT rebuild over the appends.
+    Returns {"skipped", "n_batch", "appended_reps"}.
+    """
+    import json
+    import os
+
+    from ..util import ensure_parallelism
+
+    from .dedup import _should_collapse
+
+    sidecar = os.path.join(path, "_planes.json")
+    with open(sidecar) as f:
+        meta = json.load(f)
+    if meta.get("format") != ANN_INDEX_FORMAT:
+        _check_ann_index_format((), path)
+    planes, bucket_length = meta["planes"], float(meta["bucket_length"])
+
+    base = ensure_parallelism(new_corpus).select(
+        F.col(id_col).cast("long").alias("_mid"), F.col(vec_col).alias("v")
+    )
+    probe = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("v").alias("d"),
+        F.sum(F.xxhash64(F.col("_mid"), F.col("v")).cast("decimal(38,0)")).alias("fp"),
+    ).first()
+    n_batch, fp = int(probe["n"]), int(probe["fp"] or 0)
+    batch_fp = f"{n_batch}:{fp}"
+    if n_batch == 0 or batch_fp in meta.get("appended_fps", []):
+        return {"skipped": True, "n_batch": n_batch, "appended_reps": 0}
+
+    reps, _n, _did = _collapse_to_reps(
+        new_corpus, id_col, vec_col,
+        stats=(n_batch, int(probe["d"])),
+        collapse=_should_collapse(n_batch, int(probe["d"])),
+    )
+    normalized = reps.select("ids", l2_normalize(F.col("v")).alias("vn"))
+    hashed = normalized.select(
+        "ids",
+        "vn",
+        *[_brp_hash_expr("vn", p, bucket_length).alias(f"h{i}") for i, p in enumerate(planes)],
+    )
+    hashed.write.mode("append").parquet(path)
+    appended_reps = reps.count()
+    meta["appended_rows"] = meta.get("appended_rows", 0) + n_batch
+    meta["appended_fps"] = (meta.get("appended_fps", []) + [batch_fp])[-64:]
+    tmp = sidecar + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, sidecar)  # atomic: loads see the old or new sidecar, whole
+    return {"skipped": False, "n_batch": n_batch, "appended_reps": appended_reps}
 
 
 def mllib_lsh_topk_indexed(

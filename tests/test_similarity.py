@@ -823,3 +823,72 @@ def test_argmin_cell_paths_agree_and_int_ids_stay_long(spark, sf_dir, monkeypatc
     int_ids = emb.select(F.col("vec_id").cast("int").alias("vec_id"), "v")
     reps, _n, _d = S._collapse_to_reps(int_ids, "vec_id", "v")
     assert dict(reps.dtypes)["ids"] == "array<bigint>"
+
+
+def test_mllib_lsh_index_append_probe_equals_rebuild(spark, sf_dir, tmp_path):
+    """r14: the BRP index append must be PROBE-BYTE-IDENTICAL to a full
+    rebuild over (base ∪ batch) with the same planes — the strongest form
+    of the append ground truth, available here because the BRP fit is only
+    a data-independent plane draw. The batch deliberately contains exact
+    duplicates of indexed vectors under new ids (the probe-equivalence of
+    unmerged duplicate rep rows is the operator's core claim) plus fresh
+    vectors. Also pins: replay no-op (no file churn) and that a subsequent
+    idempotent base write does NOT rebuild over the appends."""
+    import json
+    import os
+
+    from mcp_synaptic_spark.operators import similarity as S
+
+    with open("/root/repo/.brp_cache/brp_seed42_d64_t3.json") as f:
+        planes = json.load(f)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0).unionByName(
+        emb.where(F.col("vec_id") == 1).select(
+            F.lit(900001).cast("long").alias("vec_id"), "embedding"
+        )
+    )
+    path = str(tmp_path / "brp_append")
+    S.mllib_lsh_index_write(base, path, planes, id_col="vec_id")
+    info = S.mllib_lsh_index_append(batch, path, id_col="vec_id")
+    assert info["skipped"] is False and info["appended_reps"] > 0
+
+    rebuilt_path = str(tmp_path / "brp_rebuilt")
+    S.mllib_lsh_index_write(base.unionByName(batch), rebuilt_path, planes, id_col="vec_id")
+
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got_idx, got_planes, got_bl = S.mllib_lsh_index_load(spark, path)
+    want_idx, want_planes, want_bl = S.mllib_lsh_index_load(spark, rebuilt_path)
+    assert got_planes == want_planes and got_bl == want_bl
+    got = sorted(
+        map(tuple, S.mllib_lsh_topk_indexed(
+            queries, got_idx, got_planes, k=5, bucket_length=got_bl, id_col="vec_id"
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, S.mllib_lsh_topk_indexed(
+            queries, want_idx, want_planes, k=5, bucket_length=want_bl, id_col="vec_id"
+        ).collect())
+    )
+    assert got == want and got
+
+    # replay no-op: same batch again touches nothing
+    def _files(p):
+        return {
+            os.path.join(r, nm): os.path.getmtime(os.path.join(r, nm))
+            for r, _d, ns in os.walk(p)
+            for nm in ns
+        }
+
+    snap = _files(path)
+    again = S.mllib_lsh_index_append(batch, path, id_col="vec_id")
+    assert again["skipped"] is True and _files(path) == snap
+
+    # an idempotent re-run of the BASE write must not rebuild over appends
+    # (the sidecar's append bookkeeping is not staleness)
+    S.mllib_lsh_index_write(base, path, planes, id_col="vec_id")
+    still, _, _ = S.mllib_lsh_index_load(spark, path)
+    assert still.count() == got_idx.count()

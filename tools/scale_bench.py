@@ -250,6 +250,42 @@ def main() -> None:
         ).count(),
     )
 
+    # --- r14: BRP index append — O(batch), no merge, no rewrite -------------
+    # Ground truth is the strongest available: the appended index must be
+    # PROBE-BYTE-IDENTICAL to a full rebuild over (corpus ∪ batch) with the
+    # same planes (the BRP fit is only a data-independent plane draw).
+    # Batch reuses the IVF append's shape: duplicate vectors under new ids
+    # (probe-equivalence of unmerged duplicate rep rows is the operator's
+    # claim) plus guaranteed-fresh shifted vectors.
+    from mcp_synaptic_spark.operators.similarity import mllib_lsh_index_append
+
+    brp_app_path = f"{SCRATCH}/brp_index_append"
+    shutil.rmtree(brp_app_path, ignore_errors=True)
+    shutil.copytree(brp_path, brp_app_path)
+    app_info = timed(
+        "mllib_lsh_index_append_10x",
+        lambda: mllib_lsh_index_append(batch, brp_app_path, id_col="vec_id"),
+    )
+    checks["brp_append_ran"] = bool(not app_info["skipped"] and app_info["appended_reps"] > 0)
+    brp_rebuilt = f"{SCRATCH}/brp_index_rebuilt"
+    shutil.rmtree(brp_rebuilt, ignore_errors=True)
+    timed(
+        "mllib_lsh_index_rebuild_audit",
+        lambda: mllib_lsh_index_write(
+            emb.unionByName(batch), brp_rebuilt, planes, id_col="vec_id"
+        ),
+    )
+    aidx, aplanes, abl = mllib_lsh_index_load(spark, brp_app_path)
+    ridx, rplanes, rbl = mllib_lsh_index_load(spark, brp_rebuilt)
+    probe_q = queries.limit(200)
+    got = sorted(map(tuple, mllib_lsh_topk_indexed(
+        probe_q, aidx, aplanes, k=5, bucket_length=abl, id_col="vec_id"
+    ).collect()))
+    want = sorted(map(tuple, mllib_lsh_topk_indexed(
+        probe_q, ridx, rplanes, k=5, bucket_length=rbl, id_col="vec_id"
+    ).collect()))
+    checks["brp_append_probe_equals_rebuild"] = bool(got == want and got)
+
     # --- repetition / substring / semantic dedup at 10x ---------------------
     # Replication ground truth: every doc with ≥10 words has 9 verbatim
     # replicas, so EVERY one of its 10-word windows is cross-doc duplicated
