@@ -43,7 +43,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_index_write", "bm25_index_load", "bm25_search_indexed"]
+__all__ = [
+    "bm25_index_write",
+    "bm25_index_append",
+    "bm25_index_load",
+    "bm25_search_indexed",
+]
 
 _META = "_meta.json"
 
@@ -131,17 +136,35 @@ def bm25_index_write(
     if not overwrite and os.path.exists(meta_path):
         with open(meta_path) as f:
             have = json.load(f)
+        # append-aware guard (the mllib_lsh_index_write subset-compare
+        # precedent): after bm25_index_append the meta's n_docs/corpus_fp
+        # are the APPENDED totals while base_n_docs/base_corpus_fp record
+        # the original build — an idempotent re-run of the BASE write must
+        # not rebuild over the appends, and a write of the full UNION
+        # corpus is equally a no-op (the additive fingerprint makes the
+        # two states distinguishable exactly). The sum_dl presence check
+        # rebuilds pre-append-format indexes once.
+        matches = {
+            (have.get("base_n_docs", have.get("n_docs")),
+             have.get("base_corpus_fp", have.get("corpus_fp"))),
+            (have.get("n_docs"), have.get("corpus_fp")),
+        }
         if (
-            have.get("n_docs") == n_docs
+            (n_docs, corpus_fp) in matches
             and have.get("n_buckets") == n_buckets
-            and have.get("corpus_fp") == corpus_fp
+            and "sum_dl" in have
         ):
             return
     per_doc = docs.select(
         F.col(id_col).alias("id"), _tokens_expr(content_col).alias("toks")
     ).select("id", F.size("toks").alias("dl"), "toks")
-    # avgdl over ALL docs (empty ones included) — bm25_search's F.avg("dl")
-    stats_row = per_doc.agg(F.avg("dl").alias("avgdl")).first()
+    # avgdl over ALL docs (empty ones included) — bm25_search's F.avg("dl").
+    # sum_dl rides the same agg: dl are ints summed exactly (≪ 2^53), so
+    # avgdl ≡ sum_dl / n_docs bit-for-bit, which is what lets the APPEND
+    # path update avgdl incrementally without a corpus rescan.
+    stats_row = per_doc.agg(
+        F.avg("dl").alias("avgdl"), F.sum("dl").alias("sum_dl")
+    ).first()
     postings = (
         per_doc.select("id", "dl", F.explode("toks").alias("term"))
         .groupBy("term", "id", "dl")  # dl is functionally dependent on id
@@ -151,19 +174,161 @@ def bm25_index_write(
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "postings")
     )
+    # doc-grain sidecar table (id, dl): the append path's overlap guard
+    # semi-joins against THIS — n_docs rows of two longs — instead of the
+    # full postings table; never read by the probe
+    per_doc.select("id", "dl").write.mode("overwrite").parquet(
+        os.path.join(path, "docs")
+    )
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(
             {
                 "n_docs": n_docs,
                 "avgdl": float(stats_row["avgdl"]) if stats_row["avgdl"] is not None else 0.0,
+                "sum_dl": int(stats_row["sum_dl"] or 0),
                 "n_buckets": n_buckets,
                 "corpus_fp": corpus_fp,
+                "base_n_docs": n_docs,
+                "base_corpus_fp": corpus_fp,
                 "id_col": id_col,
             },
             f,
         )
     os.replace(tmp, meta_path)  # atomic: a concurrent load never sees a partial manifest
+
+
+def bm25_index_append(
+    new_docs: DataFrame,
+    path: str,
+    *,
+    content_col: str = "text",
+    merge: str = "exact",
+) -> dict:
+    """Append a batch of documents into a persisted BM25 index — the third
+    and last persisted index gains incremental growth (VERDICT r14
+    next-round #5; reference parity: incremental `add_document`,
+    rag/database/documents.py:22-64). The inverted index is ADDITIVE by
+    construction: a new document's postings rows (term, id, tf, dl) are
+    exactly what a full rebuild would compute for it (tf/dl are per-doc;
+    the term→bucket hash is corpus-independent), df is derived at probe
+    time by counting pruned postings so it updates for free, and the
+    corpus-global stats update exactly — n_docs' = n_docs + n_batch,
+    sum_dl' = sum_dl + Σdl_batch (ints, exact in the manifest), and
+    avgdl' = sum_dl'/n_docs' reproduces F.avg over the union corpus
+    bit-for-bit (integer sums ≪ 2^53 are exact in double; one final fp
+    division either way). So an appended index probes BYTE-IDENTICAL to a
+    rebuild over base ∪ batch — pinned in tests and at the scale tiers.
+    Cost: O(batch tokens) — one explode+groupBy over the batch, one
+    parquet append into the affected bucket partitions, no base re-scan.
+
+    A batch that re-adds an ALREADY-INDEXED doc id would double that id's
+    postings and silently inflate every shared term's probe-time df, so
+    merge="exact" (default) drops those ids first via one scan of the
+    doc-grain `docs/` sidecar (n_docs rows of (id, dl) — never the
+    postings table; the bounded batch id set broadcasts into the
+    semi-join). Re-adding an id with CHANGED content is an update, which
+    this index does not support incrementally — rebuild via
+    ``bm25_index_write(..., overwrite=True)``, which is also the
+    compaction path for small append-generation files. merge="none" skips
+    the guard under a hard caller contract of id-disjoint batches.
+
+    Idempotent via the bounded batch fingerprint (`appended_fps`, last 64)
+    shared with the ANN appends; the write guard's subset compare means a
+    later idempotent base write never rebuilds over appends. Returns
+    {"skipped", "n_batch", "n_appended", "n_overlap"}.
+    """
+    meta_path = os.path.join(path, _META)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if "sum_dl" not in meta:
+        raise ValueError(
+            f"BM25 index at {path!r} predates the append format (no sum_dl "
+            "in its manifest) — rebuild once via bm25_index_write(..., "
+            "overwrite=True) to enable incremental appends"
+        )
+    id_col = meta.get("id_col", "doc_id")
+    n_buckets = int(meta["n_buckets"])
+    spark = new_docs.sparkSession
+
+    stats = new_docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64(F.col(id_col), F.col(content_col)).cast("decimal(38,0)")
+        ).alias("fp"),
+    ).first()
+    n_batch, fp = int(stats["n"]), int(stats["fp"] or 0)
+    batch_fp = f"{n_batch}:{fp}"
+    if n_batch == 0 or batch_fp in meta.get("appended_fps", []):
+        return {"skipped": True, "n_batch": n_batch, "n_appended": 0, "n_overlap": 0}
+
+    batch = new_docs
+    n_overlap = 0
+    if merge == "exact":
+        indexed_ids = spark.read.parquet(os.path.join(path, "docs")).select("id")
+        batch_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
+        overlap = (
+            indexed_ids.join(F.broadcast(batch_ids), "id", "left_semi")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_overlap = overlap.count()
+        if n_overlap:
+            batch = new_docs.join(
+                F.broadcast(overlap.withColumnRenamed("id", id_col)),
+                id_col,
+                "left_anti",
+            )
+    elif merge != "none":
+        raise ValueError(f"merge must be 'exact' or 'none', got {merge!r}")
+
+    per_doc = batch.select(
+        F.col(id_col).alias("id"), _tokens_expr(content_col).alias("toks")
+    ).select("id", F.size("toks").alias("dl"), "toks")
+    per_doc = per_doc.localCheckpoint(eager=True)  # three consumers below
+    row = per_doc.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    ).first()
+    n_appended, sum_dl_batch = int(row["n"]), int(row["sum_dl"] or 0)
+    if n_appended:
+        postings = (
+            per_doc.select("id", "dl", F.explode("toks").alias("term"))
+            .groupBy("term", "id", "dl")
+            .agg(F.count("*").cast("int").alias("tf"))
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+            )
+        )
+        postings.write.mode("append").partitionBy("bucket").parquet(
+            os.path.join(path, "postings")
+        )
+        per_doc.select("id", "dl").write.mode("append").parquet(
+            os.path.join(path, "docs")
+        )
+    # surviving-batch fingerprint keeps corpus_fp ≡ fingerprint of the
+    # UNION corpus (the sum is additive and overlap rows never landed), so
+    # the write guard recognizes a full-union rebuild request as a no-op
+    if n_overlap:
+        surv = batch.agg(
+            F.sum(
+                F.xxhash64(F.col(id_col), F.col(content_col)).cast("decimal(38,0)")
+            ).alias("fp")
+        ).first()
+        fp = int(surv["fp"] or 0)
+    meta["n_docs"] = int(meta["n_docs"]) + n_appended
+    meta["sum_dl"] = int(meta["sum_dl"]) + sum_dl_batch
+    meta["avgdl"] = meta["sum_dl"] / meta["n_docs"] if meta["n_docs"] else 0.0
+    meta["corpus_fp"] = int(meta["corpus_fp"]) + fp
+    meta["appended_docs"] = meta.get("appended_docs", 0) + n_appended
+    meta["appended_fps"] = (meta.get("appended_fps", []) + [batch_fp])[-64:]
+    tmp = meta_path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)  # atomic: loads see the old or new manifest, whole
+    return {
+        "skipped": False, "n_batch": n_batch,
+        "n_appended": n_appended, "n_overlap": n_overlap,
+    }
 
 
 def bm25_index_load(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:

@@ -139,3 +139,109 @@ def test_dl_denormalized_and_df_consistent(spark, docs, index_path):
     dup = postings.groupBy("term", "id").count().where("count > 1").count()
     assert dup == 0
     assert meta["n_docs"] == docs.count()
+
+
+def test_append_probe_equals_rebuild(spark, docs, tmp_path):
+    """r15 (VERDICT r14 #5): an appended BM25 index must probe
+    BYTE-IDENTICAL to a full rebuild over base ∪ batch — postings are
+    additive per doc, df derives from postings at probe time, and the
+    manifest's exact integer sum_dl makes the incremental avgdl reproduce
+    F.avg over the union bit-for-bit. Also pins: replay no-op, overlap
+    drop (re-added ids must not inflate df), and that an idempotent
+    re-run of the BASE write does not rebuild over the appends."""
+    from mcp_synaptic_spark.operators.bm25_index import bm25_index_append
+
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "idx_app")
+    bm25_index_write(base, path)
+    info = bm25_index_append(batch, path)
+    assert info["skipped"] is False and info["n_overlap"] == 0
+    assert info["n_appended"] == info["n_batch"] == batch.count()
+
+    rebuilt = str(tmp_path / "idx_full")
+    bm25_index_write(docs, rebuilt)
+    for q, k1, b in [(QUERY, 1.2, 0.75), ("the data memory", 1.6, 0.4)]:
+        got = _rows(bm25_search_indexed(spark, path, q, k=10, k1=k1, b=b))
+        want = _rows(bm25_search_indexed(spark, rebuilt, q, k=10, k1=k1, b=b))
+        assert got == want and got, (q, k1, b)
+    # and both equal the per-query form over the union corpus
+    assert _rows(bm25_search_indexed(spark, path, QUERY, k=10)) == _rows(
+        bm25_search(docs, QUERY, k=10)
+    )
+
+    # manifest stats equal a native full build's (avgdl bit-for-bit)
+    _, meta_app = bm25_index_load(spark, path)
+    _, meta_full = bm25_index_load(spark, rebuilt)
+    assert meta_app["n_docs"] == meta_full["n_docs"]
+    assert meta_app["sum_dl"] == meta_full["sum_dl"]
+    assert meta_app["avgdl"] == meta_full["avgdl"]
+    assert meta_app["corpus_fp"] == meta_full["corpus_fp"]
+
+    # replay no-op: same batch fingerprint touches nothing
+    def _files(p):
+        return {
+            os.path.join(r, nm): os.path.getmtime(os.path.join(r, nm))
+            for r, _d, ns in os.walk(p)
+            for nm in ns
+        }
+
+    snap = _files(path)
+    again = bm25_index_append(batch, path)
+    assert again["skipped"] is True and _files(path) == snap
+
+    # an idempotent re-run of the BASE write must not rebuild over appends
+    bm25_index_write(base, path)
+    assert _files(path) == snap
+    # nor a write of the full union corpus (additive fingerprint matches)
+    bm25_index_write(docs, path)
+    assert _files(path) == snap
+
+
+def test_append_overlap_drops_readded_ids(spark, docs, tmp_path):
+    """A batch that re-adds already-indexed doc ids must not double their
+    postings (which would silently inflate probe-time df for every shared
+    term): merge="exact" drops them and reports n_overlap; the probe still
+    equals a set-union rebuild."""
+    from mcp_synaptic_spark.operators.bm25_index import bm25_index_append
+
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    fresh = docs.where(F.col("doc_id") % 5 == 0)
+    batch = fresh.unionByName(base.limit(15))
+    path = str(tmp_path / "idx_ovl")
+    bm25_index_write(base, path)
+    info = bm25_index_append(batch, path)
+    assert info["n_overlap"] == 15
+    assert info["n_appended"] == fresh.count()
+
+    # no doc id occurs twice in the doc-grain sidecar
+    dupes = (
+        spark.read.parquet(os.path.join(path, "docs"))
+        .groupBy("id").count().where(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+
+    rebuilt = str(tmp_path / "idx_ovl_full")
+    bm25_index_write(docs, rebuilt)
+    assert _rows(bm25_search_indexed(spark, path, QUERY, k=10)) == _rows(
+        bm25_search_indexed(spark, rebuilt, QUERY, k=10)
+    )
+
+
+def test_append_requires_new_format_manifest(spark, docs, tmp_path):
+    """A pre-append-format index (no sum_dl) must fail loudly with the
+    rebuild instruction, not corrupt stats."""
+    import json
+
+    from mcp_synaptic_spark.operators.bm25_index import bm25_index_append
+
+    path = str(tmp_path / "idx_old")
+    bm25_index_write(docs.where(F.col("doc_id") % 2 == 0), path)
+    meta_path = os.path.join(path, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    del meta["sum_dl"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="rebuild"):
+        bm25_index_append(docs.where(F.col("doc_id") % 2 == 1), path)
