@@ -32,6 +32,27 @@ from ..functions.vector import as_double, cosine_similarity, dot, dot_fixed, l2_
 from .rag import ORDER_DP, ROUND_DP
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _id_as_long(frame: DataFrame, id_col: str):
+    """`ids array<long>` is the declared index format (ANN_INDEX_FORMAT), so
+    member ids are widened to long before they enter any rep frame. The
+    widening is only DEFINED for integral types: a blind cast("long") turns
+    a non-integral string id into NULL silently, every query collapses onto
+    the one null rep, and the probe returns garbage with no error (ADVICE
+    r14). Validate the dtype and fail loudly instead."""
+    dtype = dict(frame.dtypes).get(id_col)
+    if dtype not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"id column {id_col!r} has type {dtype!r}; the ANN index tiers "
+            f"require an integral id (one of {sorted(_INTEGRAL_TYPES)}) — "
+            "map string/uuid ids to a surrogate long (e.g. xxhash64) before "
+            "indexing"
+        )
+    return F.col(id_col).cast("long")
+
+
 def _collapse_to_reps(
     emb: DataFrame,
     id_col: str,
@@ -65,15 +86,17 @@ def _collapse_to_reps(
 
     from .dedup import _collapse_stats, _should_collapse
 
-    # cast("long"): `ids array<long>` is the DECLARED index format
+    # _id_as_long: `ids array<long>` is the DECLARED index format
     # (ANN_INDEX_FORMAT), and an int-id caller would otherwise persist
     # array<int> — then ivf_index_append's merge (whose empty-array literal
     # and batch side are bigint) would rewrite only the affected cells as
     # int64, mixing parquet physical types in one index dir: the same
     # PARQUET_COLUMN_DATA_TYPE_MISMATCH class as dedup's grp_n (note 135).
-    # Both gate branches cast, so collapse on/off keeps one schema.
+    # Both gate branches cast, so collapse on/off keeps one schema; the
+    # dtype validation inside _id_as_long fails loudly on non-integral ids
+    # instead of null-collapsing them (ADVICE r14).
     base = ensure_parallelism(emb).select(
-        F.col(id_col).cast("long").alias("_mid"), F.col(vec_col).alias("v")
+        _id_as_long(emb, id_col).alias("_mid"), F.col(vec_col).alias("v")
     )
     n = stats[0] if stats is not None else -1
     if collapse == "auto":
@@ -451,6 +474,7 @@ def mllib_lsh_index_append(
     *,
     id_col: str = "id",
     vec_col: str = "embedding",
+    merge: str = "exact",
 ) -> dict:
     """Append a batch into a persisted BRP-LSH index — the second half of
     the incremental-growth story beside `ivf_index_append`. STRICTLY
@@ -459,20 +483,38 @@ def mllib_lsh_index_append(
     so an appended rep row carrying a vector that ALREADY exists in the
     index is probe-equivalent to merging it — both rows hash identically,
     survive the bucket prune together, score the same l2, and contribute
-    disjoint member ids to the same rank window. No merge means no index
-    scan and no rewrite: the append is O(batch) — collapse, normalize,
-    hash, ONE plain parquet append. (IVF cannot relax this way: an
-    unmerged duplicate could be ARGMIN-assigned to a different cell than
-    its indexed twin, and an nprobe scan would then see only part of the
-    member set.) The rep-grain invariant weakens to one-row-per-distinct-
-    vector PER APPEND GENERATION — probe-invisible, as argued above, and
-    pinned byte-identical against a full rebuild in tests.
+    DISJOINT member ids to the same rank window. No rewrite, ever. (IVF
+    cannot relax this way: an unmerged duplicate could be ARGMIN-assigned
+    to a different cell than its indexed twin, and an nprobe scan would
+    then see only part of the member set.) The rep-grain invariant weakens
+    to one-row-per-distinct-vector PER APPEND GENERATION — probe-invisible,
+    as argued above, and pinned byte-identical against a full rebuild in
+    tests.
+
+    The disjoint-ids clause above is load-bearing, and a batch that
+    PARTIALLY re-ingests already-indexed (id, vector) pairs (a re-crawl;
+    the whole-batch fingerprint only catches exact replays) would violate
+    it: the same id lands in two rep rows, explodes into two identical
+    (qid, id, score) rows, and occupies two top-k slots (ADVICE r14). So
+    merge="exact" (the default) drops those pairs before writing: one
+    NARROW index scan (ids + vn, never shuffled — the bounded batch key
+    set broadcasts into a semi-join and the resulting overlap set, ⊆
+    batch, broadcasts back into the anti-join). merge="none" restores the
+    pure O(batch) path — collapse, normalize, hash, ONE plain parquet
+    append, no index scan — under a HARD caller contract that the batch's
+    (id, vector) pairs are disjoint from everything already indexed
+    (streaming admits that dedup upstream satisfy this for free).
 
     Idempotent via the same bounded batch fingerprint as ivf_index_append;
-    the sidecar gains `appended_rows`/`appended_fps` bookkeeping keys that
-    the writer's staleness check ignores (subset compare), so a later
-    idempotent base-corpus write does NOT rebuild over the appends.
-    Returns {"skipped", "n_batch", "appended_reps"}.
+    the sidecar gains `appended_rows`/`appended_reps`/`appended_fps`
+    bookkeeping keys that the writer's staleness check ignores (subset
+    compare), so a later idempotent base-corpus write does NOT rebuild
+    over the appends. `appended_reps` is the accreted-occupancy gauge: rep
+    rows for the same vector accumulate across generations (probe-correct
+    but never compacted here); when it grows large relative to `n_rows`,
+    a rebuild via ``mllib_lsh_index_write(..., overwrite=True)`` IS the
+    compaction — it re-collapses to true rep grain.
+    Returns {"skipped", "n_batch", "appended_reps", "n_overlap"}.
     """
     import json
     import os
@@ -489,7 +531,7 @@ def mllib_lsh_index_append(
     planes, bucket_length = meta["planes"], float(meta["bucket_length"])
 
     base = ensure_parallelism(new_corpus).select(
-        F.col(id_col).cast("long").alias("_mid"), F.col(vec_col).alias("v")
+        _id_as_long(new_corpus, id_col).alias("_mid"), F.col(vec_col).alias("v")
     )
     probe = base.agg(
         F.count(F.lit(1)).alias("n"),
@@ -499,7 +541,7 @@ def mllib_lsh_index_append(
     n_batch, fp = int(probe["n"]), int(probe["fp"] or 0)
     batch_fp = f"{n_batch}:{fp}"
     if n_batch == 0 or batch_fp in meta.get("appended_fps", []):
-        return {"skipped": True, "n_batch": n_batch, "appended_reps": 0}
+        return {"skipped": True, "n_batch": n_batch, "appended_reps": 0, "n_overlap": 0}
 
     reps, _n, _did = _collapse_to_reps(
         new_corpus, id_col, vec_col,
@@ -507,20 +549,54 @@ def mllib_lsh_index_append(
         collapse=_should_collapse(n_batch, int(probe["d"])),
     )
     normalized = reps.select("ids", l2_normalize(F.col("v")).alias("vn"))
+    h_cols = [f"h{i}" for i in range(len(planes))]
     hashed = normalized.select(
         "ids",
         "vn",
         *[_brp_hash_expr("vn", p, bucket_length).alias(f"h{i}") for i, p in enumerate(planes)],
     )
-    hashed.write.mode("append").parquet(path)
-    appended_reps = reps.count()
+    n_overlap = 0
+    if merge == "exact":
+        spark = new_corpus.sparkSession
+        members = hashed.select(F.explode("ids").alias("_mid"), "vn", *h_cols)
+        batch_keys = members.select("_mid", "vn").distinct()
+        # vn is the SAME l2_normalize expression the index writer ran, so an
+        # identical input vector reproduces bit-identical doubles and the
+        # equality join is exact; the index side is scanned narrow and never
+        # shuffled (broadcast semi, then broadcast anti on the overlap set)
+        idx_members = spark.read.parquet(path).select(
+            F.explode("ids").alias("_mid"), "vn"
+        )
+        overlaps = (
+            idx_members.join(F.broadcast(batch_keys), ["_mid", "vn"], "left_semi")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_overlap = overlaps.count()
+        if n_overlap:
+            hashed = (
+                members.join(F.broadcast(overlaps), ["_mid", "vn"], "left_anti")
+                .groupBy("vn", *h_cols)
+                .agg(F.sort_array(F.collect_list("_mid")).alias("ids"))
+                .select("ids", "vn", *h_cols)
+                .localCheckpoint(eager=True)
+            )
+    elif merge != "none":
+        raise ValueError(f"merge must be 'exact' or 'none', got {merge!r}")
+    appended_reps = hashed.count()
+    if appended_reps:
+        hashed.write.mode("append").parquet(path)
     meta["appended_rows"] = meta.get("appended_rows", 0) + n_batch
+    meta["appended_reps"] = meta.get("appended_reps", 0) + appended_reps
     meta["appended_fps"] = (meta.get("appended_fps", []) + [batch_fp])[-64:]
     tmp = sidecar + f".tmp-{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, sidecar)  # atomic: loads see the old or new sidecar, whole
-    return {"skipped": False, "n_batch": n_batch, "appended_reps": appended_reps}
+    return {
+        "skipped": False, "n_batch": n_batch,
+        "appended_reps": appended_reps, "n_overlap": n_overlap,
+    }
 
 
 def mllib_lsh_topk_indexed(
@@ -603,7 +679,7 @@ def mllib_lsh_topk_indexed(
     if "ids" not in indexed_corpus.columns:
         rest = [c for c in indexed_corpus.columns if c != id_col]
         indexed_corpus = indexed_corpus.select(
-            F.array(F.col(id_col).cast("long")).alias("ids"), *rest
+            F.array(_id_as_long(indexed_corpus, id_col)).alias("ids"), *rest
         )
     rep_scored = (
         ensure_parallelism(indexed_corpus.where(prune))
@@ -1060,12 +1136,13 @@ def ivf_index_append(
         # (lineage truncation), then dynamic overwrite replaces ONLY the
         # affected cell partitions
         rewritten = rewritten.localCheckpoint(eager=True)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            rewritten.write.mode("overwrite").partitionBy("cell").parquet(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-write option, NOT a session-conf flip (ADVICE r14): mutating
+        # spark.sql.sources.partitionOverwriteMode would leak dynamic
+        # semantics into any concurrent overwrite in the same session, and
+        # the restore races if two appends interleave
+        rewritten.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell").parquet(path)
     hits.unpersist()
     fresh_assigned.unpersist()
 

@@ -892,3 +892,85 @@ def test_mllib_lsh_index_append_probe_equals_rebuild(spark, sf_dir, tmp_path):
     S.mllib_lsh_index_write(base, path, planes, id_col="vec_id")
     still, _, _ = S.mllib_lsh_index_load(spark, path)
     assert still.count() == got_idx.count()
+
+
+def test_mllib_lsh_index_append_overlap_merge(spark, sf_dir, tmp_path):
+    """ADVICE r14: a batch that PARTIALLY re-ingests already-indexed
+    (id, vector) pairs (a re-crawl — the whole-batch fingerprint only
+    catches exact replays) must not duplicate an id across rep rows, or
+    the same id occupies two top-k slots after explode. merge="exact"
+    (default) anti-joins those pairs out: the appended index probes
+    byte-identical to a rebuild over the SET-union corpus, n_overlap
+    reports what was dropped, and the sidecar's appended_reps occupancy
+    gauge tracks accretion."""
+    import json
+
+    from mcp_synaptic_spark.operators import similarity as S
+
+    with open("/root/repo/.brp_cache/brp_seed42_d64_t3.json") as f:
+        planes = json.load(f)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    fresh = emb.where(F.col("vec_id") % 5 == 0)
+    # re-crawl shape: the batch carries fresh vectors PLUS exact replays of
+    # already-indexed (id, vector) pairs
+    replayed = base.limit(20)
+    batch = fresh.unionByName(replayed)
+
+    path = str(tmp_path / "brp_overlap")
+    S.mllib_lsh_index_write(base, path, planes, id_col="vec_id")
+    info = S.mllib_lsh_index_append(batch, path, id_col="vec_id")
+    assert info["skipped"] is False and info["n_overlap"] == 20
+
+    # no id may appear in more than one rep row's member set
+    idx, got_planes, bl = S.mllib_lsh_index_load(spark, path)
+    dupes = (
+        idx.select(F.explode("ids").alias("id"))
+        .groupBy("id").count().where(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+
+    # probe equals a rebuild over the set-union corpus
+    rebuilt_path = str(tmp_path / "brp_overlap_rebuilt")
+    S.mllib_lsh_index_write(
+        base.unionByName(fresh), rebuilt_path, planes, id_col="vec_id"
+    )
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    want_idx, _, _ = S.mllib_lsh_index_load(spark, rebuilt_path)
+    got = sorted(map(tuple, S.mllib_lsh_topk_indexed(
+        queries, idx, got_planes, k=5, bucket_length=bl, id_col="vec_id"
+    ).collect()))
+    want = sorted(map(tuple, S.mllib_lsh_topk_indexed(
+        queries, want_idx, got_planes, k=5, bucket_length=bl, id_col="vec_id"
+    ).collect()))
+    assert got == want and got
+
+    # occupancy gauge: the sidecar records cumulative appended rep rows
+    with open(f"{path}/_planes.json") as f:
+        meta = json.load(f)
+    assert meta["appended_reps"] == info["appended_reps"] > 0
+
+    # merge="none" is the O(batch) fast path under a disjointness contract:
+    # it performs no index scan and reports no overlap
+    path2 = str(tmp_path / "brp_none")
+    S.mllib_lsh_index_write(base, path2, planes, id_col="vec_id")
+    info2 = S.mllib_lsh_index_append(fresh, path2, id_col="vec_id", merge="none")
+    assert info2["n_overlap"] == 0 and info2["appended_reps"] > 0
+
+
+def test_ann_id_dtype_validation(spark):
+    """ADVICE r14: a non-integral id column must raise loudly instead of
+    silently cast("long")-ing to NULL and collapsing every row onto one
+    null rep."""
+    import pytest
+
+    from mcp_synaptic_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [0.0, 1.0])], "id string, v array<double>"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        S._collapse_to_reps(df, "id", "v")
