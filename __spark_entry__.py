@@ -2419,6 +2419,36 @@ def _q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 index growth (VERDICT r14 next-round #5 — the third
+    and last persisted index loses its rebuild-on-growth): the base index
+    is built over the 80% of documents with doc_id % 5 != 0, the held-out
+    20% is appended (operators/bm25_index.py:bm25_index_append — additive
+    postings, exact incremental n_docs/sum_dl/avgdl, O(batch tokens), no
+    base re-scan), then the SAME probe as bm25_search_indexed runs against
+    the appended index. The append is probe-byte-identical to a full
+    rebuild over base ∪ batch (test-pinned), so the oracle is the SAME SQL
+    as bm25_search over the full documents table. Idempotent across
+    processes at both stages (write staleness guard + append batch
+    fingerprint). Reference parity: incremental add_document
+    (rag/database/documents.py:22-64)."""
+    from mcp_synaptic_spark.operators.bm25_index import (
+        bm25_index_append,
+        bm25_index_write,
+        bm25_search_indexed,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        _BM25_CACHE_ROOT, sf_dir.strip("/").replace("/", "_") + "_append"
+    )
+    bm25_index_write(docs.where(F.col("doc_id") % 5 != 0), path)
+    bm25_index_append(docs.where(F.col("doc_id") % 5 == 0), path)
+    return bm25_search_indexed(
+        spark, path, " ".join(_BM25_TERMS), k=10, k1=_BM25_K1, b=_BM25_B
+    )
+
+
 def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (retrieval.py:
     hybrid_search_rrf, Cormack et al. SIGIR'09) — new r8: bm25_search's
@@ -2604,7 +2634,64 @@ def _q_ann_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mk_oracle_ann_mllib_lsh() -> str | None:
+def _mllib_lsh_append_index(spark: SparkSession, sf_dir: str):
+    """Build-once APPENDED BRP-LSH index per sf_dir (the ivf_append
+    treatment): the base index hashes the 80% of embeddings with
+    vec_id % 5 != 0 from the committed plane fixture, then the held-out
+    20% is appended (similarity.py:mllib_lsh_index_append) — O(batch), no
+    rewrite; the default merge="exact" drops already-indexed (id, vector)
+    pairs, a no-op here because the slices are disjoint. Idempotent across
+    processes at BOTH stages: the base write's staleness manifest uses a
+    subset compare (append bookkeeping keys are not staleness) and the
+    append's batch fingerprint makes re-appends a metadata no-op."""
+    import json as _json
+
+    from mcp_synaptic_spark.operators.similarity import (
+        mllib_lsh_index_append,
+        mllib_lsh_index_load,
+        mllib_lsh_index_write,
+    )
+
+    with open(_BRP_FIXTURE) as f:
+        planes = _json.load(f)
+    path = os.path.join(
+        "/root/repo/.brp_cache",
+        "index_" + sf_dir.strip("/").replace("/", "_") + "_append",
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    mllib_lsh_index_write(
+        emb.where(F.col("vec_id") % 5 != 0), path, planes, id_col="vec_id"
+    )
+    mllib_lsh_index_append(
+        emb.where(F.col("vec_id") % 5 == 0), path, id_col="vec_id"
+    )
+    return mllib_lsh_index_load(spark, path)
+
+
+def _q_ann_brp_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BRP-LSH index growth (VERDICT r14 next-round #2,
+    PLANS note 140's named registry row): append a held-out slice into the
+    persisted hashed corpus — no re-hash of the base, no rewrite — then
+    probe it. Every probed qid is an APPENDED vector (vec_id % 100 = 0 ⊂
+    vec_id % 5 = 0), so the graded rows prove appended vectors are findable
+    and rank identically to a native full build: the BRP hash is a pure
+    function of (vector, planes, bucket_length), so the oracle is the SAME
+    replayed-hash SQL as ann_mllib_lsh over the union corpus (base ∪ batch
+    = the full embeddings table). Mirrors the reference's incremental
+    add_document (rag/database/documents.py:22-64)."""
+    from mcp_synaptic_spark.operators.similarity import mllib_lsh_topk_indexed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    indexed, planes, bl = _mllib_lsh_append_index(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return mllib_lsh_topk_indexed(
+        queries, indexed, planes, k=5, bucket_length=bl, id_col="vec_id"
+    )
+
+
+def _mk_oracle_ann_mllib_lsh(qid_mod: int = 500) -> str | None:
     """SQL twin of mllib_lsh_topk from the committed BRP plane fixture.
 
     Replays, with the fixture's unit vectors as literals, exactly what the
@@ -2647,7 +2734,7 @@ base AS (
 hashed AS (
   SELECT vec_id, vn, {hashes} FROM base
 ),
-q AS (SELECT vec_id AS qid, vn AS qn, {qh} FROM hashed WHERE vec_id % 500 = 0),
+q AS (SELECT vec_id AS qid, vn AS qn, {qh} FROM hashed WHERE vec_id % {qid_mod} = 0),
 cand AS (
   SELECT DISTINCT q.qid, c.vec_id
   FROM q JOIN hashed c ON ({match})
@@ -2675,6 +2762,9 @@ SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 5
 
 
 _ORACLE_ANN_MLLIB_LSH = _mk_oracle_ann_mllib_lsh()
+# same replayed-hash SQL over the full table: the appended index is
+# probe-equivalent to a full build over base ∪ batch (= all embeddings)
+_ORACLE_ANN_BRP_APPEND = _mk_oracle_ann_mllib_lsh(qid_mod=100)
 
 
 _ORACLE_DEDUP_EXACT = """
@@ -4547,32 +4637,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     through r13 is in the git log of this docstring; the evidence ledger
     `EVIDENCE.json` + tools/evidence.py carry the machine-checked state.)
 
-    Round-14 window (this file): the VERDICT-r13-ordered oldest-first
-    refresh — all 18 remaining r10-stamped memory/TTL/screen rows (files
-    bit-unchanged since r10 per the ledger; no r10 stamp survives r14).
-    Then every query whose operator files r14 touches: similarity.py (the
-    five ADVICE fixes, the layout-independent sampled fit, and the new
-    ivf_index_append) stales the ann_*/dedup_semantic/dedup_embedding*/
-    decontaminate_semantic rows; retention.py (the rolling-AU sketch tier)
-    stales the three events_retention*/active_users rows; and dedup.py —
-    a REAL BUG found by the r14 scale smoke: _exact_collapse/_vector_
-    collapse emitted grp_n as int32 on the gate-skipped branch but int64 on
-    the fired branch, so a persisted dedup index built with duplication and
-    then appended with (near-dup-free) admitted batches mixed parquet types
-    in buckets/ and the next probe read failed (this was r13's "transient"
-    streaming-quality failure — deterministic after all). The two-line cast
-    fix stales the whole dedup/clustering family, which therefore takes 16
-    window slots for its re-grade. Slot for the round's one tail-born
-    query: ann_ivf_append (first grade). The 3 remaining discretionary
-    slots take the retrieval heads of the r11 cohort (assemble_context,
-    bm25_search, bm25_search_indexed); the other 16 r11 rows plus
-    events_json/props_keys lead the r15 refresh queue — the bug fix
-    displaced the full r11 rotation this round, and the ledger records
-    every one of those rows as bit-unchanged since its green grade.
+    Round-15 window (this file): VERDICT r14 next-round #2 verbatim — the
+    new `ann_brp_append` oracled row (PLANS note 140 named it; the operator
+    itself landed in r14 unit/scale-pinned only) plus the full 18-row r11
+    cohort, now 4 rounds stale and rotated oldest-first. Then every query
+    whose operator files r15 touches: similarity.py (ADVICE r14's id-dtype
+    validation, the BRP append exact-merge default, and the per-write
+    partitionOverwriteMode fix) stales the 10 SIM-backed rows; state/txn.py
+    (range-partitioned txn data dirs, VERDICT r14 #4) stales the 3 txn rows
+    + dedup_incremental; bm25_index.py (incremental append, VERDICT r14 #5)
+    stales bm25_search_indexed, and the new bm25_index_append row takes its
+    first grade beside it. The 15 remaining discretionary slots take the
+    oldest-first r12 refresh (alphabetical head of the 28-row r12 cohort);
+    the other 13 r12 rows lead the r16 queue. The HLL AU-sketch
+    registry row (VERDICT r14 #7) found no slot this round — the sketch
+    stays covered by its exact-twin tolerance audits at 10×/100×.
     """
     return {
-        # --- r14 graded window (50): see docstring for the rotation logic
-        # 1) oldest-first r10 ledger refresh: the full memory/TTL/screen cohort
+        # --- r15 graded window (50): see docstring for the rotation logic
+        # 1) first driver grade: the BRP index append (VERDICT r14 #2)
+        "ann_brp_append": _q_ann_brp_append,
+        # 2) oldest-first refresh: the full 18-row r11 cohort (4 rounds
+        # stale; VERDICT r14 #2 ordered exactly this rotation)
+        "corpus_drift": _q_corpus_drift,
+        "corpus_drift_lang": _q_corpus_drift_lang,
+        "doc_change_feed": _q_doc_change_feed,
+        "doc_summary": _q_doc_summary,
+        "events_json": _q_events_json,
+        "fingerprint": _q_fingerprint,
+        "hybrid_search": _q_hybrid_search,
+        "lang_distribution": _q_lang_distribution,
+        "lang_id": _q_lang_id,
+        "max_score": _q_max_score,
+        "memory_report": _q_memory_report,
+        "orders_page": _q_orders_page,
+        "props_keys": _q_props_keys,
+        "quality_gate": _q_quality_gate,
+        "quality_score": _q_quality_score,
+        "repetition_stats": _q_repetition_stats,
+        "search_by_metadata": _q_search_by_metadata,
+        "token_stats": _q_token_stats,
+        # 3) r15-touched: operators/similarity.py (the three ADVICE r14
+        # fixes: id-dtype validation, BRP append overlap merge, per-write
+        # partitionOverwriteMode) stales the SIM-backed rows
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_mllib_lsh": _q_ann_mllib_lsh,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_append": _q_ann_ivf_append,
+        "ann_quantized_topk": _q_ann_quantized_topk,
+        "ann_ivf_sq8_topk": _q_ann_ivf_sq8_topk,
+        "dedup_semantic": _q_dedup_semantic,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "decontaminate_semantic": _q_decontaminate_semantic,
+        # 4) r15-touched: state/txn.py (range-partitioned txn data dirs —
+        # VERDICT r14 #4) stales the txn-backed rows
+        "memory_upsert_txn": _q_memory_upsert_txn,
+        "memory_upsert_ckpt": _q_memory_upsert_ckpt,
+        "memory_snapshot_read": _q_memory_snapshot_read,
+        "dedup_incremental": _q_dedup_incremental,
+        # 5) r15-touched: operators/bm25_index.py (incremental append —
+        # VERDICT r14 #5) + the new append row's first grade
+        "bm25_search_indexed": _q_bm25_search_indexed,
+        "bm25_index_append": _q_bm25_index_append,
+        # 6) remaining slots: oldest-first r12 refresh (alphabetical head;
+        # the 12 r12 rows that don't fit lead the r16 queue)
+        "chunk_documents": _q_chunk_documents,
+        "corpus_summary": _q_corpus_summary,
+        "decontaminate": _q_decontaminate,
+        "dedup_within_doc": _q_dedup_within_doc,
+        "embed_texts": _q_embed_texts,
+        "events_anomaly": _q_events_anomaly,
+        "events_asof_join": _q_events_asof_join,
+        "events_funnel": _q_events_funnel,
+        "events_hourly": _q_events_hourly,
+        "events_range_join": _q_events_range_join,
+        "events_sessions": _q_events_sessions,
+        "events_sliding": _q_events_sliding,
+        "frame_sample": _q_frame_sample,
+        "lm_perplexity": _q_lm_perplexity,
+        "lm_ppl_buckets": _q_lm_ppl_buckets,
+        # ---- entry 50 ends here ------------------------------------------
+        # tail: every entry below is green in CORRECTNESS_r12/r13/r14 with
+        # operator files unchanged since (EVIDENCE.json + tools/evidence.py
+        # enforce it)
+        "memory_access_replay": _q_memory_access_replay,
         "parse_ttl": _q_parse_ttl,
         "time_until_expiry": _q_time_until_expiry,
         "filter_tags_created": _q_filter_tags_created,
@@ -4591,25 +4740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_screen": _q_embedding_screen,
         "dims_profile": _q_dims_profile,
         "text_screen": _q_text_screen,
-        # 2) r14-touched: operators/similarity.py (ADVICE fixes, layout-
-        # independent sampled fit, ivf_index_append) — the SIM-backed rows
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_mllib_lsh": _q_ann_mllib_lsh,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_quantized_topk": _q_ann_quantized_topk,
-        "ann_ivf_sq8_topk": _q_ann_ivf_sq8_topk,
-        "dedup_semantic": _q_dedup_semantic,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "decontaminate_semantic": _q_decontaminate_semantic,
-        # 3) first driver grade: the incremental IVF index append (r13 #3)
-        "ann_ivf_append": _q_ann_ivf_append,
-        # 4) r14-touched: operators/retention.py (rolling-AU sketch tier)
         "events_retention": _q_events_retention,
         "events_retention_weekly": _q_events_retention_weekly,
         "events_active_users": _q_events_active_users,
-        # 5) r14-touched: operators/dedup.py (the grp_n int32/int64 mixed-
-        # parquet fix — see docstring) stales the dedup/clustering family
         "dedup_exact": _q_dedup_exact,
         "dedup_keep_first": _q_dedup_keep_first,
         "dedup_minhash": _q_dedup_minhash,
@@ -4618,7 +4751,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_capped": _q_dedup_simhash_capped,
         "dedup_substring": _q_dedup_substring,
         "dedup_substring_apply": _q_dedup_substring_apply,
-        "dedup_incremental": _q_dedup_incremental,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_twostar": _q_dedup_clusters_twostar,
@@ -4626,32 +4758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply_fused": _q_dedup_apply_fused,
         "corpus_prep_pipeline": _q_corpus_prep_pipeline,
         "quality_admit": _q_quality_admit,
-        # 6) discretionary: the retrieval heads of the r11 cohort (the layout
-        # arithmetic the bug fix forced — see docstring)
         "assemble_context": _q_assemble_context,
         "bm25_search": _q_bm25_search,
-        "bm25_search_indexed": _q_bm25_search_indexed,
-        # ---- entry 50 ends here ------------------------------------------
-        # tail: every entry below is green in CORRECTNESS_r11/r12/r13 with
-        # operator files unchanged since (EVIDENCE.json + tools/evidence.py
-        # enforce it; the 16 remaining r11 rows + events_json/props_keys
-        # lead the r15 refresh queue)
-        "corpus_drift": _q_corpus_drift,
-        "corpus_drift_lang": _q_corpus_drift_lang,
-        "doc_change_feed": _q_doc_change_feed,
-        "doc_summary": _q_doc_summary,
-        "fingerprint": _q_fingerprint,
-        "hybrid_search": _q_hybrid_search,
-        "lang_distribution": _q_lang_distribution,
-        "lang_id": _q_lang_id,
-        "max_score": _q_max_score,
-        "memory_report": _q_memory_report,
-        "orders_page": _q_orders_page,
-        "quality_gate": _q_quality_gate,
-        "quality_score": _q_quality_score,
-        "repetition_stats": _q_repetition_stats,
-        "search_by_metadata": _q_search_by_metadata,
-        "token_stats": _q_token_stats,
         "rag_search": _q_rag_search,
         "rag_search_filtered": _q_rag_search_filtered,
         "find_similar": _q_find_similar,
@@ -4672,41 +4780,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_update": _q_doc_update,
         "doc_delete": _q_doc_delete,
         "doc_stats": _q_doc_stats,
-        "memory_upsert_txn": _q_memory_upsert_txn,
-        "memory_upsert_ckpt": _q_memory_upsert_ckpt,
-        "memory_snapshot_read": _q_memory_snapshot_read,
         "dedup_editdist": _q_dedup_editdist,
         "dedup_editdist_segment": _q_dedup_editdist_segment,
-        "lm_perplexity": _q_lm_perplexity,
-        "lm_ppl_buckets": _q_lm_ppl_buckets,
-        "decontaminate": _q_decontaminate,
         "train_test_split": _q_train_test_split,
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
-        "dedup_within_doc": _q_dedup_within_doc,
         "source_cap": _q_source_cap,
         "source_mix": _q_source_mix,
         "pack_sequences": _q_pack_sequences,
-        "chunk_documents": _q_chunk_documents,
         "token_budget_select": _q_token_budget_select,
-        "corpus_summary": _q_corpus_summary,
         "tfidf_terms": _q_tfidf_terms,
         "source_overlap": _q_source_overlap,
-        "embed_texts": _q_embed_texts,
         "ts_parse_multi": _q_ts_parse_multi,
-        "memory_access_replay": _q_memory_access_replay,
         "sanitize": _q_sanitize,
-        "events_hourly": _q_events_hourly,
-        "events_sliding": _q_events_sliding,
-        "events_sessions": _q_events_sessions,
-        "frame_sample": _q_frame_sample,
         "multimodal_features": _q_multimodal_features,
-        "events_asof_join": _q_events_asof_join,
-        "events_range_join": _q_events_range_join,
-        "events_funnel": _q_events_funnel,
-        "events_anomaly": _q_events_anomaly,
-        "events_json": _q_events_json,
-        "props_keys": _q_props_keys,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -4792,6 +4879,10 @@ def oracle_sql() -> dict[str, str]:
         "time_until_expiry": _ORACLE_TIME_UNTIL_EXPIRY,
         "ts_parse_multi": _ORACLE_TS_PARSE_MULTI,
         **({"ann_mllib_lsh": _ORACLE_ANN_MLLIB_LSH} if _ORACLE_ANN_MLLIB_LSH else {}),
+        **({"ann_brp_append": _ORACLE_ANN_BRP_APPEND} if _ORACLE_ANN_BRP_APPEND else {}),
+        # appended index probes byte-identical to a full rebuild over
+        # base ∪ batch = the full documents table → same SQL as bm25_search
+        "bm25_index_append": _ORACLE_BM25,
         "multimodal_features": _ORACLE_MULTIMODAL_FEATURES,
         "max_score": _ORACLE_MAX_SCORE,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,

@@ -25,48 +25,37 @@ def test_every_query_has_an_oracle():
 
 
 def test_graded_window_holds_the_round_targets():
-    """The driver grades the FIRST 50 dict entries only. The r14 window must
-    hold (a) the full r10-stamped cohort — VERDICT r13 next-round #1's done
-    criterion is "no r10 stamp survives r14", (b) every query whose
-    operator files r14 touches — similarity.py (the five ADVICE fixes, the
-    layout-independent sampled fit, ivf_index_append), retention.py (the
-    rolling-AU sketch tier), and dedup.py (the grp_n int32/int64
-    mixed-parquet-type fix, which stales the whole dedup/clustering
-    family), (c) the round's tail-born first grade — ann_ivf_append, and
-    (d) the retrieval heads of the r11 cohort in the 3 discretionary slots
-    the bug fix left (the other 16 r11 rows + events_json/props_keys lead
-    the r15 refresh queue)."""
+    """The driver grades the FIRST 50 dict entries only. The r15 window must
+    hold (a) the round's tail-born first grades — ann_brp_append (VERDICT
+    r14 next-round #2, PLANS note 140) and bm25_index_append (next-round
+    #5), (b) the full 18-row r11-stamped cohort, 4 rounds stale and ordered
+    rotated by VERDICT r14 #2, (c) every query whose operator files r15
+    touches — similarity.py (ADVICE r14 fixes), state/txn.py (range-
+    partitioned data dirs), bm25_index.py (incremental append), and (d)
+    the oldest-first r12 refresh in the remaining discretionary slots."""
     names = list(entry.queries())
     assert len(names) >= 96
     window = set(names[:50])
-    pending_first_grade = ("ann_ivf_append",)
-    r10_refresh = (
-        "parse_ttl", "time_until_expiry", "filter_tags_created",
-        "memory_list", "memory_list_expired", "memory_list_by_keys",
-        "memory_stats", "memory_stats_by_type", "cleanup_expired_count",
-        "memories_live_count", "memory_upsert", "memory_touch",
-        "memory_delete", "memory_exists", "memory_update",
-        "embedding_screen", "dims_profile", "text_screen",
+    pending_first_grade = ("ann_brp_append", "bm25_index_append")
+    r11_refresh = (
+        "corpus_drift", "corpus_drift_lang", "doc_change_feed",
+        "doc_summary", "events_json", "fingerprint", "hybrid_search",
+        "lang_distribution", "lang_id", "max_score", "memory_report",
+        "orders_page", "props_keys", "quality_gate", "quality_score",
+        "repetition_stats", "search_by_metadata", "token_stats",
     )
-    r14_touched = (
+    r15_touched = (
         # operators/similarity.py
-        "ann_lsh_topk", "ann_mllib_lsh", "ann_ivf_topk",
+        "ann_lsh_topk", "ann_mllib_lsh", "ann_ivf_topk", "ann_ivf_append",
         "ann_quantized_topk", "ann_ivf_sq8_topk", "dedup_semantic",
         "dedup_embedding", "dedup_embedding_lsh", "decontaminate_semantic",
-        # operators/retention.py
-        "events_retention", "events_retention_weekly", "events_active_users",
-        # operators/dedup.py (grp_n type fix)
-        "dedup_exact", "dedup_keep_first", "dedup_minhash",
-        "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_capped",
-        "dedup_substring", "dedup_substring_apply", "dedup_incremental",
-        "dedup_rate_by_source", "dedup_clusters", "dedup_clusters_twostar",
-        "dedup_apply_clusters", "dedup_apply_fused", "corpus_prep_pipeline",
-        "quality_admit",
+        # state/txn.py
+        "memory_upsert_txn", "memory_upsert_ckpt", "memory_snapshot_read",
+        "dedup_incremental",
+        # operators/bm25_index.py
+        "bm25_search_indexed",
     )
-    r11_refresh = (
-        "assemble_context", "bm25_search", "bm25_search_indexed",
-    )
-    for must_grade in pending_first_grade + r10_refresh + r14_touched + r11_refresh:
+    for must_grade in pending_first_grade + r11_refresh + r15_touched:
         assert must_grade in window, f"{must_grade} rotated out of the graded window"
 
 

@@ -92,6 +92,7 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "doc_summary": RETR,
     "bm25_search": RETR,
     "bm25_search_indexed": (f"{_PKG}/operators/bm25_index.py",),
+    "bm25_index_append": (f"{_PKG}/operators/bm25_index.py",),
     "hybrid_search": RETR + RAG,
     "pairwise_similarity": RAG,
     "rag_search": RAG,
@@ -114,6 +115,7 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "dedup_incremental": DEDUP + (f"{_PKG}/state/txn.py",),
     "ann_lsh_topk": SIM,
     "ann_mllib_lsh": SIM,
+    "ann_brp_append": SIM,
     "ann_ivf_topk": SIM,
     "ann_ivf_append": SIM,
     "dedup_semantic": SIM + DEDUP,
