@@ -59,6 +59,12 @@ from pyspark.sql.types import TimestampNTZType, TimestampType
 
 _LOG_DIR = "_txn"
 
+#: copy-on-write rewrite quantum: tables are range-split into directories of
+#: ~this many rows at create()/compact() so upserts rewrite key-range slices,
+#: not the table (note 136: create() wrote ONE dir, so every upsert batch
+#: overlapped it and rewrote all 10M rows — 4 full rewrites per bench arm)
+_TARGET_DIR_ROWS = 1_000_000
+
 
 def _commit_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, _LOG_DIR, f"{version:06d}.json")
@@ -257,6 +263,97 @@ class TxnTable:
             }
         return name, stats
 
+    def _write_range_dirs(self, df: DataFrame, n_dirs: int) -> list[dict]:
+        """Write ``df`` as ``n_dirs`` RANGE-PARTITIONED data directories —
+        the structural fix for note 136's full-table copy-on-write
+        (VERDICT r14 next-round #4, the Delta file-pruning shape): one
+        container ``d-<uuid>`` holding ``_rb=K`` subdirectories, each a
+        contiguous key range, each committed as its OWN live entry with its
+        own key-range stats. A later upsert whose batch spans a narrow key
+        range then overlaps (and rewrites) only the matching range dirs
+        instead of one table-spanning directory.
+
+        One shuffle (repartitionByRange on the key — AQE never coalesces an
+        explicit partition count, so spark_partition_id() is the stable
+        range ordinal), one write, and ONE read-back agg grouped by ``_rb``
+        for every subdirectory's stats. The ``_rb`` column lives only in
+        the directory LAYOUT (partitionBy), never in the parquet files, so
+        reading a leaf subdir directly yields the plain table schema.
+        Returns the commit ``live`` entries (possibly fewer than n_dirs if
+        range partitions came out empty)."""
+        tagged = df.repartitionByRange(n_dirs, F.col(self.key_col)).withColumn(
+            "_rb", F.spark_partition_id()
+        )
+        return self._write_tagged_dirs(tagged, df)
+
+    def _write_tagged_dirs(self, tagged: DataFrame, untagged: DataFrame) -> list[dict]:
+        """Write an ``_rb``-tagged frame as one container of per-tag
+        subdirectory entries (see _write_range_dirs; ``untagged`` is the
+        schema-bearing fallback frame for the all-empty case). The tag
+        column lands in the directory layout only, never the files."""
+        name = f"d-{uuid.uuid4().hex}"
+        container = os.path.join(self.path, name)
+        tagged.write.partitionBy("_rb").parquet(container)
+        if not any(e.startswith("_rb=") for e in os.listdir(container)):
+            # empty frame: partitionBy produced no range subdirs — fall back
+            # to one flat (schema-bearing) dir so read() can still bind
+            import shutil
+
+            shutil.rmtree(container, ignore_errors=True)
+            flat_name, flat_stats = self._write_data_dir(untagged)
+            return [{"dir": flat_name, **flat_stats}]
+        written = self.spark.read.parquet(container)  # _rb inferred from layout
+        aggs = [
+            F.min(self.key_col).alias("lo"),
+            F.max(self.key_col).alias("hi"),
+            F.count("*").alias("n"),
+        ]
+        for c in self.stat_cols:
+            col = F.col(c)
+            dt = written.schema[c].dataType
+            if isinstance(dt, TimestampNTZType):
+                col = F.unix_micros(col.cast("timestamp"))
+            elif isinstance(dt, TimestampType):
+                col = F.unix_micros(col)
+            aggs.append(F.min(col).alias(f"_lo_{c}"))
+            aggs.append(F.max(col).alias(f"_hi_{c}"))
+        rows = written.groupBy("_rb").agg(*aggs).collect()
+        entries = []
+        for row in sorted(rows, key=lambda r: r["_rb"]):
+            stats = {"lo": _portable(row["lo"]), "hi": _portable(row["hi"]), "n": row["n"]}
+            if self.stat_cols:
+                stats["stats"] = {
+                    c: {
+                        "lo": _portable_stat(row[f"_lo_{c}"]),
+                        "hi": _portable_stat(row[f"_hi_{c}"]),
+                    }
+                    for c in self.stat_cols
+                }
+            entries.append({"dir": f"{name}/_rb={row['_rb']}", **stats})
+        return entries
+
+    @staticmethod
+    def _disjoint_ranges(dirs: list[dict]) -> bool:
+        """True when every entry has a driver-comparable key range and the
+        ranges are pairwise disjoint — the precondition for per-directory
+        slice rewrites (a key must be routable to exactly ONE directory).
+        put_if_absent appends arbitrary-range dirs, so the layout can lose
+        this property between compactions; callers fall back to the
+        merge-into-one path then."""
+        if any(d.get("lo") is None or d.get("hi") is None for d in dirs):
+            return False
+        ordered = sorted(dirs, key=lambda d: d["lo"])
+        return all(
+            ordered[i]["hi"] < ordered[i + 1]["lo"] for i in range(len(ordered) - 1)
+        )
+
+    @staticmethod
+    def _auto_n_dirs(n_rows: int) -> int:
+        """Range-dir count from table size: ~1M rows per directory (the
+        copy-on-write rewrite quantum), capped so the per-commit stats list
+        stays a trivially small JSON."""
+        return max(1, min(256, (n_rows + _TARGET_DIR_ROWS - 1) // _TARGET_DIR_ROWS))
+
     def _read_dirs(self, dirs: list[str]) -> DataFrame:
         return self.spark.read.parquet(*[os.path.join(self.path, d) for d in dirs])
 
@@ -281,12 +378,24 @@ class TxnTable:
         *,
         stat_cols: tuple[str, ...] = (),
         checkpoint_interval: int = 10,
+        n_dirs: int | None = None,
     ) -> "TxnTable":
-        """Create the table as version 0. Fails if version 0 already exists."""
+        """Create the table as version 0. Fails if version 0 already exists.
+
+        ``n_dirs=None`` (default) sizes the range-directory count from the
+        row count (~1M rows per dir — see _write_range_dirs); pass an
+        explicit count to override, or 1 to force the legacy single-dir
+        layout. The sizing count is one extra job at create time — ETL,
+        paid once."""
         t = cls(spark, path, key_col, stat_cols=stat_cols, checkpoint_interval=checkpoint_interval)
         os.makedirs(path, exist_ok=True)
-        name, stats = t._write_data_dir(df)
-        if not t._try_publish(0, {"version": 0, "op": "create", "live": [{"dir": name, **stats}]}):
+        k = t._auto_n_dirs(df.count()) if n_dirs is None else max(1, n_dirs)
+        if k == 1:
+            name, stats = t._write_data_dir(df)
+            live = [{"dir": name, **stats}]
+        else:
+            live = t._write_range_dirs(df, k)
+        if not t._try_publish(0, {"version": 0, "op": "create", "live": live}):
             raise FileExistsError(f"table already created at {path}")
         return t
 
@@ -297,8 +406,18 @@ class TxnTable:
         Copy-on-write: only directories whose key RANGE overlaps the update
         batch are rewritten (merged with the updates via the same
         union+window dedupe the pure operator uses); everything else carries
-        over by reference. Optimistic retry on version conflict — the retry
-        recomputes against the winner's live set, so no update is lost.
+        over by reference. When the hit directories' ranges are pairwise
+        DISJOINT (the _write_range_dirs layout), each is rewritten as its
+        own slice — updates route to the directory owning their key range
+        (gap/out-of-range keys, provably absent from every live dir, go to
+        the nearest range) — so the range structure SURVIVES the upsert and
+        the next narrow batch still prunes (note 136: one merged dir would
+        re-coalesce the table after the first wide batch and every later
+        upsert would rewrite it whole). Overlapping-range layouts (e.g.
+        after put_if_absent appends) fall back to merge-into-one; compact()
+        restores the range layout. Optimistic retry on version conflict —
+        the retry recomputes against the winner's live set, so no update is
+        lost.
         """
         from ..operators.memory import upsert_by_key
 
@@ -313,13 +432,36 @@ class TxnTable:
             live = self._read_commit(v)["live"]
             hit = [d for d in live if _overlaps(d, u_lo, u_hi)]
             carry = [d for d in live if d not in hit]
-            base = self._read_dirs([d["dir"] for d in hit]) if hit else updates.limit(0)
-            merged = upsert_by_key(base, updates)
-            name, stats = self._write_data_dir(merged)
+            if len(hit) > 1 and self._disjoint_ranges(hit):
+                ordered = sorted(hit, key=lambda d: d["lo"])
+                # rb = index of the greatest range-lo ≤ key (clamped to 0):
+                # an existing key lands on its owning dir exactly (disjoint
+                # sorted ranges), a gap key on the nearest lower range —
+                # extending that dir's range without crossing the next lo,
+                # so disjointness is preserved for the NEXT upsert too
+                rb = F.lit(0)
+                for i, d in enumerate(ordered[1:], start=1):
+                    rb = F.when(
+                        F.col(self.key_col) >= F.lit(d["lo"]), F.lit(i)
+                    ).otherwise(rb)
+                base = None
+                for i, d in enumerate(ordered):
+                    part = self._read_dirs([d["dir"]]).withColumn("_rb", F.lit(i))
+                    base = part if base is None else base.unionByName(part)
+                merged = upsert_by_key(base, updates.withColumn("_rb", rb))
+                entries = self._write_tagged_dirs(
+                    merged.repartition(len(ordered), F.col("_rb")),
+                    merged.drop("_rb"),
+                )
+            else:
+                base = self._read_dirs([d["dir"] for d in hit]) if hit else updates.limit(0)
+                merged = upsert_by_key(base, updates)
+                name, stats = self._write_data_dir(merged)
+                entries = [{"dir": name, **stats}]
             commit = {
                 "version": v + 1,
                 "op": "upsert",
-                "live": carry + [{"dir": name, **stats}],
+                "live": carry + entries,
             }
             if self._try_publish(v + 1, commit):
                 return v + 1
@@ -421,13 +563,31 @@ class TxnTable:
                 return v, 0
             carry = [d for d in live if d not in hit]
             hit_df = self._read_dirs([d["dir"] for d in hit])
-            name, stats = self._write_data_dir(hit_df.where(~cond))
+            if len(hit) > 1:
+                # per-dir rewrite (no key routing needed — a delete never
+                # moves rows between dirs), so the range layout survives
+                # the sweep instead of coalescing into one table-spanning
+                # dir (note 136); empty survivors simply drop out of the
+                # container, and the all-empty case falls back to one flat
+                # schema-bearing dir inside _write_tagged_dirs
+                base = None
+                for i, d in enumerate(hit):
+                    part = self._read_dirs([d["dir"]]).withColumn("_rb", F.lit(i))
+                    base = part if base is None else base.unionByName(part)
+                remaining = base.where(~cond)
+                entries = self._write_tagged_dirs(
+                    remaining.repartition(len(hit), F.col("_rb")),
+                    remaining.drop("_rb"),
+                )
+            else:
+                name, stats = self._write_data_dir(hit_df.where(~cond))
+                entries = [{"dir": name, **stats}]
             commit = {
                 "version": v + 1,
                 "op": "delete",
                 # the (possibly empty) rewrite dir always stays live so
                 # read() of this version still has a schema to bind to
-                "live": carry + [{"dir": name, **stats}],
+                "live": carry + entries,
             }
             if events_of is not None:
                 ename = f"e-{uuid.uuid4().hex}"
@@ -456,9 +616,17 @@ class TxnTable:
             if len(live) <= 1:
                 return v
             merged = self._read_dirs([d["dir"] for d in live])
-            name, stats = self._write_data_dir(merged)
+            # re-split to the auto range layout (sized from the commit's own
+            # per-dir counts — no extra job), restoring per-range pruning
+            # that put_if_absent appends / wide upserts may have degraded
+            k = self._auto_n_dirs(sum(d.get("n", 0) for d in live))
+            if k == 1:
+                name, stats = self._write_data_dir(merged)
+                entries = [{"dir": name, **stats}]
+            else:
+                entries = self._write_range_dirs(merged, k)
             if self._try_publish(
-                v + 1, {"version": v + 1, "op": "compact", "live": [{"dir": name, **stats}]}
+                v + 1, {"version": v + 1, "op": "compact", "live": entries}
             ):
                 return v + 1
 
@@ -489,7 +657,12 @@ class TxnTable:
                 # cleaned version: its live dirs either carry over into newer
                 # commits (full-state "live" lists) or are legitimately dead
                 continue
-            referenced.update(d["dir"] for d in c["live"])
+            # range-layout entries are container subpaths (d-xxx/_rb=K):
+            # reference the top-level container — removal is all-or-nothing
+            # per container, so a container with ANY live subdir survives
+            # (its superseded sibling subdirs are reclaimed at the next
+            # compact+vacuum cycle)
+            referenced.update(d["dir"].split("/", 1)[0] for d in c["live"])
             if c.get("events"):
                 referenced.add(c["events"])
         removed = []

@@ -567,3 +567,103 @@ def test_put_if_absent_batch_internal_dupes_collapse(spark, tmp_path):
     _, ins = t.put_if_absent(_rows(spark, ("k", None, "x"), ("k", None, "y")))
     assert [r.key for r in ins.collect()] == ["k"]
     assert t.read().where("key = 'k'").count() == 1
+
+
+def _mkrows(spark, keys, payload="p"):
+    return _rows(spark, *[(k, None, payload) for k in keys])
+
+
+def test_range_layout_narrow_upsert_prunes(spark, tmp_path):
+    """r15 (VERDICT r14 #4 / note 136): create() range-splits the table into
+    per-key-range directories, and a NARROW upsert batch rewrites only the
+    overlapping range dirs — untouched range dirs carry over by reference
+    (same entry, same files on disk). The old single-dir layout rewrote the
+    whole table on every upsert."""
+    path = str(tmp_path / "t")
+    keys = [f"k{i:04d}" for i in range(400)]
+    t = TxnTable.create(spark, path, _mkrows(spark, keys), n_dirs=4)
+    live0 = t._read_commit(0)["live"]
+    assert len(live0) == 4
+    assert t._disjoint_ranges(live0)
+    assert sum(d["n"] for d in live0) == 400
+    # all entries are subdirs of one container
+    assert all("/" in d["dir"] for d in live0)
+
+    # narrow batch: keys entirely inside ONE dir's range
+    v = t.upsert(_mkrows(spark, ["k0001", "k0002"], payload="u"))
+    live1 = t._read_commit(v)["live"]
+    assert len(live1) == 4
+    carried = [d for d in live1 if d in live0]
+    assert len(carried) == 3  # three dirs carried by reference, one rewritten
+    got = {r.key: r.payload for r in t.read().collect()}
+    assert got["k0001"] == got["k0002"] == "u" and len(got) == 400
+    assert got["k0399"] == "p"
+
+
+def test_range_layout_survives_wide_upsert(spark, tmp_path):
+    """A WIDE batch (spanning every range) hits all dirs but is rewritten
+    per-dir slice, so the range structure — and the next narrow batch's
+    pruning — survives, including inserts in gaps and beyond both ends."""
+    path = str(tmp_path / "t")
+    keys = [f"k{i:04d}" for i in range(400)]
+    t = TxnTable.create(spark, path, _mkrows(spark, keys), n_dirs=4)
+    # wide: updates in every range + a below-all key + an above-all key
+    batch = ["a0000", "k0001", "k0150", "k0250", "k0350", "z9999"]
+    v = t.upsert(_mkrows(spark, batch, payload="w"))
+    live = t._read_commit(v)["live"]
+    assert len(live) == 4 and t._disjoint_ranges(live)
+    assert sum(d["n"] for d in live) == 402
+    got = {r.key: r.payload for r in t.read().collect()}
+    assert all(got[k] == "w" for k in batch) and got["k0399"] == "p"
+
+    # the layout still prunes: a narrow follow-up carries 3 of 4 dirs
+    v2 = t.upsert(_mkrows(spark, ["k0200"], payload="n"))
+    live2 = t._read_commit(v2)["live"]
+    assert len([d for d in live2 if d in live]) == 3
+
+
+def test_range_layout_delete_and_vacuum(spark, tmp_path):
+    """delete_where rewrites hit range dirs per-dir (layout survives), and
+    vacuum only reclaims containers with NO live subdir reference."""
+    path = str(tmp_path / "t")
+    keys = [f"k{i:04d}" for i in range(400)]
+    t = TxnTable.create(spark, path, _mkrows(spark, keys), n_dirs=4)
+    v, n = t.delete_where(F.col("key") < "k0100")
+    assert n == 100
+    live = t._read_commit(v)["live"]
+    # the emptied first range drops out; the other three survive per-dir
+    assert sum(d["n"] for d in live) == 300
+    assert {r.key for r in t.read().collect()} == set(keys[100:])
+
+    # vacuum at the latest version keeps every container a live subdir
+    # references; the superseded create-container is NOT removed while the
+    # delete's carry entries still point into it
+    removed = t.vacuum(keep_from_version=v)
+    assert {r.key for r in t.read().collect()} == set(keys[100:])
+
+    # after compact (fresh container), the old containers are reclaimable
+    cv = t.compact()
+    removed = t.vacuum(keep_from_version=cv)
+    assert removed  # old containers gone
+    assert {r.key for r in t.read().collect()} == set(keys[100:])
+
+
+def test_put_if_absent_then_upsert_falls_back_and_compact_restores(spark, tmp_path):
+    """put_if_absent appends an arbitrary-range dir; an upsert overlapping
+    BOTH that dir and a range dir must detect the non-disjoint layout and
+    fall back to merge-into-one (correctness over pruning). compact()
+    re-splits to the auto range layout."""
+    path = str(tmp_path / "t")
+    keys = [f"k{i:04d}" for i in range(200)]
+    t = TxnTable.create(spark, path, _mkrows(spark, keys), n_dirs=2)
+    # spans both ranges -> appended dir overlaps both range dirs
+    _, ins = t.put_if_absent(_mkrows(spark, ["k0050x", "k0150x"], payload="i"))
+    assert {r.key for r in ins.collect()} == {"k0050x", "k0150x"}
+    v = t.upsert(_mkrows(spark, ["k0050x", "k0150x"], payload="u"))
+    got = {r.key: r.payload for r in t.read().collect()}
+    assert got["k0050x"] == got["k0150x"] == "u" and len(got) == 202
+    # every key exactly once despite the fallback merge
+    assert t.read().groupBy("key").count().where(F.col("count") > 1).count() == 0
+    cv = t.compact()
+    assert t._disjoint_ranges(t._read_commit(cv)["live"])
+    assert {r.key for r in t.read().collect()} == set(keys) | {"k0050x", "k0150x"}
