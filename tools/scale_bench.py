@@ -705,6 +705,37 @@ def main() -> None:
         )
         checks["bm25_probe_speedup"] = round(t_direct / max(t_probe, 1e-9), 2)
 
+    # --- r15: incremental BM25 index append (VERDICT r14 #5) -----------------
+    # Base = 80% of docs, append the held-out 20%: O(batch-tokens), no base
+    # re-scan; the appended index must probe byte-identical to the full
+    # rebuild already timed above (bm25_index_build over ALL docs), and a
+    # replayed batch must be a fingerprint no-op. The rebuild cost the
+    # append avoids IS bm25_index_build — the comparison rides the same
+    # artifact line.
+    from mcp_synaptic_spark.operators.bm25_index import bm25_index_append
+
+    bm25_app_path = f"{SCRATCH}/bm25_index_append"
+    shutil.rmtree(bm25_app_path, ignore_errors=True)
+    bm25_index_write(docs.where(F.col("doc_id") % 5 != 0), bm25_app_path, overwrite=True)
+    app_batch = docs.where(F.col("doc_id") % 5 == 0)
+    app_info = timed(
+        "bm25_index_append_10x", lambda: bm25_index_append(app_batch, bm25_app_path)
+    )
+    checks["bm25_append_no_overlap"] = bool(app_info["n_overlap"] == 0)
+    app_rows = [
+        bm25_search_indexed(spark, bm25_app_path, q, k=10).collect() for q in bm_queries
+    ]
+    checks["bm25_append_probe_equals_rebuild"] = bool(
+        all(
+            [tuple(r) for r in a] == [tuple(r) for r in p]
+            for a, p in zip(app_rows, probe_rows)
+        )
+    )
+    reapp = timed(
+        "bm25_index_reappend_noop_10x", lambda: bm25_index_append(app_batch, bm25_app_path)
+    )
+    checks["bm25_reappend_is_noop"] = bool(reapp["skipped"])
+
     # --- r9: token-budget selection — two-phase == global window, exactly ----
     # The replicated corpus is tie-heavy (every base doc's `rep` copies share
     # one quality score), the hard case for deterministic prefix selection.
@@ -866,6 +897,17 @@ def main() -> None:
     checks["txn_ckpt_state_ok"] = bool(
         n_after == n_mem and v_final == 4 and n_cleaned >= 3
     )
+    # r15 structural fix (note 136): create() range-splits at ~1M rows/dir,
+    # so at rep=100 each narrow upsert rewrites overlapping range dirs, not
+    # the whole 10M-row table; the layout must survive all four upserts
+    # (disjoint ranges -> per-dir slice rewrites). At rep<=10 the table fits
+    # one dir and the legacy shape is expected.
+    t_final = TxnTable(spark, txn_root)
+    final_live = t_final._read_commit(t_final.version())["live"]
+    checks["txn_live_dirs_final"] = len(final_live)
+    checks["txn_range_layout_survives"] = bool(
+        len(final_live) > 1 and t_final._disjoint_ranges(final_live)
+    ) if n_mem > 1_000_000 else True
 
     # --- temporal + profile tier (new r9): events replicated with offset ----
     # user ids so every replica is an independent population — replication
