@@ -25,13 +25,23 @@ protocol is implemented directly on POSIX):
   ``vacuum()`` removes anything no commit references. No rename dance, no
   recovery step on the read path.
 
-Scale notes (100 TB): upsert prunes the rewrite set by per-directory key
-ranges recorded in the commit (Delta file stats / zone-map skipping) — an
-upsert touching k of m directories rewrites k, not m; extra ``stat_cols``
-(e.g. expires_at) record per-directory min/max so ``delete_where`` can skip
-directories a range predicate provably misses (zone maps on the sweep
-column). ``delete_where`` otherwise locates affected directories with one
-predicate scan (what Delta does absent stats on the predicate columns).
+Scale notes (100 TB): tables are RANGE-PARTITIONED into ~1M-row key-range
+directories at create()/compact() (r15, note 136), and upsert prunes the
+rewrite set by exact key OWNERSHIP — updates route to the directory whose
+recorded range holds them and only directories with a non-empty routed slice
+rewrite, each as its own slice, so the layout survives and keeps pruning
+(min/max-interval pruning alone collapses under scattered batches). For
+write-heavy workloads whose batches scatter across every range — where even
+exact CoW routing rewrites most of the table — ``upsert(mode="mor")`` is
+merge-on-read: the batch lands as one O(batch) delta directory and ``read()``
+resolves last-writer-wins through a per-key window over commit sequence
+numbers (the Hudi MoR / Delta deletion-vector trade: cheap writes, one
+window on reads, ``compact()`` folds back to window-free storage). Extra
+``stat_cols`` (e.g. expires_at) record per-directory min/max so
+``delete_where`` can skip directories a range predicate provably misses
+(zone maps on the sweep column); ``delete_where`` otherwise locates affected
+directories with one predicate scan (what Delta does absent stats on the
+predicate columns) and rewrites them per-directory.
 
 Log compaction (new r8): every ``checkpoint_interval`` commits the winning
 writer also publishes ``_txn/NNNNNN.checkpoint.json`` — the full table
@@ -53,7 +63,7 @@ import json
 import os
 import uuid
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampNTZType, TimestampType
 
@@ -364,7 +374,26 @@ class TxnTable:
         live = self._read_commit(v)["live"]
         if not live:
             raise ValueError(f"version {v} of {self.path} has no data directories")
-        return self._read_dirs([d["dir"] for d in live])
+        if not any(d.get("delta") for d in live):
+            return self._read_dirs([d["dir"] for d in live])
+        # merge-on-read resolution: delta dirs (upsert mode="mor") may
+        # shadow older copies of a key, so the snapshot is the per-key
+        # latest row by each directory's commit sequence number (pure-CoW
+        # dirs never share a key, so ties among seq-0 legacy entries can't
+        # involve duplicates). One window — the cost MoR defers from the
+        # write path; compact() returns the table to the window-free shape.
+        base = None
+        for d in live:
+            part = self._read_dirs([d["dir"]]).withColumn(
+                "_seq", F.lit(int(d.get("v", 0)))
+            )
+            base = part if base is None else base.unionByName(part)
+        w = Window.partitionBy(self.key_col).orderBy(F.col("_seq").desc())
+        return (
+            base.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_seq")
+        )
 
     # ------------------------------------------------------------- writes
 
@@ -399,28 +428,43 @@ class TxnTable:
             raise FileExistsError(f"table already created at {path}")
         return t
 
-    def upsert(self, updates: DataFrame) -> int:
+    def upsert(self, updates: DataFrame, *, mode: str = "cow") -> int:
         """Last-writer-wins keyed upsert (the MERGE substitution for
         operators/memory.py:upsert_by_key) as one ACID commit.
 
-        Copy-on-write: only directories whose key RANGE overlaps the update
-        batch are rewritten (merged with the updates via the same
-        union+window dedupe the pure operator uses); everything else carries
-        over by reference. When the hit directories' ranges are pairwise
-        DISJOINT (the _write_range_dirs layout), each is rewritten as its
-        own slice — updates route to the directory owning their key range
+        mode="cow" (default) is copy-on-write: only directories that
+        actually OWN an update key are rewritten; everything else carries
+        over by reference. When the live directories' ranges are pairwise
+        DISJOINT (the _write_range_dirs layout), ownership is exact — each
+        update routes to the directory whose key range holds it
         (gap/out-of-range keys, provably absent from every live dir, go to
-        the nearest range) — so the range structure SURVIVES the upsert and
-        the next narrow batch still prunes (note 136: one merged dir would
-        re-coalesce the table after the first wide batch and every later
-        upsert would rewrite it whole). Overlapping-range layouts (e.g.
-        after put_if_absent appends) fall back to merge-into-one; compact()
-        restores the range layout. Optimistic retry on version conflict —
-        the retry recomputes against the winner's live set, so no update is
-        lost.
+        the nearest range) and only directories with a NON-EMPTY routed
+        slice rewrite, each as its own slice, so the range structure
+        SURVIVES the upsert and keeps pruning (note 136: one merged dir
+        would re-coalesce the table after the first wide batch; and
+        min/max-interval pruning alone collapses under a batch with
+        scattered keys, whose [lo, hi] envelope covers everything).
+        Overlapping-range layouts (e.g. after put_if_absent appends) fall
+        back to interval pruning + merge-into-one; compact() restores the
+        range layout. Optimistic retry on version conflict — the retry
+        recomputes against the winner's live set, so no update is lost.
+
+        mode="mor" is merge-on-read (the Hudi/Delta-deletion-vector shape
+        for write-heavy key-scattered workloads, where even exact CoW
+        routing rewrites most of the table): the deduped batch lands as ONE
+        new delta directory — O(batch), no base read, no rewrite — and
+        ``read()`` resolves last-writer-wins lazily via a per-key window
+        over the commit sequence number each directory carries. Reads pay
+        one extra window while deltas exist; ``compact()`` resolves them
+        back to pure range-partitioned storage, and ``delete_where``
+        auto-compacts first (a delete against shadowed copies would
+        otherwise resurrect older values — correctness over speed on the
+        rare path).
         """
         from ..operators.memory import upsert_by_key
 
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         u_row = updates.agg(
             F.min(self.key_col).alias("lo"), F.max(self.key_col).alias("hi")
         ).first()
@@ -430,34 +474,90 @@ class TxnTable:
         while True:
             v = self.version()
             live = self._read_commit(v)["live"]
-            hit = [d for d in live if _overlaps(d, u_lo, u_hi)]
-            carry = [d for d in live if d not in hit]
-            if len(hit) > 1 and self._disjoint_ranges(hit):
-                ordered = sorted(hit, key=lambda d: d["lo"])
-                # rb = index of the greatest range-lo ≤ key (clamped to 0):
-                # an existing key lands on its owning dir exactly (disjoint
-                # sorted ranges), a gap key on the nearest lower range —
-                # extending that dir's range without crossing the next lo,
-                # so disjointness is preserved for the NEXT upsert too
-                rb = F.lit(0)
+            if mode == "mor":
+                fresh = updates.where(
+                    F.col(self.key_col).isNotNull()
+                ).dropDuplicates([self.key_col])
+                name, stats = self._write_data_dir(fresh)
+                commit = {
+                    "version": v + 1,
+                    "op": "upsert_mor",
+                    "live": live + [{"dir": name, **stats, "v": v + 1, "delta": True}],
+                }
+                if self._try_publish(v + 1, commit):
+                    return v + 1
+                continue  # conflict: orphan dir (vacuum reclaims); retry
+            if len(live) > 1 and self._disjoint_ranges(live):
+                ordered = sorted(live, key=lambda d: d["lo"])
+                # rb = index of the greatest range-lo ≤ key (-1 below every
+                # range): an existing key lands on its owning dir exactly
+                # (disjoint sorted ranges). Exact OWNERSHIP pruning: only
+                # dirs whose routed slice contains an IN-RANGE key (lo_i ≤
+                # key ≤ hi_i — a true update) are rewritten, each merged
+                # with its full slice; a scattered batch whose [u_lo, u_hi]
+                # interval spans the table still rewrites only the dirs
+                # holding one of its keys. Slices made ONLY of gap /
+                # out-of-range keys (pure inserts, provably absent from
+                # every live dir) append as their OWN new dirs — no read,
+                # no rewrite — and stay disjoint by construction: an rb=i
+                # gap slice lies strictly inside (hi_i, lo_{i+1}), and the
+                # rb=-1 slice strictly below lo_0. A mixed slice rides the
+                # rewrite and extends its dir's range without crossing the
+                # next lo, so disjointness survives every shape.
+                key = F.col(self.key_col)
+                rb = F.when(key < F.lit(ordered[0]["lo"]), F.lit(-1)).otherwise(F.lit(0))
                 for i, d in enumerate(ordered[1:], start=1):
-                    rb = F.when(
-                        F.col(self.key_col) >= F.lit(d["lo"]), F.lit(i)
-                    ).otherwise(rb)
-                base = None
+                    rb = F.when(key >= F.lit(d["lo"]), F.lit(i)).otherwise(rb)
+                inr = F.lit(False)
                 for i, d in enumerate(ordered):
-                    part = self._read_dirs([d["dir"]]).withColumn("_rb", F.lit(i))
-                    base = part if base is None else base.unionByName(part)
-                merged = upsert_by_key(base, updates.withColumn("_rb", rb))
-                entries = self._write_tagged_dirs(
-                    merged.repartition(len(ordered), F.col("_rb")),
-                    merged.drop("_rb"),
+                    inr = F.when(
+                        F.col("_rb") == i, key <= F.lit(d["hi"])
+                    ).otherwise(inr)
+                tagged_updates = updates.withColumn("_rb", rb).withColumn("_inr", inr)
+                slice_rows = (
+                    tagged_updates.groupBy("_rb")
+                    .agg(F.max("_inr").alias("any_inr"))
+                    .collect()
                 )
+                hit_rbs = sorted(r["_rb"] for r in slice_rows if r["any_inr"])
+                gap_rbs = sorted(r["_rb"] for r in slice_rows if not r["any_inr"])
+                hit = [ordered[i] for i in hit_rbs]
+                carry = [d for d in live if d not in hit]
+                entries = []
+                if hit_rbs:
+                    base = None
+                    for i in hit_rbs:
+                        part = self._read_dirs([ordered[i]["dir"]]).withColumn(
+                            "_rb", F.lit(i)
+                        )
+                        base = part if base is None else base.unionByName(part)
+                    merged = upsert_by_key(
+                        base,
+                        tagged_updates.where(F.col("_rb").isin(hit_rbs)).drop("_inr"),
+                    )
+                    entries += self._write_tagged_dirs(
+                        merged.repartition(len(hit_rbs), F.col("_rb")),
+                        merged.drop("_rb"),
+                    )
+                if gap_rbs:
+                    inserts = (
+                        tagged_updates.where(F.col("_rb").isin(gap_rbs))
+                        .drop("_inr")
+                        .dropDuplicates([self.key_col])
+                    )
+                    entries += self._write_tagged_dirs(
+                        inserts.repartition(len(gap_rbs), F.col("_rb")),
+                        inserts.drop("_rb"),
+                    )
             else:
+                hit = [d for d in live if _overlaps(d, u_lo, u_hi)]
+                carry = [d for d in live if d not in hit]
                 base = self._read_dirs([d["dir"] for d in hit]) if hit else updates.limit(0)
                 merged = upsert_by_key(base, updates)
                 name, stats = self._write_data_dir(merged)
                 entries = [{"dir": name, **stats}]
+            for e in entries:
+                e["v"] = v + 1
             commit = {
                 "version": v + 1,
                 "op": "upsert",
@@ -517,7 +617,7 @@ class TxnTable:
             commit = {
                 "version": v + 1,
                 "op": "insert_if_absent",
-                "live": live + [{"dir": name, **stats}],
+                "live": live + [{"dir": name, **stats, "v": v + 1}],
             }
             if self._try_publish(v + 1, commit):
                 return v + 1, self._read_dirs([name])
@@ -551,6 +651,15 @@ class TxnTable:
         while True:
             v = self.version()
             live = self._read_commit(v)["live"]
+            if any(d.get("delta") for d in live):
+                # deleting from shadowed copies would RESURRECT older
+                # values (dropping the newest copy of a key re-exposes the
+                # CoW row beneath it in the read window), so merge-on-read
+                # deltas are compacted away first and the delete proceeds
+                # on pure-CoW dirs — correctness over speed on the rarer
+                # path (the MoR trade: cheap upserts, deferred resolution)
+                self.compact()
+                continue
             hit, n_deleted = [], 0
             for d in live:
                 if skip_dir is not None and skip_dir(d):
@@ -582,6 +691,8 @@ class TxnTable:
             else:
                 name, stats = self._write_data_dir(hit_df.where(~cond))
                 entries = [{"dir": name, **stats}]
+            for e in entries:
+                e["v"] = v + 1
             commit = {
                 "version": v + 1,
                 "op": "delete",
@@ -613,9 +724,12 @@ class TxnTable:
         while True:
             v = self.version()
             live = self._read_commit(v)["live"]
-            if len(live) <= 1:
+            if len(live) <= 1 and not any(d.get("delta") for d in live):
                 return v
-            merged = self._read_dirs([d["dir"] for d in live])
+            # read(v) resolves merge-on-read deltas (per-key latest by
+            # commit seq), so compacting a delta-bearing table folds the
+            # shadowed copies away and returns it to window-free reads
+            merged = self.read(v)
             # re-split to the auto range layout (sized from the commit's own
             # per-dir counts — no extra job), restoring per-range pruning
             # that put_if_absent appends / wide upserts may have degraded
@@ -625,6 +739,8 @@ class TxnTable:
                 entries = [{"dir": name, **stats}]
             else:
                 entries = self._write_range_dirs(merged, k)
+            for e in entries:
+                e["v"] = v + 1
             if self._try_publish(
                 v + 1, {"version": v + 1, "op": "compact", "live": entries}
             ):

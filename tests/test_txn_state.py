@@ -601,9 +601,12 @@ def test_range_layout_narrow_upsert_prunes(spark, tmp_path):
 
 
 def test_range_layout_survives_wide_upsert(spark, tmp_path):
-    """A WIDE batch (spanning every range) hits all dirs but is rewritten
-    per-dir slice, so the range structure — and the next narrow batch's
-    pruning — survives, including inserts in gaps and beyond both ends."""
+    """A WIDE batch (touching every range) rewrites per-dir slices, so the
+    range structure — and the next narrow batch's pruning — survives. The
+    below-every-range insert is a pure-gap slice: it appends as its own
+    new dir instead of forcing a neighbor rewrite; the above-every-range
+    insert shares a slice with an in-range update and rides that dir's
+    rewrite, extending its range."""
     path = str(tmp_path / "t")
     keys = [f"k{i:04d}" for i in range(400)]
     t = TxnTable.create(spark, path, _mkrows(spark, keys), n_dirs=4)
@@ -611,15 +614,15 @@ def test_range_layout_survives_wide_upsert(spark, tmp_path):
     batch = ["a0000", "k0001", "k0150", "k0250", "k0350", "z9999"]
     v = t.upsert(_mkrows(spark, batch, payload="w"))
     live = t._read_commit(v)["live"]
-    assert len(live) == 4 and t._disjoint_ranges(live)
+    assert len(live) == 5 and t._disjoint_ranges(live)
     assert sum(d["n"] for d in live) == 402
     got = {r.key: r.payload for r in t.read().collect()}
     assert all(got[k] == "w" for k in batch) and got["k0399"] == "p"
 
-    # the layout still prunes: a narrow follow-up carries 3 of 4 dirs
+    # the layout still prunes: a narrow follow-up carries 4 of 5 dirs
     v2 = t.upsert(_mkrows(spark, ["k0200"], payload="n"))
     live2 = t._read_commit(v2)["live"]
-    assert len([d for d in live2 if d in live]) == 3
+    assert len([d for d in live2 if d in live]) == 4
 
 
 def test_range_layout_delete_and_vacuum(spark, tmp_path):
@@ -667,3 +670,80 @@ def test_put_if_absent_then_upsert_falls_back_and_compact_restores(spark, tmp_pa
     cv = t.compact()
     assert t._disjoint_ranges(t._read_commit(cv)["live"])
     assert {r.key for r in t.read().collect()} == set(keys) | {"k0050x", "k0150x"}
+
+
+def test_mor_upsert_lww_read_resolution(spark, tmp_path):
+    """r15: upsert(mode="mor") lands the batch as one delta dir — no base
+    read, no rewrite — and read() resolves last-writer-wins by commit
+    sequence: later deltas shadow earlier deltas shadow the CoW base.
+    Snapshot isolation holds per version."""
+    path = str(tmp_path / "t")
+    keys = [f"k{i:03d}" for i in range(100)]
+    t = TxnTable.create(spark, path, _mkrows(spark, keys), n_dirs=2)
+    live0 = t._read_commit(0)["live"]
+
+    v1 = t.upsert(_mkrows(spark, ["k001", "k050"], payload="m1"), mode="mor")
+    live1 = t._read_commit(v1)["live"]
+    # every base dir carried by reference; exactly one delta appended
+    assert [d for d in live1 if d in live0] == live0
+    assert sum(1 for d in live1 if d.get("delta")) == 1
+
+    v2 = t.upsert(_mkrows(spark, ["k050", "k999x"], payload="m2"), mode="mor")
+    got = {r.key: r.payload for r in t.read().collect()}
+    assert len(got) == 101
+    assert got["k001"] == "m1" and got["k050"] == "m2" and got["k999x"] == "m2"
+    assert got["k000"] == "p"
+    # no duplicate keys surface through the resolution window
+    assert t.read().groupBy("key").count().where(F.col("count") > 1).count() == 0
+    # snapshots: v1 still sees m1 on k050 and no k999x
+    got1 = {r.key: r.payload for r in t.read(v1).collect()}
+    assert got1["k050"] == "m1" and "k999x" not in got1
+
+    # compact folds the deltas away: window-free reads, same state
+    cv = t.compact()
+    live_c = t._read_commit(cv)["live"]
+    assert not any(d.get("delta") for d in live_c)
+    assert {r.key: r.payload for r in t.read().collect()} == got
+
+
+def test_mor_delete_where_absorbs_deltas_first(spark, tmp_path):
+    """A delete on a delta-bearing table must not resurrect shadowed rows:
+    delete_where auto-compacts first, then deletes — the matching NEWEST
+    values disappear and the old CoW copies do not come back."""
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _mkrows(spark, ["a", "b", "c"]))
+    t.upsert(_mkrows(spark, ["b"], payload="new"), mode="mor")
+    # delete rows with payload "new": only the delta copy of b matches; a
+    # naive per-dir delete would drop it and re-expose b="p"
+    v, n = t.delete_where(F.col("payload") == "new")
+    assert n == 1
+    got = {r.key: r.payload for r in t.read().collect()}
+    assert got == {"a": "p", "c": "p"}
+
+
+def test_mor_put_if_absent_sees_shadowed_keys(spark, tmp_path):
+    """put_if_absent arbitration counts a key as taken if ANY copy exists —
+    shadowed or not."""
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _mkrows(spark, ["a"]))
+    t.upsert(_mkrows(spark, ["a"], payload="v2"), mode="mor")
+    _, ins = t.put_if_absent(_mkrows(spark, ["a", "b"], payload="i"))
+    assert {r.key for r in ins.collect()} == {"b"}
+    got = {r.key: r.payload for r in t.read().collect()}
+    assert got == {"a": "v2", "b": "i"}
+
+
+def test_cow_exact_ownership_prunes_scattered_batch(spark, tmp_path):
+    """r15: CoW hit detection is exact key ownership, not [min, max]
+    interval overlap — a batch with two extreme keys (whose interval spans
+    the whole table) rewrites only the two dirs that own them."""
+    path = str(tmp_path / "t")
+    keys = [f"k{i:04d}" for i in range(400)]
+    t = TxnTable.create(spark, path, _mkrows(spark, keys), n_dirs=4)
+    live0 = t._read_commit(0)["live"]
+    # first key and last key: interval covers all four dirs, ownership two
+    v = t.upsert(_mkrows(spark, ["k0000", "k0399"], payload="x"))
+    live1 = t._read_commit(v)["live"]
+    assert len([d for d in live1 if d in live0]) == 2
+    got = {r.key: r.payload for r in t.read().collect()}
+    assert got["k0000"] == got["k0399"] == "x" and len(got) == 400

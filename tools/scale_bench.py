@@ -909,6 +909,35 @@ def main() -> None:
         len(final_live) > 1 and t_final._disjoint_ranges(final_live)
     ) if n_mem > 1_000_000 else True
 
+    # --- r15: merge-on-read upsert tier on the same table --------------------
+    # The cow arm's limit(1000) batches SCATTER across the key ranges (their
+    # clusters spread lexicographically), which is exactly the workload
+    # upsert(mode="mor") exists for: each batch lands as one O(batch) delta
+    # dir — no base read, no rewrite — and the resolved read pays one
+    # per-key window. Ground truths: row count preserved, no duplicate key
+    # surfaces through the resolution, 4 delta dirs present before the
+    # compaction check.
+    def txn_mor_run():
+        t = TxnTable(spark, txn_root)
+        for i in range(4):
+            t.upsert(
+                big_mem.limit(1000).withColumn("metadata", F.lit(f"m{i}")),
+                mode="mor",
+            )
+        return t.read().count()
+
+    n_mor = timed("txn_mor_upserts4_1m", txn_mor_run)
+    t_mor = TxnTable(spark, txn_root)
+    live_mor = t_mor._read_commit(t_mor.version())["live"]
+    n_deltas = sum(1 for d in live_mor if d.get("delta"))
+    n_dup_keys = timed(
+        "txn_mor_read_resolve_1m",
+        lambda: t_mor.read().groupBy("key").count().where(F.col("count") > 1).count(),
+    )
+    checks["txn_mor_state_ok"] = bool(
+        n_mor == n_mem and n_deltas == 4 and n_dup_keys == 0
+    )
+
     # --- temporal + profile tier (new r9): events replicated with offset ----
     # user ids so every replica is an independent population — replication
     # invariance (result counts scale exactly by rep) catches any
