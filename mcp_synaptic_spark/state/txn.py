@@ -75,6 +75,11 @@ _LOG_DIR = "_txn"
 #: overlapped it and rewrote all 10M rows — 4 full rewrites per bench arm)
 _TARGET_DIR_ROWS = 1_000_000
 
+#: above this many accumulated delta rows the MoR read's broadcast anti-join
+#: would ship too large a key set to every executor — fall back to the full
+#: union window (and compact() soon: deltas that size have outgrown the tier)
+_MOR_BROADCAST_MAX_KEYS = 5_000_000
+
 
 def _commit_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, _LOG_DIR, f"{version:06d}.json")
@@ -374,21 +379,42 @@ class TxnTable:
         live = self._read_commit(v)["live"]
         if not live:
             raise ValueError(f"version {v} of {self.path} has no data directories")
-        if not any(d.get("delta") for d in live):
+        delta_dirs = [d for d in live if d.get("delta")]
+        if not delta_dirs:
             return self._read_dirs([d["dir"] for d in live])
-        # merge-on-read resolution: delta dirs (upsert mode="mor") may
-        # shadow older copies of a key, so the snapshot is the per-key
-        # latest row by each directory's commit sequence number (pure-CoW
-        # dirs never share a key, so ties among seq-0 legacy entries can't
-        # involve duplicates). One window — the cost MoR defers from the
-        # write path; compact() returns the table to the window-free shape.
-        base = None
-        for d in live:
+        # Merge-on-read resolution, O(delta) not O(table): while delta dirs
+        # exist, every non-delta copy of a delta key is provably OLDER than
+        # every delta copy (cow upserts and deletes absorb deltas before
+        # touching base dirs; put_if_absent only inserts keys absent from
+        # EVERY dir), and non-delta dirs never share a key among
+        # themselves. So the snapshot is: base rows whose key is NOT in the
+        # delta key set (a broadcast anti-join — the 10M-row side never
+        # shuffles), plus the per-key latest delta row by commit sequence
+        # (a window over only the delta rows). The full-union window runs
+        # only when the accumulated deltas are too big to broadcast —
+        # which is the signal to compact() anyway.
+        cow = self._read_dirs([d["dir"] for d in live if not d.get("delta")])
+        dx = None
+        for d in delta_dirs:
             part = self._read_dirs([d["dir"]]).withColumn(
                 "_seq", F.lit(int(d.get("v", 0)))
             )
-            base = part if base is None else base.unionByName(part)
+            dx = part if dx is None else dx.unionByName(part)
         w = Window.partitionBy(self.key_col).orderBy(F.col("_seq").desc())
+        latest = (
+            dx.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_seq")
+        )
+        n_delta = sum(int(d.get("n", 0)) for d in delta_dirs)
+        if n_delta <= _MOR_BROADCAST_MAX_KEYS:
+            dkeys = dx.select(self.key_col).distinct()
+            return cow.join(
+                F.broadcast(dkeys), self.key_col, "left_anti"
+            ).unionByName(latest)
+        base = cow.withColumn("_seq", F.lit(-1)).unionByName(
+            dx
+        )
         return (
             base.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
@@ -487,6 +513,16 @@ class TxnTable:
                 if self._try_publish(v + 1, commit):
                     return v + 1
                 continue  # conflict: orphan dir (vacuum reclaims); retry
+            if any(d.get("delta") for d in live):
+                # a CoW merge resolves copies with upsert_by_key's
+                # (_prio, updated_at) ordering, which need not match commit
+                # order for shadowed delta keys — absorb the deltas first
+                # (compact folds them via the seq-ordered read window) so
+                # commit-order LWW is exact, then rewrite pure-CoW dirs.
+                # This is also what keeps the O(delta) read fast path's
+                # older-than-every-delta invariant true.
+                self.compact()
+                continue
             if len(live) > 1 and self._disjoint_ranges(live):
                 ordered = sorted(live, key=lambda d: d["lo"])
                 # rb = index of the greatest range-lo ≤ key (-1 below every

@@ -747,3 +747,17 @@ def test_cow_exact_ownership_prunes_scattered_batch(spark, tmp_path):
     assert len([d for d in live1 if d in live0]) == 2
     got = {r.key: r.payload for r in t.read().collect()}
     assert got["k0000"] == got["k0399"] == "x" and len(got) == 400
+
+
+def test_cow_upsert_after_mor_absorbs_deltas(spark, tmp_path):
+    """A CoW upsert on a delta-bearing table absorbs the deltas first
+    (commit-order LWW is exact even when the shadowed delta row carries
+    the same updated_at), then proceeds on pure-CoW dirs."""
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _mkrows(spark, ["a", "b"]))
+    t.upsert(_mkrows(spark, ["a"], payload="mor1"), mode="mor")
+    v = t.upsert(_mkrows(spark, ["b"], payload="cow1"))
+    live = t._read_commit(v)["live"]
+    assert not any(d.get("delta") for d in live)
+    got = {r.key: r.payload for r in t.read().collect()}
+    assert got == {"a": "mor1", "b": "cow1"}
