@@ -245,3 +245,19 @@ def test_append_requires_new_format_manifest(spark, docs, tmp_path):
         json.dump(meta, f)
     with pytest.raises(ValueError, match="rebuild"):
         bm25_index_append(docs.where(F.col("doc_id") % 2 == 1), path)
+
+
+def test_appended_index_probe_still_partition_prunes(spark, docs, tmp_path):
+    """Appends write into existing bucket partitions, so the probe's
+    directory-level pruning and term pushdown must survive index growth."""
+    from mcp_synaptic_spark.operators.bm25_index import bm25_index_append
+
+    path = str(tmp_path / "idx_prune")
+    bm25_index_write(docs.where(F.col("doc_id") % 5 != 0), path)
+    bm25_index_append(docs.where(F.col("doc_id") % 5 == 0), path)
+    plan = (
+        bm25_search_indexed(spark, path, QUERY, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "PushedFilters" in plan

@@ -761,3 +761,14 @@ def test_cow_upsert_after_mor_absorbs_deltas(spark, tmp_path):
     assert not any(d.get("delta") for d in live)
     got = {r.key: r.payload for r in t.read().collect()}
     assert got == {"a": "mor1", "b": "cow1"}
+
+
+def test_mor_read_uses_broadcast_fast_path(spark, tmp_path):
+    """The O(delta) resolution: under the broadcast bound the read plan
+    screens the base with a broadcast anti-join (the big side never
+    shuffles into the resolution window)."""
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _mkrows(spark, [f"k{i}" for i in range(50)]))
+    t.upsert(_mkrows(spark, ["k1"], payload="m"), mode="mor")
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
