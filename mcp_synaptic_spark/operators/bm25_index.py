@@ -180,6 +180,13 @@ def bm25_index_write(
     per_doc.select("id", "dl").write.mode("overwrite").parquet(
         os.path.join(path, "docs")
     )
+    # a rebuild IS the generation compaction: the full corpus just landed in
+    # the base roots, so prior append generations (and their manifest list,
+    # reset in the fresh meta below) are folded away
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "postings_gen"), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "docs_gen"), ignore_errors=True)
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(
@@ -265,7 +272,7 @@ def bm25_index_append(
     batch = new_docs
     n_overlap = 0
     if merge == "exact":
-        indexed_ids = spark.read.parquet(os.path.join(path, "docs")).select("id")
+        indexed_ids = _union_roots(spark, _gen_roots(path, "docs", meta)).select("id")
         batch_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
         overlap = (
             indexed_ids.join(F.broadcast(batch_ids), "id", "left_semi")
@@ -290,6 +297,19 @@ def bm25_index_append(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
     ).first()
     n_appended, sum_dl_batch = int(row["n"]), int(row["sum_dl"] or 0)
+    # crash-safe visibility gate: the batch's postings and doc rows land in
+    # DETERMINISTICALLY-NAMED generation directories (a pure function of the
+    # batch fingerprint) that probes and the overlap guard ignore until the
+    # manifest commits them into `gens`. A crash anywhere before the
+    # manifest replace leaves the half-written generation INVISIBLE, and the
+    # retry's mode="overwrite" rewrites the same directory cleanly — without
+    # this, a crash between a plain postings append and the fingerprint
+    # record would let the retry double-append and silently inflate every
+    # shared term's probe-time df (the ANN appends are retry-idempotent by
+    # construction; this gate is the BM25 equivalent).
+    import hashlib
+
+    gen = "g-" + hashlib.sha1(batch_fp.encode()).hexdigest()[:16]
     if n_appended:
         postings = (
             per_doc.select("id", "dl", F.explode("toks").alias("term"))
@@ -299,12 +319,13 @@ def bm25_index_append(
                 "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
             )
         )
-        postings.write.mode("append").partitionBy("bucket").parquet(
-            os.path.join(path, "postings")
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(path, "postings_gen", gen)
         )
-        per_doc.select("id", "dl").write.mode("append").parquet(
-            os.path.join(path, "docs")
+        per_doc.select("id", "dl").write.mode("overwrite").parquet(
+            os.path.join(path, "docs_gen", gen)
         )
+        meta["gens"] = meta.get("gens", []) + [gen]
     # surviving-batch fingerprint keeps corpus_fp ≡ fingerprint of the
     # UNION corpus (the sum is additive and overlap rows never landed), so
     # the write guard recognizes a full-union rebuild request as a no-op
@@ -331,11 +352,35 @@ def bm25_index_append(
     }
 
 
+def _union_roots(spark: SparkSession, roots: list[str]) -> DataFrame:
+    """Union several independently bucket-partitioned parquet roots. Each
+    root is read separately so its `bucket=` layout is discovered relative
+    to ITS OWN base path (one shared read would need a common basePath the
+    generation layout doesn't have); Catalyst pushes the probe's bucket/term
+    predicates through the Union into every scan, so partition pruning is
+    per-root and intact (plan-pinned)."""
+    frames = [spark.read.parquet(r) for r in roots]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _gen_roots(path: str, sub: str, meta: dict) -> list[str]:
+    """Base root + the COMMITTED append-generation roots, in commit order.
+    Generations not listed in the manifest are invisible — the crash-safety
+    gate (see bm25_index_append)."""
+    return [os.path.join(path, sub)] + [
+        os.path.join(path, f"{sub}_gen", g) for g in meta.get("gens", [])
+    ]
+
+
 def bm25_index_load(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
-    """(postings_df, meta) for ``bm25_search_indexed``."""
+    """(postings_df, meta) for ``bm25_search_indexed``. The frame unions the
+    base postings with every manifest-committed append generation."""
     with open(os.path.join(path, _META)) as f:
         meta = json.load(f)
-    return spark.read.parquet(os.path.join(path, "postings")), meta
+    return _union_roots(spark, _gen_roots(path, "postings", meta)), meta
 
 
 def bm25_search_indexed(

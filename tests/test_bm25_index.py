@@ -261,3 +261,50 @@ def test_appended_index_probe_still_partition_prunes(spark, docs, tmp_path):
     )
     assert "PartitionFilters" in plan and "bucket" in plan
     assert "PushedFilters" in plan
+
+
+def test_append_crash_before_manifest_commit_is_invisible_and_retryable(
+    spark, docs, tmp_path
+):
+    """Crash-safety gate: a batch's generation dirs are invisible until the
+    manifest commits them, so a crash after the data writes but before the
+    manifest replace (simulated by restoring the pre-append manifest) leaves
+    probes and stats at the pre-append state, and the RETRY overwrites the
+    same deterministic generation cleanly — no double postings, no df
+    inflation."""
+    import json
+
+    from mcp_synaptic_spark.operators.bm25_index import bm25_index_append
+
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "idx_crash")
+    bm25_index_write(base, path)
+    meta_path = os.path.join(path, "_meta.json")
+    with open(meta_path) as f:
+        pre_append_meta = f.read()
+
+    bm25_index_append(batch, path)
+    # simulate the crash window: generation dirs on disk, manifest never
+    # replaced
+    with open(meta_path, "w") as f:
+        f.write(pre_append_meta)
+
+    # the half-committed generation is invisible: probe == base-only build
+    base_only = str(tmp_path / "idx_base")
+    bm25_index_write(base, base_only)
+    assert _rows(bm25_search_indexed(spark, path, QUERY, k=10)) == _rows(
+        bm25_search_indexed(spark, base_only, QUERY, k=10)
+    )
+
+    # retry lands exactly once; probe == full rebuild
+    info = bm25_index_append(batch, path)
+    assert info["skipped"] is False and info["n_appended"] == batch.count()
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert len(meta["gens"]) == 1
+    rebuilt = str(tmp_path / "idx_crash_full")
+    bm25_index_write(docs, rebuilt)
+    assert _rows(bm25_search_indexed(spark, path, QUERY, k=10)) == _rows(
+        bm25_search_indexed(spark, rebuilt, QUERY, k=10)
+    )
