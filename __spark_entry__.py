@@ -684,6 +684,69 @@ def _q_memory_upsert_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_memory_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """memory_upsert through the r15 MERGE-ON-READ tier (state/txn.py):
+    create forces the range-partitioned layout (n_dirs=4), then TWO
+    mode="mor" upserts land as delta generations — the first updates every
+    key ending in 7, the second SHADOWS the subset ending in 77 with newer
+    data — and the returned frame is the resolved read: base rows screened
+    against the broadcast delta key set, per-key latest delta by commit
+    sequence. A hash-green row certifies commit-order LWW across
+    generations and the O(delta) resolution path end-to-end (the oracle is
+    the pure prio-windowed transform — no row may differ). Table root
+    recreated per call (temp-dir ETL; bench.py skips write-path queries)."""
+    import shutil
+    import tempfile
+
+    from mcp_synaptic_spark.state.txn import TxnTable
+
+    mem = _memories(spark, sf_dir)
+    u1 = (
+        mem.where(F.col("key").endswith("7"))
+        .withColumn("data", F.lit('{"updated": true}'))
+        .withColumn("updated_at", now_col())
+    )
+    u2 = (
+        mem.where(F.col("key").endswith("77"))
+        .withColumn("data", F.lit('{"updated": 2}'))
+        .withColumn("updated_at", now_col())
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_txn_mor_" + sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxnTable.create(spark, path, mem, n_dirs=4)
+    t.upsert(u1, mode="mor")
+    t.upsert(u2, mode="mor")
+    return t.read().where(F.col("key").endswith("7") | F.col("key").endswith("1")).select(
+        "key", "data", "updated_at"
+    )
+
+
+_ORACLE_MEMORY_UPSERT_MOR = f"""
+WITH {MEMORIES_CTE_SQL.strip()},
+u1 AS (
+  SELECT key, '{{"updated": true}}' AS data, {NOW_SQL} AS updated_at
+  FROM memories_derived WHERE key LIKE '%7'
+),
+u2 AS (
+  SELECT key, '{{"updated": 2}}' AS data, {NOW_SQL} AS updated_at
+  FROM memories_derived WHERE key LIKE '%77'
+),
+merged AS (
+  SELECT key, data, updated_at, 0 AS prio FROM memories_derived
+  UNION ALL SELECT key, data, updated_at, 1 AS prio FROM u1
+  UNION ALL SELECT key, data, updated_at, 2 AS prio FROM u2
+),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY key ORDER BY prio DESC, updated_at DESC) AS rn
+  FROM merged
+)
+SELECT key, data, updated_at FROM dedup
+WHERE rn = 1 AND (key LIKE '%7' OR key LIKE '%1')
+"""
+
+
 def _q_memory_upsert_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """memory_upsert_txn through the r8 checkpoint-compaction lifecycle
     (state/txn.py): create + upsert with checkpoint_interval=1 (checkpoint
@@ -4647,9 +4710,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (range-partitioned txn data dirs, VERDICT r14 #4) stales the 3 txn rows
     + dedup_incremental; bm25_index.py (incremental append, VERDICT r14 #5)
     stales bm25_search_indexed, and the new bm25_index_append row takes its
-    first grade beside it. The 15 remaining discretionary slots take the
+    first grade beside it; memory_upsert_mor (the r15 merge-on-read tier,
+    graded against the pure prio-windowed transform) takes its first grade
+    beside the txn rows. The 14 remaining discretionary slots take the
     oldest-first r12 refresh (alphabetical head of the 28-row r12 cohort);
-    the other 13 r12 rows lead the r16 queue. The HLL AU-sketch
+    the other 14 r12 rows lead the r16 queue. The HLL AU-sketch
     registry row (VERDICT r14 #7) found no slot this round — the sketch
     stays covered by its exact-twin tolerance audits at 10×/100×.
     """
@@ -4691,7 +4756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "decontaminate_semantic": _q_decontaminate_semantic,
         # 4) r15-touched: state/txn.py (range-partitioned txn data dirs —
-        # VERDICT r14 #4) stales the txn-backed rows
+        # VERDICT r14 #4) stales the txn-backed rows; the new merge-on-read
+        # row takes its first grade beside them
+        "memory_upsert_mor": _q_memory_upsert_mor,
         "memory_upsert_txn": _q_memory_upsert_txn,
         "memory_upsert_ckpt": _q_memory_upsert_ckpt,
         "memory_snapshot_read": _q_memory_snapshot_read,
@@ -4716,8 +4783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": _q_events_sliding,
         "frame_sample": _q_frame_sample,
         "lm_perplexity": _q_lm_perplexity,
-        "lm_ppl_buckets": _q_lm_ppl_buckets,
         # ---- entry 50 ends here ------------------------------------------
+        "lm_ppl_buckets": _q_lm_ppl_buckets,
         # tail: every entry below is green in CORRECTNESS_r12/r13/r14 with
         # operator files unchanged since (EVIDENCE.json + tools/evidence.py
         # enforce it)
@@ -4820,6 +4887,7 @@ def oracle_sql() -> dict[str, str]:
         "memory_upsert": _ORACLE_MEMORY_UPSERT,
         # the ACID write path must reproduce the pure transform exactly
         "memory_upsert_txn": _ORACLE_MEMORY_UPSERT,
+        "memory_upsert_mor": _ORACLE_MEMORY_UPSERT_MOR,
         # ...and so must the checkpoint/compaction/clean lifecycle (r8)
         "memory_upsert_ckpt": _ORACLE_MEMORY_UPSERT,
         # time travel: a v0 reader sees the pre-upsert state, exactly

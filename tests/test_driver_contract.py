@@ -36,7 +36,7 @@ def test_graded_window_holds_the_round_targets():
     names = list(entry.queries())
     assert len(names) >= 96
     window = set(names[:50])
-    pending_first_grade = ("ann_brp_append", "bm25_index_append")
+    pending_first_grade = ("ann_brp_append", "bm25_index_append", "memory_upsert_mor")
     r11_refresh = (
         "corpus_drift", "corpus_drift_lang", "doc_change_feed",
         "doc_summary", "events_json", "fingerprint", "hybrid_search",

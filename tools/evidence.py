@@ -137,6 +137,7 @@ QUERY_FILES: dict[str, tuple[str, ...]] = {
     "memory_update": MEM,
     "memory_report": MEM + (f"{_PKG}/functions/text.py",),
     "memory_upsert_txn": MEM + (f"{_PKG}/state/txn.py",),
+    "memory_upsert_mor": MEM + (f"{_PKG}/state/txn.py",),
     "memory_upsert_ckpt": MEM + (f"{_PKG}/state/txn.py",),
     "memory_snapshot_read": MEM + (f"{_PKG}/state/txn.py",),
     "memory_access_replay": (f"{_PKG}/streaming/access_log.py",) + MEM,
