@@ -55,9 +55,12 @@ Physical shape — designed against the 100 TB questions:
   when the pair itself was seen.
 * The per-doc reduce is one aggregation at doc grain.
 * The ONE-SHOT self-trained plan scans the (doc_id, lang, text) projection
-  five times (uni / totals / bi / ctx / scoring — Spark plans no exchange
-  reuse across aggregation grains, the r9 tfidf lesson).  That is the
-  honest cost of a single declarative query; the production shape is
+  three times (bi / ctx share one, scoring, plus the unigram fit — r15
+  materializes the vocab-bounded unigram table once with localCheckpoint,
+  so the totals aggregation and the scoring join no longer re-run the
+  corpus-wide tokenize+aggregate; Spark plans no exchange reuse across
+  aggregation grains, the r9 tfidf lesson).  That is the honest cost of a
+  single declarative query; the production shape is
   train-once/score-many: persist the three ``train_bigram_lm`` tables and
   pass them via ``perplexity(..., lm=...)`` — scoring then reads the
   corpus exactly ONCE (pinned in tests/test_plan_shapes.py).
@@ -129,11 +132,19 @@ def train_bigram_lm(
     totals:   (lang, n_train_tokens, vocab)    — |langs| rows, broadcastable
     """
     tok = _tok_arrays(train, text_col=text_col, lang_col=lang_col)
+    # localCheckpoint: the unigram table feeds BOTH the scoring join and the
+    # per-language totals, and Spark plans no subtree reuse across the two —
+    # without the barrier every consumer re-runs the corpus-wide tokenize +
+    # aggregate (the module docstring's five-scan count; guide §1.2: remove
+    # passes first). The table is vocab-bounded (one row per (lang, token)),
+    # never corpus-row-bounded, so the materialization is small at any
+    # corpus scale; train is always a static frame (aggregation would be
+    # unsupported on a stream anyway).
     uni = (
         tok.select("lang", F.explode("toks").alias("cur"))
         .groupBy("lang", "cur")
         .agg(F.count(F.lit(1)).alias("c_uni"))
-    )
+    ).localCheckpoint()
     totals = uni.groupBy("lang").agg(
         F.sum("c_uni").alias("n_train_tokens"),
         F.count(F.lit(1)).alias("vocab"),
@@ -238,15 +249,23 @@ def perplexity_buckets(
         .when(F.col("logppl") <= F.lit(hi), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
+    # Within-language share via a window over the AGGREGATED bucket table,
+    # not an aggregate + join-back: the join-back's second reference to
+    # `counts` re-ran the entire per-doc scoring DAG (Spark plans no
+    # subtree reuse), and a (lang) window partition here is bounded at 3
+    # rows per language at ANY corpus scale (head/middle/tail), so the r9
+    # unsplittable-window hazard cannot apply.
+    from pyspark.sql import Window
+
     counts = ppl.groupBy("lang", bucket.alias("ppl_bucket")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    tot = counts.groupBy("lang").agg(F.sum("n_docs").alias("lang_docs"))
-    return counts.join(tot, "lang").select(
+    lang_docs = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return counts.select(
         "lang",
         "ppl_bucket",
         "n_docs",
-        F.round(F.col("n_docs") / F.col("lang_docs"), 6).alias("share"),
+        F.round(F.col("n_docs") / lang_docs, 6).alias("share"),
     )
 
 

@@ -248,21 +248,33 @@ def quality_admit_verdicts(
             corpus_content_col=corpus_content_col,
         )
         return out.withColumnRenamed("doc_id", id_col)
+    # The verdict ladder references each tier from several downstream
+    # subtrees (scored: the survivor semi-join, the screen's batch side ×3
+    # inside dedup_incremental, and the final verdict join), and Spark
+    # plans no common-subtree reuse — without a barrier every reference
+    # re-evaluates the FULL upstream chain, including the LM scoring joins
+    # and (for a self-trained lm) the whole LM fit. Each tier is
+    # micro-batch-grain (bounded by the arrival batch, never the corpus),
+    # so materializing it with localCheckpoint is O(batch) memory and
+    # turns the re-evaluations into local reads (guide §1.2/§5: fewer
+    # passes beat per-pass tuning; measured 17.7 s → see
+    # OPTIMIZATION_r15.md). foreachBatch hands this function a BATCH
+    # frame, so the checkpoint is always legal here.
     gate = quality_gate(batch_df, content_col=text_col).select(
         id_col, "keep", "reasons"
-    )
+    ).localCheckpoint()
     scored = perplexity(
         batch_df.join(gate.where("keep").select(id_col), id_col, "semi"),
         lm=lm,
         text_col=text_col,
         lang_col=lang_col,
         id_col=id_col,
-    ).select(id_col, "logppl")
+    ).select(id_col, "logppl").localCheckpoint()
     survivors = (
         batch_df.join(
             scored.where(F.col("logppl") <= ppl_cutoff).select(id_col), id_col, "semi"
         )
-    )
+    ).localCheckpoint()
     # batch_content_col=text_col (ADVICE r12): the gate and LM tiers already
     # score text_col; leaving the screen on its 'text' default either crashed
     # on a renamed column or silently screened the wrong one. The corpus

@@ -204,14 +204,20 @@ def test_lm_perplexity_no_windows_persisted_lm_single_scan(spark):
     operator anywhere (a (lang, prev) window would hold every continuation
     of a stop-word context in one unsplittable task), no cartesian, and
     map-side combine on the token volume. The one-shot self-trained plan
-    pays the documented five corpus scans (no exchange reuse across
-    grains); the train-once/score-many path (persisted lm tables) must
-    scan the corpus exactly ONCE."""
+    pays THREE corpus scans (bigram + scoring tokenize, plus the unigram
+    fit, which r15 materializes once with localCheckpoint — the totals
+    aggregation and the scoring join both read the checkpointed table
+    instead of re-running the corpus-wide tokenize+aggregate, so the old
+    five-scan shape is two scans lighter); the train-once/score-many path
+    (persisted lm tables) must scan the corpus exactly ONCE."""
     plan = _plan(spark, "lm_perplexity")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
-    assert plan.count("Scan parquet") == 5
+    assert plan.count("Scan parquet") == 3
+    # the checkpointed unigram table surfaces as an RDD scan (2 readers:
+    # totals + the scoring join)
+    assert plan.count("Scan ExistingRDD") == 2
 
     from mcp_synaptic_spark.operators import lm as LM
 
