@@ -1316,8 +1316,15 @@ def dedup_incremental(
     # a different name than the corpus (quality_admit_verdicts forwards its
     # text_col here while the corpus keeps its own column); None = same name.
     bcol = batch_content_col or content_col
-    b_hash = batch.select(F.col(id_col).alias("bid"), content_hash(F.col(bcol)).alias("ch"))
-    b_sh = _scoped_cache(shingle_sets(batch, bcol, id_col, shingle_n))
+    # ONE cached projection of the batch feeds the exact-hash tier, the
+    # shingle tier and the final verdict spine: the r15 plan audit found the
+    # three references re-evaluated the caller's full batch plan each (the
+    # graded query's batch is three filtered+rewritten corpus scans — 9
+    # parquet scans for 3 logical reads). O(batch) cache, the screen's own
+    # scale contract.
+    b_base = _scoped_cache(batch.select(F.col(id_col), F.col(bcol)))
+    b_hash = b_base.select(F.col(id_col).alias("bid"), content_hash(F.col(bcol)).alias("ch"))
+    b_sh = _scoped_cache(shingle_sets(b_base, bcol, id_col, shingle_n))
     # batch-side digest sets for the near verify (r12 — same fixed-width
     # recipe as minhash_lsh_pairs' verify block; oracle-mirrored)
     b_dg = b_sh.select(
@@ -1422,7 +1429,7 @@ def dedup_incremental(
         .otherwise(F.lit("admitted"))
     )
     return (
-        batch.select(F.col(id_col).alias("bid"))
+        b_base.select(F.col(id_col).alias("bid"))
         .join(exact, "bid", "left")
         .join(near, "bid", "left")
         .select(

@@ -411,17 +411,10 @@ def mllib_lsh_index_write(
 
     from .dedup import _collapse_stats
 
-    # ONE count+HLL aggregate serves both the staleness manifest's row count
-    # and the rep-collapse gate (note 120's merged-probe discipline)
-    base = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("_mid"), F.col(vec_col).alias("v")
-    )
-    stats = _collapse_stats(base, "v")
-    meta = {
+    meta_static = {
         "format": ANN_INDEX_FORMAT,
         "planes": [[float(x) for x in p] for p in planes],
         "bucket_length": bucket_length,
-        "n_rows": stats[0],
     }
     sidecar = os.path.join(path, "_planes.json")
     if not overwrite and os.path.exists(sidecar):
@@ -430,9 +423,26 @@ def mllib_lsh_index_write(
         # subset compare, not dict equality: an appended index carries extra
         # bookkeeping keys (appended_rows/appended_fps) that must not read
         # as staleness — a full-equality check would silently REBUILD the
-        # base corpus over the appends (r14, mllib_lsh_index_append)
-        if all(stored.get(k) == v for k, v in meta.items()):
+        # base corpus over the appends (r14, mllib_lsh_index_append).
+        # The row count runs as its own cheap job (count of the filter
+        # columns only — the vectors are never read) BEFORE the count+HLL
+        # collapse probe: the old merged-probe order scanned the vector
+        # column on every idempotent no-op call, a full corpus aggregate
+        # paid just to decide "nothing to do" (r15; at index scale the
+        # no-op must stay metadata-cheap).
+        if (
+            all(stored.get(k) == v for k, v in meta_static.items())
+            and stored.get("n_rows") == corpus.count()
+        ):
             return
+    # ONE count+HLL aggregate serves both the staleness manifest's row count
+    # and the rep-collapse gate (note 120's merged-probe discipline) — only
+    # reached when the index is actually (re)built
+    base = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("_mid"), F.col(vec_col).alias("v")
+    )
+    stats = _collapse_stats(base, "v")
+    meta = {**meta_static, "n_rows": stats[0]}
     # r13 rep grain: the hash+normalize stage is per-row and data-independent
     # (pure projection of the vector), so it runs once per DISTINCT vector;
     # the written rows carry the member-id arrays. At crawl duplication the
