@@ -4700,11 +4700,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     through r13 is in the git log of this docstring; the evidence ledger
     `EVIDENCE.json` + tools/evidence.py carry the machine-checked state.)
 
-    Round-15 window (this file): VERDICT r14 next-round #2 verbatim — the
-    new `ann_brp_append` oracled row (PLANS note 140 named it; the operator
-    itself landed in r14 unit/scale-pinned only) plus the full 18-row r11
-    cohort, now 4 rounds stale and rotated oldest-first. Then every query
-    whose operator files r15 touches: similarity.py (ADVICE r14's id-dtype
+    Round-15 window (this file): VERDICT r14 next-round #2 — the new
+    `ann_brp_append` oracled row (PLANS note 140 named it; the operator
+    itself landed in r14 unit/scale-pinned only), then every query whose
+    operator files r15 touches: similarity.py (ADVICE r14's id-dtype
     validation, the BRP append exact-merge default, and the per-write
     partitionOverwriteMode fix) stales the 10 SIM-backed rows; state/txn.py
     (range-partitioned txn data dirs, VERDICT r14 #4) stales the 3 txn rows
@@ -4712,18 +4711,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stales bm25_search_indexed, and the new bm25_index_append row takes its
     first grade beside it; memory_upsert_mor (the r15 merge-on-read tier,
     graded against the pure prio-windowed transform) takes its first grade
-    beside the txn rows. The 14 remaining discretionary slots take the
-    oldest-first r12 refresh (alphabetical head of the 28-row r12 cohort);
-    the other 14 r12 rows lead the r16 queue. The HLL AU-sketch
-    registry row (VERDICT r14 #7) found no slot this round — the sketch
-    stays covered by its exact-twin tolerance audits at 10×/100×.
+    beside the txn rows; and the r15 OPTIMIZATION commits to dedup.py,
+    clustering.py, lm.py and streaming/ingest.py (repeated-subtree
+    elimination — OPTIMIZATION_r15.md #1-#5) stale the 17 dedup-family +
+    LM + quality_admit + corpus_prep_pipeline rows. Changed-file rows are
+    a hard constraint (tools/evidence.py check), so the advisory r11-cohort
+    refresh takes the 15 remaining slots oldest-first (alphabetical); its
+    tail 3 (repetition_stats, search_by_metadata, token_stats — files
+    bit-unchanged since their r11 green) and the 13-row r12 refresh lead
+    the r16 queue instead. The HLL AU-sketch registry row (VERDICT r14 #7)
+    found no slot this round — the sketch stays covered by its exact-twin
+    tolerance audits at 10×/100×.
     """
     return {
         # --- r15 graded window (50): see docstring for the rotation logic
         # 1) first driver grade: the BRP index append (VERDICT r14 #2)
         "ann_brp_append": _q_ann_brp_append,
-        # 2) oldest-first refresh: the full 18-row r11 cohort (4 rounds
-        # stale; VERDICT r14 #2 ordered exactly this rotation)
+        # 2) oldest-first refresh: 15 of the 18-row r11 cohort (4 rounds
+        # stale; VERDICT r14 #2 ordered this rotation — the alphabetical
+        # tail 3 defer to r16 because the optimization-staled rows below
+        # are a hard evidence-ledger constraint on the 50 slots)
         "corpus_drift": _q_corpus_drift,
         "corpus_drift_lang": _q_corpus_drift_lang,
         "doc_change_feed": _q_doc_change_feed,
@@ -4739,9 +4746,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_keys": _q_props_keys,
         "quality_gate": _q_quality_gate,
         "quality_score": _q_quality_score,
-        "repetition_stats": _q_repetition_stats,
-        "search_by_metadata": _q_search_by_metadata,
-        "token_stats": _q_token_stats,
         # 3) r15-touched: operators/similarity.py (the three ADVICE r14
         # fixes: id-dtype validation, BRP append overlap merge, per-write
         # partitionOverwriteMode) stales the SIM-backed rows
@@ -4767,8 +4771,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # VERDICT r14 #5) + the new append row's first grade
         "bm25_search_indexed": _q_bm25_search_indexed,
         "bm25_index_append": _q_bm25_index_append,
-        # 6) remaining slots: oldest-first r12 refresh (alphabetical head;
-        # the 12 r12 rows that don't fit lead the r16 queue)
+        # 6) r15-touched by the OPTIMIZATION commits: operators/lm.py +
+        # streaming/ingest.py (quality-admit/LM repeated-subtree collapse),
+        # operators/dedup.py + operators/clustering.py (CC-twostar pair-set
+        # checkpoint, dedup_incremental batch cache) — OPTIMIZATION_r15.md
+        # #1-#5 stale every row these files back
+        "lm_perplexity": _q_lm_perplexity,
+        "lm_ppl_buckets": _q_lm_ppl_buckets,
+        "quality_admit": _q_quality_admit,
+        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_capped": _q_dedup_simhash_capped,
+        "dedup_substring": _q_dedup_substring,
+        "dedup_substring_apply": _q_dedup_substring_apply,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_twostar": _q_dedup_clusters_twostar,
+        "dedup_apply_clusters": _q_dedup_apply_clusters,
+        "dedup_apply_fused": _q_dedup_apply_fused,
+        # ---- entry 50 ends here ------------------------------------------
+        # tail: every entry below is green in CORRECTNESS_r11/r12/r13/r14
+        # with operator files unchanged since (EVIDENCE.json +
+        # tools/evidence.py enforce it). The deferred r11 tail-3 and the
+        # 13-row r12 refresh lead the r16 queue.
+        "repetition_stats": _q_repetition_stats,
+        "search_by_metadata": _q_search_by_metadata,
+        "token_stats": _q_token_stats,
         "chunk_documents": _q_chunk_documents,
         "corpus_summary": _q_corpus_summary,
         "decontaminate": _q_decontaminate,
@@ -4782,12 +4814,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "events_sliding": _q_events_sliding,
         "frame_sample": _q_frame_sample,
-        "lm_perplexity": _q_lm_perplexity,
-        # ---- entry 50 ends here ------------------------------------------
-        "lm_ppl_buckets": _q_lm_ppl_buckets,
-        # tail: every entry below is green in CORRECTNESS_r12/r13/r14 with
-        # operator files unchanged since (EVIDENCE.json + tools/evidence.py
-        # enforce it)
         "memory_access_replay": _q_memory_access_replay,
         "parse_ttl": _q_parse_ttl,
         "time_until_expiry": _q_time_until_expiry,
@@ -4810,21 +4836,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _q_events_retention,
         "events_retention_weekly": _q_events_retention_weekly,
         "events_active_users": _q_events_active_users,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_keep_first": _q_dedup_keep_first,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash_capped": _q_dedup_simhash_capped,
-        "dedup_substring": _q_dedup_substring,
-        "dedup_substring_apply": _q_dedup_substring_apply,
-        "dedup_rate_by_source": _q_dedup_rate_by_source,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_clusters_twostar": _q_dedup_clusters_twostar,
-        "dedup_apply_clusters": _q_dedup_apply_clusters,
-        "dedup_apply_fused": _q_dedup_apply_fused,
-        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
-        "quality_admit": _q_quality_admit,
         "assemble_context": _q_assemble_context,
         "bm25_search": _q_bm25_search,
         "rag_search": _q_rag_search,
