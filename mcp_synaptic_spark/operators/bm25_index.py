@@ -155,16 +155,31 @@ def bm25_index_write(
             and "sum_dl" in have
         ):
             return
-    per_doc = docs.select(
-        F.col(id_col).alias("id"), _tokens_expr(content_col).alias("toks")
-    ).select("id", F.size("toks").alias("dl"), "toks")
+    # Materialize the NARROW doc-length table once (two longs per doc) and
+    # feed the stats aggregate AND the docs/ sidecar write from it: the old
+    # shape referenced `per_doc` three times, and with no common-subtree
+    # reuse each reference re-scanned and RE-TOKENIZED the corpus — a build
+    # paid 3 tokenize passes + the fingerprint scan (r15 plan audit; the
+    # append path below already checkpointed its bounded per_doc for the
+    # same reason). Only (id, dl) is checkpointed — never toks, which would
+    # re-materialize the corpus — so the build is now exactly 2 tokenize
+    # passes: this one and the postings explode.
+    doc_dl = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(_tokens_expr(content_col)).alias("dl"),
+    ).localCheckpoint(eager=True)
     # avgdl over ALL docs (empty ones included) — bm25_search's F.avg("dl").
     # sum_dl rides the same agg: dl are ints summed exactly (≪ 2^53), so
     # avgdl ≡ sum_dl / n_docs bit-for-bit, which is what lets the APPEND
-    # path update avgdl incrementally without a corpus rescan.
-    stats_row = per_doc.agg(
+    # path update avgdl incrementally without a corpus rescan. (avg of an
+    # int column is an exact long sum + one final division, so the value is
+    # partitioning-independent — checkpointing changes nothing.)
+    stats_row = doc_dl.agg(
         F.avg("dl").alias("avgdl"), F.sum("dl").alias("sum_dl")
     ).first()
+    per_doc = docs.select(
+        F.col(id_col).alias("id"), _tokens_expr(content_col).alias("toks")
+    ).select("id", F.size("toks").alias("dl"), "toks")
     postings = (
         per_doc.select("id", "dl", F.explode("toks").alias("term"))
         .groupBy("term", "id", "dl")  # dl is functionally dependent on id
@@ -177,7 +192,7 @@ def bm25_index_write(
     # doc-grain sidecar table (id, dl): the append path's overlap guard
     # semi-joins against THIS — n_docs rows of two longs — instead of the
     # full postings table; never read by the probe
-    per_doc.select("id", "dl").write.mode("overwrite").parquet(
+    doc_dl.write.mode("overwrite").parquet(
         os.path.join(path, "docs")
     )
     # a rebuild IS the generation compaction: the full corpus just landed in
