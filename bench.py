@@ -47,6 +47,20 @@ def main() -> None:
     qs = {k: v for k, v in qs.items() if k not in set(sets["skip_write_path"])}
     # warm-up: prime JVM, codegen cache, and the parquet footer reads
     next(iter(qs.values()))(spark, sf_dir).collect()
+    # Python-worker/Arrow warm-up (r15, measurement hygiene — OPTIMIZATION_
+    # r15.md "Arrow warm-up"): the FIRST mapInPandas/ArrowEval query of a
+    # session pays the one-time Python worker-pool fork + Arrow codepath
+    # init (~8-12 s observed landing on whichever Arrow query runs first,
+    # usually multimodal_features), which is session setup, not query cost —
+    # exactly like the JVM/codegen warm-up above. One trivial 2×core-count-
+    # partition mapInPandas outside the timed region forks the reused worker
+    # pool (spark.python.worker.reuse default) so every timed Arrow query
+    # measures its plan. Queries' semantics and the timed methodology are
+    # unchanged; pre-warm-up boards remain in BENCH_r14/bench_before.json.
+    n_warm = 2 * spark.sparkContext.defaultParallelism
+    spark.range(0, n_warm, 1, n_warm).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
     # build-once indexes are ETL, not read-path work: materialize the IVF and
     # BRP-LSH indexes outside the timed region so ann_ivf_topk/ann_mllib_lsh
     # measure the probe (pruned scan + re-rank), matching the build/probe

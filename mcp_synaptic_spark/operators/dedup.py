@@ -710,7 +710,11 @@ def simhash_pairs(
 
 
 def _exact_collapse_vec(
-    embeddings: DataFrame, vec_col: str, id_col: str, collapse: bool | str = "auto"
+    embeddings: DataFrame,
+    vec_col: str,
+    id_col: str,
+    collapse: bool | str = "auto",
+    stats: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, DataFrame | None, int]:
     """`_exact_collapse` for VECTORS (r12 — note 108's pattern applied to
     the embedding near-dup family): collapse bit-identical embedding
@@ -732,6 +736,11 @@ def _exact_collapse_vec(
     with one count+HLL aggregate over the array column and skips below
     COLLAPSE_MIN_DUP_FRAC. Byte-identical output on every setting.
 
+    ``stats``: a precomputed (n_rows, approx distinct vectors) pair from
+    the SAME count+HLL probe shape (the similarity.py `stats=` threading
+    discipline, r15) — callers that already probed the corpus for their own
+    routing pass it through so the gate costs zero extra jobs.
+
     Returns (reps, members, n_vecs): reps = (id, v, grp_n); members =
     (rid, id, grp_n) or None when skipped; n_vecs = the vector count from
     the probe (-1 when the gate was pinned).
@@ -741,7 +750,7 @@ def _exact_collapse_vec(
     )
     n = -1
     if collapse == "auto":
-        n, d = _collapse_stats(base, "v")
+        n, d = stats if stats is not None else _collapse_stats(base, "v")
         collapse = _should_collapse(n, d)
     if not collapse:
         # cast("long"): same mixed-parquet-type hazard as _exact_collapse's
@@ -836,17 +845,28 @@ def embedding_near_dup_pairs(
     auto_lsh=True (default): when N² exceeds `max_exact_pairs` the call
     delegates to `embedding_near_dup_pairs_lsh` (auto-sized planes, same
     threshold) — the r7-measured scale path whose output is a subset of the
-    exact pass with near-certain recall on near-exact duplicates. The one
-    extra count() job that sizes the switch rides the parquet footer /
-    cached input. auto_lsh=False pins the exact N² audit pass at any size.
+    exact pass with near-certain recall on near-exact duplicates. The
+    routing size rides the SAME count+HLL probe the collapse gate needs
+    (r15 — threaded via `stats=` into whichever path fires, the
+    similarity.py discipline), so the switch costs zero extra corpus
+    passes; the pre-r15 shape paid a separate count() job on every call.
+    auto_lsh=False pins the exact N² audit pass at any size.
     """
     if dim is None:
         dim = probe_dim(embeddings, vec_col)
+    stats = None
     if auto_lsh:
-        n = embeddings.count()
-        if n * n > max_exact_pairs:
+        stats = _collapse_stats(
+            _ensure_parallelism(embeddings).select(F.col(vec_col).alias("v")), "v"
+        )
+        if stats[0] * stats[0] > max_exact_pairs:
             return embedding_near_dup_pairs_lsh(
-                embeddings, id_col=id_col, vec_col=vec_col, threshold=threshold, dim=dim
+                embeddings,
+                id_col=id_col,
+                vec_col=vec_col,
+                threshold=threshold,
+                dim=dim,
+                stats=stats,
             )
     # v stays the RAW storage array: dot_fixed casts each element itself, and
     # wrapping in as_double() here would let projection collapse inline the
@@ -858,7 +878,7 @@ def embedding_near_dup_pairs(
     # pass runs at DISTINCT-VECTOR grain — quadratic in distinct vectors,
     # not documents — and the id contract is recovered by expansion.
     _release_stale()
-    reps, members, _n = _exact_collapse_vec(embeddings, vec_col, id_col)
+    reps, members, _n = _exact_collapse_vec(embeddings, vec_col, id_col, stats=stats)
     base = _scoped_cache(
         reps.select("id", "v", norm(as_double(F.col("v"))).alias("nrm"))
     )
@@ -911,9 +931,15 @@ def embedding_near_dup_pairs_lsh(
     n_tables: int = 6,
     seed: int = 42,
     max_bucket: int | None = None,
+    stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: L independent hyperplane-LSH tables
     replace the N² pass (same banding shape as minhash_lsh_pairs).
+
+    ``stats``: precomputed (n_rows, approx distinct vectors) from the
+    count+HLL probe shape — the auto-routing caller
+    (embedding_near_dup_pairs) passes its routing probe through so the
+    collapse gate and the auto_n_planes sizing cost zero extra jobs here.
 
     A pair is a candidate if it shares a bucket in ANY table; only candidates
     get the exact fp64 cosine verification, so the self-join key is
@@ -951,7 +977,7 @@ def embedding_near_dup_pairs_lsh(
     # auto_n_planes keeps sizing on the DOCUMENT count, so bucket
     # parameters — hence the candidate set and recall — are byte-identical
     # to the uncollapsed pass.
-    reps, members, n_vecs = _exact_collapse_vec(embeddings, vec_col, id_col)
+    reps, members, n_vecs = _exact_collapse_vec(embeddings, vec_col, id_col, stats=stats)
     base = _scoped_cache(
         reps.select("id", "v", norm(as_double(F.col("v"))).alias("nrm"), "grp_n")
     )
