@@ -1385,12 +1385,18 @@ def _q_doc_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_synaptic_spark.operators import documents as DOC
 
     docs = _t(spark, sf_dir, "documents")
-    new_rows = spark.createDataFrame(
-        [
-            (3, "replacement text for document three", "en", "synthetic", 35),
-            (999999, "a brand new synthetic document", "en", "synthetic", 30),
-        ],
-        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+    # SQL VALUES, not createDataFrame (r16): a 2-row createDataFrame plans
+    # as applySchemaToPythonRDD — a pickled Python-RDD evaluated through
+    # core-count Python worker tasks on every action (driver r15 board:
+    # 3.1 s / core-ratio 0.20 for a query whose window reads THREE rows).
+    # VALUES is a JVM LocalRelation: same rows, zero Python tasks.
+    new_rows = spark.sql(
+        "SELECT * FROM VALUES "
+        "(CAST(3 AS BIGINT), 'replacement text for document three', "
+        "'en', 'synthetic', CAST(35 AS BIGINT)), "
+        "(CAST(999999 AS BIGINT), 'a brand new synthetic document', "
+        "'en', 'synthetic', CAST(30 AS BIGINT)) "
+        "AS t(doc_id, text, lang, source, n_chars)"
     )
     out = DOC.document_add(docs, new_rows)
     return out.where(F.col("doc_id").isin([3, 4, 999999])).select(

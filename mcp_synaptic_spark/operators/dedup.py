@@ -1570,12 +1570,18 @@ def dedup_index_write(
         F.array_distinct(F.transform("shingles", _h)).alias("dg"),
     )
     from ..functions.text import content_hash
+    from ..util import sized_for_write
 
-    reps.select(
-        F.col("id").alias("cid"), content_hash(F.col("_content")).alias("ch")
+    # file sizing (r16, guide §6): one file per ~_MIN_FILE_BYTES instead of
+    # one tiny file per compute task — probes re-open every file of all
+    # three tables on each screen call
+    sized_for_write(
+        reps.select(
+            F.col("id").alias("cid"), content_hash(F.col("_content")).alias("ch")
+        )
     ).write.mode(mode).parquet(os.path.join(path, "hashes"))
-    digests.write.mode(mode).parquet(os.path.join(path, "digests"))
-    buckets.write.mode(mode).parquet(os.path.join(path, "buckets"))
+    sized_for_write(digests).write.mode(mode).parquet(os.path.join(path, "digests"))
+    sized_for_write(buckets).write.mode(mode).parquet(os.path.join(path, "buckets"))
     if mode != "append":
         # append mode never rewrites the manifest: the parameters were just
         # READ from it (dedup_index_append), and a truncating rewrite would

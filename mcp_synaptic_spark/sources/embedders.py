@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from ..util import ensure_parallelism
+from ..util import _LIGHT_TASK_BYTES, ensure_parallelism
 
 
 def _hash_vector(text: str, dim: int) -> list[float] | None:
@@ -70,8 +70,12 @@ def hash_embedder(
                 }
             )
 
-    # Python-side work scales with cores, not input splits
-    return ensure_parallelism(docs).mapInPandas(run, schema=_embed_schema(id_field))
+    # light per-row transform: fan-out follows input BYTES, core-capped
+    # (r16, guide §2 — a 600 KB scan fanned to 32 Arrow tasks paid more in
+    # per-task setup than the hashing; driver core-ratio 0.31)
+    return ensure_parallelism(docs, per_task_bytes=_LIGHT_TASK_BYTES).mapInPandas(
+        run, schema=_embed_schema(id_field)
+    )
 
 
 def api_embedder(

@@ -20,7 +20,17 @@ _SMALL_INPUT_BYTES = 256 << 20
 _PAR_DECISION: dict[tuple, bool] = {}
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
+#: Bytes of input per task for LIGHT Python/Arrow transforms (per-row
+#: hashing, fake decoders): per-task overhead (Arrow stream setup + Python
+#: worker round-trip) exceeds the work below this, so fanning a 600 KB scan
+#: to 32 tasks ran SLOWER at 32 cores than 8 (driver r15 core-ratios:
+#: embed_texts 0.31, multimodal_features 0.22). Heavy CPU stages (pairwise
+#: arithmetic, seeded vector hashing) keep the unconditional core fan-out —
+#: their cost scales with rows², not bytes.
+_LIGHT_TASK_BYTES = int(os.environ.get("SPARK_GRAFT_LIGHT_TASK_BYTES", str(256 << 10)))
+
+
+def ensure_parallelism(df: DataFrame, *, per_task_bytes: int | None = None) -> DataFrame:
     """Repartition to core count when the input is small.
 
     CPU-bound stages (shingling, seeded hashing, pairwise arithmetic,
@@ -35,6 +45,11 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
       every core.
     - anything bigger, non-local (object store), or file-less → returned
       untouched; at production scale input splits >> cores already.
+
+    ``per_task_bytes`` (r16, guide §2): for LIGHT per-row transforms, cap
+    fan-out at ``ceil(bytes / per_task_bytes)`` tasks instead of always
+    using every core — scale-adaptive (grows with input until core-capped),
+    so the sf-tier bench and the cluster see the same rule.
     """
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -44,10 +59,10 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         files = ()
     if not files:
         # No scan underneath (literal/derived data) — tiny by construction.
-        return df.repartition(par)
+        return df.repartition(par if per_task_bytes is None else 1)
     key = (spark.sparkContext.applicationId, files)
-    small = _PAR_DECISION.get(key)
-    if small is None:
+    sized = _PAR_DECISION.get(key)
+    if sized is None:
         total = 0
         small = True
         for f in files:
@@ -65,8 +80,59 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
             if total >= _SMALL_INPUT_BYTES:
                 small = False
                 break
-        _PAR_DECISION[key] = small
-    return df.repartition(par) if small else df
+        sized = (small, total)
+        _PAR_DECISION[key] = sized
+    small, total = sized
+    if not small:
+        return df
+    if per_task_bytes is not None:
+        return df.repartition(max(1, min(par, -(-total // per_task_bytes))))
+    return df.repartition(par)
+
+
+#: Minimum bytes of (estimated) data per output file before a write fans out
+#: to another task — guide §6: files in the 128MB-1GB band read well; one
+#: file per compute task turns a 2 MB index into 500 × 4 KB files that every
+#: probe re-opens (measured r16: the sf0.1 IVF append index was 2.3 MB in
+#: 503 files). Env-tunable for cluster profiles.
+_MIN_FILE_BYTES = int(os.environ.get("SPARK_GRAFT_MIN_FILE_BYTES", str(16 << 20)))
+
+
+def sized_for_write(df: DataFrame, *, by: str | None = None) -> DataFrame:
+    """Repartition a frame about to be WRITTEN so output file count follows
+    data size, not compute-task count (guide §6).
+
+    The compute stages above keep their core-count fan-out (this adds a
+    shuffle of exactly the bytes being written); the write stage gets
+    ``clamp(bytes / _MIN_FILE_BYTES, 1, cores)`` tasks, estimated from the
+    frame's local input files (the ensure_parallelism probe — no job). A
+    non-local or file-less input returns the frame untouched: at cluster
+    scale the writer's own layout governs.
+
+    ``by``: a partitionBy column — rows are hash-repartitioned on it so each
+    partition directory receives files from one task per write instead of
+    one file per task that holds the value.
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        files = ()
+    if not files:
+        # no size signal (checkpointed/derived frame) — leave the layout
+        # alone rather than guess; callers size BEFORE a checkpoint
+        return df
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return df
+        try:
+            total += os.path.getsize(urllib.parse.unquote(f[len("file:"):]))
+        except OSError:
+            return df
+    n = max(1, min(cores, -(-total // _MIN_FILE_BYTES)))
+    return df.repartition(n, by) if by else df.repartition(n)
 
 
 # ---------------------------------------------------------------------------

@@ -4,6 +4,7 @@ guard rebuilds on corpus change, and k1/b stay query-time parameters."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -193,9 +194,26 @@ def test_append_probe_equals_rebuild(spark, docs, tmp_path):
     # an idempotent re-run of the BASE write must not rebuild over appends
     bm25_index_write(base, path)
     assert _files(path) == snap
-    # nor a write of the full union corpus (additive fingerprint matches)
+    # nor a write of the full union corpus (additive fingerprint matches).
+    # r16: a no-op certified by the exact fingerprint may REFRESH the
+    # manifest's src_snapshots list (the metadata-only short-circuit for
+    # the next call) — data files must stay untouched, and the
+    # index-defining manifest fields must be unchanged.
+    def _data_files(fs):
+        return {p: t for p, t in fs.items() if not p.endswith("_meta.json")}
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta_before = json.load(f)
     bm25_index_write(docs, path)
-    assert _files(path) == snap
+    assert _data_files(_files(path)) == _data_files(snap)
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta_after = json.load(f)
+    for k in ("n_docs", "sum_dl", "avgdl", "corpus_fp", "gens", "n_buckets"):
+        assert meta_after.get(k) == meta_before.get(k), k
+    # and the refreshed snapshot makes the NEXT identical call zero-touch
+    snap2 = _files(path)
+    bm25_index_write(docs, path)
+    assert _files(path) == snap2
 
 
 def test_append_overlap_drops_readded_ids(spark, docs, tmp_path):
@@ -308,3 +326,45 @@ def test_append_crash_before_manifest_commit_is_invisible_and_retryable(
     assert _rows(bm25_search_indexed(spark, path, QUERY, k=10)) == _rows(
         bm25_search_indexed(spark, rebuilt, QUERY, k=10)
     )
+
+
+def test_write_noop_runs_zero_spark_jobs(spark, docs, tmp_path):
+    """r16: the staleness guard's metadata-only short-circuit — a repeated
+    idempotent bm25_index_write over an unchanged parquet-backed corpus runs
+    ZERO Spark jobs (the declared probe query used to pay a full corpus
+    content fingerprint scan on every call)."""
+    path = str(tmp_path / "idx_zero")
+    bm25_index_write(docs, path)  # build; records the source snapshot
+    sc = spark.sparkContext
+    sc.setJobGroup("bm25-noop-guard", "no-op write must be metadata-only")
+    try:
+        bm25_index_write(docs, path)
+        jobs = sc.statusTracker().getJobIdsForGroup("bm25-noop-guard")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == []
+    # a changed corpus (same files + different filter = different plan)
+    # must NOT take the short-circuit: it falls to the exact fingerprint
+    # and rebuilds
+    bm25_index_write(docs.where(F.col("doc_id") % 2 == 0), path)
+    _, meta = bm25_index_load(spark, path)
+    assert meta["n_docs"] == docs.where(F.col("doc_id") % 2 == 0).count()
+
+
+def test_df_sidecar_matches_postings_counts(spark, docs, index_path):
+    """r16: the per-term df sidecar must equal counting the postings —
+    the probe injects these values as idf literals, so a drift here would
+    silently skew every score."""
+    from mcp_synaptic_spark.operators.bm25_index import _load_full
+
+    postings, termdf, _meta = _load_full(spark, index_path)
+    assert termdf is not None
+    want = {
+        r["term"]: r["n"]
+        for r in postings.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {
+        r["term"]: r["df"]
+        for r in termdf.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+    assert got == want

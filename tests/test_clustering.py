@@ -81,6 +81,7 @@ def test_twostar_matches_hashmin_on_basics(spark):
         assert ts == hm, rows
 
 
+@pytest.mark.volume
 def test_twostar_adversarial_chain_converges_logarithmically(spark):
     """The flag's reason to exist: a diameter-31 path needs 31 HashMin rounds
     but must finish well within 12 two-star rounds (O(log n))."""
@@ -90,6 +91,7 @@ def test_twostar_adversarial_chain_converges_logarithmically(spark):
     assert got == {i: 1 for i in range(1, 33)}
 
 
+@pytest.mark.volume
 def test_twostar_equivalence_on_random_graphs(spark):
     """Property equivalence vs both HashMin and a pure-Python union-find
     model on seeded random graphs (hypothesis's Spark round-trips are too
@@ -136,6 +138,7 @@ def test_twostar_bad_algorithm_rejected(spark):
         CL.connected_components(_pairs(spark, [(1, 2)]), algorithm="bogus")
 
 
+@pytest.mark.volume
 def test_dedup_corpus_minhash_equals_unfused_composition(spark):
     """r12 fused corpus dedup: dedup_corpus_minhash must keep EXACTLY the
     documents dedup_corpus(docs, minhash_lsh_pairs(docs)) keeps — on a

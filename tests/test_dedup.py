@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mcp_synaptic_spark.operators import dedup as D
+import pytest
 
 BASE = "the quick brown fox jumps over the lazy dog again and again today"
 NEAR = "the quick brown fox jumps over the lazy dog again and again tomorrow"  # 1-word diff
@@ -114,6 +115,7 @@ def test_embedding_lsh_recall_and_exactness(spark, sf_dir):
     assert len(approx & exact) / len(exact) >= 0.6  # theory ≈0.86 at θ≈0.45
 
 
+@pytest.mark.volume
 def test_embedding_lsh_crossover_beats_exact(spark):
     """The LSH scale path must BEAT the exact N² baseline somewhere
     measurable (VERDICT r5 #5) — with auto-sized n_planes (None → derived
@@ -828,6 +830,7 @@ def test_dedup_rate_by_group(spark):
     assert out["s2"].dup_rate == 0.0 and out["s2"].n_unique == 2
 
 
+@pytest.mark.volume
 def test_minhash_collapse_byte_identical_to_uncollapsed(spark):
     """r11 exact-dup pre-collapse: the collapsed pipeline must reproduce the
     UNCOLLAPSED pipeline's output row set exactly — cross-group pairs,
@@ -878,6 +881,7 @@ def test_minhash_collapse_byte_identical_to_uncollapsed(spark):
     assert capped < uncapped
 
 
+@pytest.mark.volume
 def test_ngram_collapse_byte_identical_to_uncollapsed(spark):
     """r12 exact-dup pre-collapse on the inverted-index Jaccard tier: the
     collapsed pipeline must reproduce the UNCOLLAPSED pipeline's row set
@@ -930,6 +934,7 @@ def test_ngram_collapse_byte_identical_to_uncollapsed(spark):
     assert capped < full
 
 
+@pytest.mark.volume
 def test_simhash_collapse_byte_identical_to_uncollapsed(spark):
     """r12 exact-dup pre-collapse on the SimHash pigeonhole tier: collapsed
     output == uncollapsed output exactly, uncapped AND with a binding
@@ -984,6 +989,7 @@ def test_simhash_collapse_byte_identical_to_uncollapsed(spark):
     assert capped < uncapped
 
 
+@pytest.mark.volume
 def test_embedding_collapse_byte_identical_to_uncollapsed(spark):
     """r12 exact-dup pre-collapse on the embedding near-dup family
     (_exact_collapse_vec): both the exact N² arm and the LSH arm must
@@ -1077,6 +1083,7 @@ def test_embedding_collapse_byte_identical_to_uncollapsed(spark):
     assert capped < uncapped
 
 
+@pytest.mark.volume
 def test_dedup_index_probe_cap_counts_documents(spark, tmp_path):
     """r12 rep-grain index: with a BINDING occupancy cap, the persisted
     probe (grp_n-weighted cap over stored rep rows) must equal the inline

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from mcp_synaptic_spark.functions import text as TX
 from mcp_synaptic_spark.functions import ttl as TTL
 from mcp_synaptic_spark.functions.vector import cosine_similarity, cosine_similarity_fixed
+import pytest
 
 PROP = settings(
     max_examples=10,
@@ -275,6 +276,7 @@ def test_repetition_stats_matches_model(spark, docs):
 
 @PROP
 @given(st.lists(_WORDS, min_size=1, max_size=10))
+@pytest.mark.volume
 def test_substring_stats_and_apply_agree_with_model(spark, docs):
     """Model windowed substring dedup in pure Python (n=3 keeps examples
     interesting at hypothesis sizes) and check BOTH halves against it."""
@@ -480,6 +482,7 @@ def test_quantize_matches_model(spark, vecs):
     ),
     st.integers(0, 2),
 )
+@pytest.mark.volume
 def test_editdist_collapse_expansion_matches_brute_force(spark, rows, k):
     """Duplication-heavy random corpora (a 3-letter alphabet over short
     strings collides constantly): the r10 exact-dup pre-collapse plus

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from mcp_synaptic_spark.operators import rag as R
 from mcp_synaptic_spark.operators import similarity as S
 from mcp_synaptic_spark.sources.tables import load_table
+import pytest
 
 K = 5
 
@@ -179,6 +180,7 @@ def test_mllib_lsh_indexed_matches_fit_path(spark, sf_dir, tmp_path):
     assert rebuilt.count() == 1
 
 
+@pytest.mark.volume
 def test_rep_grain_index_byte_identical_on_dup_heavy_corpus(spark, sf_dir, tmp_path):
     """r13 rep-grain indexes (VERDICT r12 next-round #1, note 117b): on a
     corpus with heavy vector duplication the persisted BRP and IVF indexes
@@ -610,6 +612,7 @@ def _np_argmin_cells(vectors, centroids):
     return out
 
 
+@pytest.mark.volume
 def test_ivf_index_append_merges_dups_and_assigns_fresh(spark, sf_dir, tmp_path):
     """VERDICT r13 next-round #3 ground truths: (a) a batch vector identical
     to an indexed vector merges its member ids into the EXISTING rep row —
@@ -703,6 +706,7 @@ def test_ivf_index_append_merges_dups_and_assigns_fresh(spark, sf_dir, tmp_path)
         assert tuple(match[0]["ids"]) == ids and match[0]["cell"] == cell
 
 
+@pytest.mark.volume
 def test_ivf_index_append_idempotent_and_probe_equivalent(spark, sf_dir, tmp_path):
     """(d) re-appending an absorbed batch is a metadata no-op — the batch
     fingerprint short-circuits before any scan, and the committed parquet

@@ -75,6 +75,7 @@ def _truth(rows, k):
 
 
 @pytest.mark.parametrize("k", [0, 1, 2, 3])
+@pytest.mark.volume
 def test_both_arms_match_brute_force(spark, k):
     rows = _corpus()
     df = spark.createDataFrame(rows, "doc_id long, text string")

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from mcp_synaptic_spark.state.txn import TxnTable, drain_events
 from mcp_synaptic_spark.streaming.expiry import sweep_once_txn
+import pytest
 
 SCHEMA = "key string, updated_at timestamp, expires_at timestamp, payload string"
 
@@ -257,6 +258,7 @@ def test_sweep_backend_flag_dispatch(spark, tmp_path):
         sweep_once(spark, pq_state, pq_events, backend="nope")
 
 
+@pytest.mark.volume
 def test_txn_random_op_sequences_match_dict_model(spark, tmp_path):
     """Model-based check: random interleaved upsert/delete sequences applied
     to a TxnTable must match a plain dict model applying the same ops — the

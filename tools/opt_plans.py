@@ -1,8 +1,8 @@
-"""Dump .explain("formatted") for declared queries to plans/r15/.
+"""Dump .explain("formatted") for declared queries to plans/r16/ (env-overridable).
 
 Usage:
-    python tools/opt_plans.py before [query ...]   # plans/r15/<q>_before.txt
-    python tools/opt_plans.py after  [query ...]   # plans/r15/<q>_after.txt
+    python tools/opt_plans.py before [query ...]   # plans/r16/<q>_before.txt
+    python tools/opt_plans.py after  [query ...]   # plans/r16/<q>_after.txt
 
 With no query names, dumps every queries() entry. Mirrors bench.py's
 environment contract ($SPARK_GRAFT_SF_DIR / $SPARK_GRAFT_CPUS via
@@ -28,7 +28,7 @@ def main() -> None:
     assert suffix in ("before", "after"), suffix
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r16"))
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("opt-plans")
