@@ -943,12 +943,21 @@ def _q_memory_access_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure window functions — lag + running min — no UDF state."""
     mem = _memories(spark, sf_dir)
     ev = _t(spark, sf_dir, "events")
+    keys = ["mem-5", "mem-7", "mem-42", "mem-9999"]
     access = ev.select(
         F.concat(F.lit("mem-"), (F.col("event_id") % 500).cast("string")).alias("key"),
         F.col("ts"),
     )
-    out = M.apply_access_log(mem, access)
-    return out.where(F.col("key").isin(["mem-5", "mem-7", "mem-42", "mem-9999"])).select(
+    # manual pushdown of the output's key filter (r16, guide §2.3): the
+    # fold is per-key independent (join + windows all partition by key), so
+    # filtering BOTH inputs to the probed keys is output-identical — but
+    # Catalyst cannot push the filter itself: `key` is derived
+    # (concat/modulo) on the access side and the fold's window/aggregate
+    # sit between the filter and the scans. Before: 3 full events scans +
+    # corpus-wide window shuffles for a 4-row answer.
+    access = access.where(F.col("key").isin(keys))
+    out = M.apply_access_log(mem.where(F.col("key").isin(keys)), access)
+    return out.where(F.col("key").isin(keys)).select(
         "key", "access_count", "last_accessed_at", "expires_at"
     )
 
