@@ -4715,55 +4715,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     through r13 is in the git log of this docstring; the evidence ledger
     `EVIDENCE.json` + tools/evidence.py carry the machine-checked state.)
 
-    Round-15 window (this file): VERDICT r14 next-round #2 — the new
-    `ann_brp_append` oracled row (PLANS note 140 named it; the operator
-    itself landed in r14 unit/scale-pinned only), then every query whose
-    operator files r15 touches: similarity.py (ADVICE r14's id-dtype
-    validation, the BRP append exact-merge default, and the per-write
-    partitionOverwriteMode fix) stales the 10 SIM-backed rows; state/txn.py
-    (range-partitioned txn data dirs, VERDICT r14 #4) stales the 3 txn rows
-    + dedup_incremental; bm25_index.py (incremental append, VERDICT r14 #5)
-    stales bm25_search_indexed, and the new bm25_index_append row takes its
-    first grade beside it; memory_upsert_mor (the r15 merge-on-read tier,
-    graded against the pure prio-windowed transform) takes its first grade
-    beside the txn rows; and the r15 OPTIMIZATION commits to dedup.py,
-    clustering.py, lm.py and streaming/ingest.py (repeated-subtree
-    elimination — OPTIMIZATION_r15.md #1-#5) stale the 17 dedup-family +
-    LM + quality_admit + corpus_prep_pipeline rows. Changed-file rows are
-    a hard constraint (tools/evidence.py check), so the advisory r11-cohort
-    refresh takes the 15 remaining slots oldest-first (alphabetical); its
-    tail 3 (repetition_stats, search_by_metadata, token_stats — files
-    bit-unchanged since their r11 green) and the 13-row r12 refresh lead
-    the r16 queue instead. The HLL AU-sketch registry row (VERDICT r14 #7)
-    found no slot this round — the sketch stays covered by its exact-twin
-    tolerance audits at 10×/100×.
+    Round-16 window (this file): every query whose operator files the r16
+    OPTIMIZATION commits touch is a hard evidence-ledger constraint —
+    similarity.py (bytes-sized index writes), bm25_index.py (staleness
+    snapshot + per-term df sidecar + load memo), dedup.py (corpus-tier
+    checkpoint in dedup_incremental, sized index writes), pipeline.py
+    (plane-sizing count reuse), sources/embedders.py + multimodal.py
+    (bytes-sized light-Arrow fan-out). That stales the ann/dedup/bm25
+    cohort already in the r15 window plus 15 out-of-window rows
+    (chunk_documents..multimodal_features below). memory_access_replay
+    re-enters for a fresh grade because its ENTRY query was restructured
+    (per-key input pruning; output-identical, oracle re-proves it). The
+    remaining slots take the promised advisory refresh oldest-first: the
+    r11 tail-3 (repetition_stats, search_by_metadata, token_stats) and two
+    r12 rows (corpus_summary, events_anomaly). Rotated out to the tail: 15
+    r15-graded rows whose files r16 does not touch (corpus_drift..
+    quality_score), the 4 txn rows and the 2 LM rows (state/txn.py and
+    lm.py are r16-untouched; their r15 grades stand in the ledger).
     """
     return {
-        # --- r15 graded window (50): see docstring for the rotation logic
-        # 1) first driver grade: the BRP index append (VERDICT r14 #2)
+        # --- r16 graded window (50): see docstring for the rotation logic
         "ann_brp_append": _q_ann_brp_append,
-        # 2) oldest-first refresh: 15 of the 18-row r11 cohort (4 rounds
-        # stale; VERDICT r14 #2 ordered this rotation — the alphabetical
-        # tail 3 defer to r16 because the optimization-staled rows below
-        # are a hard evidence-ledger constraint on the 50 slots)
-        "corpus_drift": _q_corpus_drift,
-        "corpus_drift_lang": _q_corpus_drift_lang,
-        "doc_change_feed": _q_doc_change_feed,
-        "doc_summary": _q_doc_summary,
-        "events_json": _q_events_json,
-        "fingerprint": _q_fingerprint,
-        "hybrid_search": _q_hybrid_search,
-        "lang_distribution": _q_lang_distribution,
-        "lang_id": _q_lang_id,
-        "max_score": _q_max_score,
-        "memory_report": _q_memory_report,
-        "orders_page": _q_orders_page,
-        "props_keys": _q_props_keys,
-        "quality_gate": _q_quality_gate,
-        "quality_score": _q_quality_score,
-        # 3) r15-touched: operators/similarity.py (the three ADVICE r14
-        # fixes: id-dtype validation, BRP append overlap merge, per-write
-        # partitionOverwriteMode) stales the SIM-backed rows
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_mllib_lsh": _q_ann_mllib_lsh,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -4774,25 +4746,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "decontaminate_semantic": _q_decontaminate_semantic,
-        # 4) r15-touched: state/txn.py (range-partitioned txn data dirs —
-        # VERDICT r14 #4) stales the txn-backed rows; the new merge-on-read
-        # row takes its first grade beside them
-        "memory_upsert_mor": _q_memory_upsert_mor,
-        "memory_upsert_txn": _q_memory_upsert_txn,
-        "memory_upsert_ckpt": _q_memory_upsert_ckpt,
-        "memory_snapshot_read": _q_memory_snapshot_read,
-        "dedup_incremental": _q_dedup_incremental,
-        # 5) r15-touched: operators/bm25_index.py (incremental append —
-        # VERDICT r14 #5) + the new append row's first grade
         "bm25_search_indexed": _q_bm25_search_indexed,
         "bm25_index_append": _q_bm25_index_append,
-        # 6) r15-touched by the OPTIMIZATION commits: operators/lm.py +
-        # streaming/ingest.py (quality-admit/LM repeated-subtree collapse),
-        # operators/dedup.py + operators/clustering.py (CC-twostar pair-set
-        # checkpoint, dedup_incremental batch cache) — OPTIMIZATION_r15.md
-        # #1-#5 stale every row these files back
-        "lm_perplexity": _q_lm_perplexity,
-        "lm_ppl_buckets": _q_lm_ppl_buckets,
+        "dedup_incremental": _q_dedup_incremental,
         "quality_admit": _q_quality_admit,
         "corpus_prep_pipeline": _q_corpus_prep_pipeline,
         "dedup_exact": _q_dedup_exact,
@@ -4808,28 +4764,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_twostar": _q_dedup_clusters_twostar,
         "dedup_apply_clusters": _q_dedup_apply_clusters,
         "dedup_apply_fused": _q_dedup_apply_fused,
-        # ---- entry 50 ends here ------------------------------------------
-        # tail: every entry below is green in CORRECTNESS_r11/r12/r13/r14
-        # with operator files unchanged since (EVIDENCE.json +
-        # tools/evidence.py enforce it). The deferred r11 tail-3 and the
-        # 13-row r12 refresh lead the r16 queue.
-        "repetition_stats": _q_repetition_stats,
-        "search_by_metadata": _q_search_by_metadata,
-        "token_stats": _q_token_stats,
         "chunk_documents": _q_chunk_documents,
-        "corpus_summary": _q_corpus_summary,
         "decontaminate": _q_decontaminate,
         "dedup_within_doc": _q_dedup_within_doc,
         "embed_texts": _q_embed_texts,
+        "frame_sample": _q_frame_sample,
+        "doc_add": _q_doc_add,
+        "doc_update": _q_doc_update,
+        "train_test_split": _q_train_test_split,
+        "pii_redact": _q_pii_redact,
+        "stratified_sample": _q_stratified_sample,
+        "source_cap": _q_source_cap,
+        "source_mix": _q_source_mix,
+        "pack_sequences": _q_pack_sequences,
+        "token_budget_select": _q_token_budget_select,
+        "multimodal_features": _q_multimodal_features,
+        "memory_access_replay": _q_memory_access_replay,
+        "repetition_stats": _q_repetition_stats,
+        "search_by_metadata": _q_search_by_metadata,
+        "token_stats": _q_token_stats,
+        "corpus_summary": _q_corpus_summary,
         "events_anomaly": _q_events_anomaly,
+        # ---- entry 50 ends here ------------------------------------------
+        # tail: every entry below is green in a prior CORRECTNESS_r* with
+        # operator files unchanged since (EVIDENCE.json + tools/evidence.py
+        # enforce it).
+        "corpus_drift": _q_corpus_drift,
+        "corpus_drift_lang": _q_corpus_drift_lang,
+        "doc_change_feed": _q_doc_change_feed,
+        "doc_summary": _q_doc_summary,
+        "events_json": _q_events_json,
+        "fingerprint": _q_fingerprint,
+        "hybrid_search": _q_hybrid_search,
+        "lang_distribution": _q_lang_distribution,
+        "lang_id": _q_lang_id,
+        "max_score": _q_max_score,
+        "memory_report": _q_memory_report,
+        "orders_page": _q_orders_page,
+        "props_keys": _q_props_keys,
+        "quality_gate": _q_quality_gate,
+        "quality_score": _q_quality_score,
+        "memory_upsert_mor": _q_memory_upsert_mor,
+        "memory_upsert_txn": _q_memory_upsert_txn,
+        "memory_upsert_ckpt": _q_memory_upsert_ckpt,
+        "memory_snapshot_read": _q_memory_snapshot_read,
+        "lm_perplexity": _q_lm_perplexity,
+        "lm_ppl_buckets": _q_lm_ppl_buckets,
         "events_asof_join": _q_events_asof_join,
         "events_funnel": _q_events_funnel,
         "events_hourly": _q_events_hourly,
         "events_range_join": _q_events_range_join,
         "events_sessions": _q_events_sessions,
         "events_sliding": _q_events_sliding,
-        "frame_sample": _q_frame_sample,
-        "memory_access_replay": _q_memory_access_replay,
         "parse_ttl": _q_parse_ttl,
         "time_until_expiry": _q_time_until_expiry,
         "filter_tags_created": _q_filter_tags_created,
@@ -4868,25 +4854,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_semi_join": _q_orders_semi_join,
         "customers_anti_join": _q_customers_anti_join,
         "orders_rollup": _q_orders_rollup,
-        "doc_add": _q_doc_add,
         "doc_get": _q_doc_get,
-        "doc_update": _q_doc_update,
         "doc_delete": _q_doc_delete,
         "doc_stats": _q_doc_stats,
         "dedup_editdist": _q_dedup_editdist,
         "dedup_editdist_segment": _q_dedup_editdist_segment,
-        "train_test_split": _q_train_test_split,
-        "pii_redact": _q_pii_redact,
-        "stratified_sample": _q_stratified_sample,
-        "source_cap": _q_source_cap,
-        "source_mix": _q_source_mix,
-        "pack_sequences": _q_pack_sequences,
-        "token_budget_select": _q_token_budget_select,
         "tfidf_terms": _q_tfidf_terms,
         "source_overlap": _q_source_overlap,
         "ts_parse_multi": _q_ts_parse_multi,
         "sanitize": _q_sanitize,
-        "multimodal_features": _q_multimodal_features,
     }
 
 def oracle_sql() -> dict[str, str]:

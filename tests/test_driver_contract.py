@@ -25,48 +25,48 @@ def test_every_query_has_an_oracle():
 
 
 def test_graded_window_holds_the_round_targets():
-    """The driver grades the FIRST 50 dict entries only. The r15 window must
-    hold (a) the round's tail-born first grades — ann_brp_append (VERDICT
-    r14 next-round #2, PLANS note 140), bm25_index_append (next-round #5)
-    and memory_upsert_mor, (b) every query whose operator files r15
-    touches — similarity.py (ADVICE r14 fixes), state/txn.py (range-
-    partitioned data dirs), bm25_index.py (incremental append), and the
-    optimization-round commits to dedup.py / clustering.py / lm.py /
-    streaming/ingest.py (OPTIMIZATION_r15.md #1-#5), and (c) the r11-stamped
-    cohort refresh in the remaining 15 discretionary slots (its alphabetical
-    tail 3 — repetition_stats, search_by_metadata, token_stats, files
-    bit-unchanged since r11 green — defer to r16 because changed-file rows
-    are a hard ledger constraint)."""
+    """The driver grades the FIRST 50 dict entries only. The r16 window must
+    hold (a) every query whose operator files the r16 optimization commits
+    touch — similarity.py (bytes-sized index writes), bm25_index.py
+    (staleness snapshot + per-term df sidecar), dedup.py (corpus-tier
+    checkpoint), pipeline.py (plane-sizing count reuse), sources/
+    embedders.py and operators/multimodal.py (bytes-sized light-Arrow
+    fan-out) — a hard tools/evidence.py constraint, (b) memory_access_replay,
+    whose ENTRY query was restructured this round (per-key input pruning;
+    output-identical, the oracle re-proves it), and (c) the promised
+    advisory refresh oldest-first: the r11 tail-3 plus two r12 rows."""
     names = list(entry.queries())
     assert len(names) >= 96
     window = set(names[:50])
-    pending_first_grade = ("ann_brp_append", "bm25_index_append", "memory_upsert_mor")
-    r11_refresh = (
-        "corpus_drift", "corpus_drift_lang", "doc_change_feed",
-        "doc_summary", "events_json", "fingerprint", "hybrid_search",
-        "lang_distribution", "lang_id", "max_score", "memory_report",
-        "orders_page", "props_keys", "quality_gate", "quality_score",
-    )
-    r15_touched = (
+    r16_touched = (
         # operators/similarity.py
-        "ann_lsh_topk", "ann_mllib_lsh", "ann_ivf_topk", "ann_ivf_append",
-        "ann_quantized_topk", "ann_ivf_sq8_topk", "dedup_semantic",
-        "dedup_embedding", "dedup_embedding_lsh", "decontaminate_semantic",
-        # state/txn.py
-        "memory_upsert_txn", "memory_upsert_ckpt", "memory_snapshot_read",
-        "dedup_incremental",
+        "ann_brp_append", "ann_lsh_topk", "ann_mllib_lsh", "ann_ivf_topk",
+        "ann_ivf_append", "ann_quantized_topk", "ann_ivf_sq8_topk",
+        "dedup_semantic", "dedup_embedding", "dedup_embedding_lsh",
+        "decontaminate_semantic",
         # operators/bm25_index.py
-        "bm25_search_indexed",
-        # optimization commits: operators/lm.py + streaming/ingest.py +
-        # operators/dedup.py + operators/clustering.py
-        "lm_perplexity", "lm_ppl_buckets", "quality_admit",
-        "corpus_prep_pipeline", "dedup_exact", "dedup_keep_first",
-        "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-        "dedup_simhash_capped", "dedup_substring", "dedup_substring_apply",
-        "dedup_rate_by_source", "dedup_clusters", "dedup_clusters_twostar",
-        "dedup_apply_clusters", "dedup_apply_fused",
+        "bm25_search_indexed", "bm25_index_append",
+        # operators/dedup.py
+        "dedup_incremental", "quality_admit", "corpus_prep_pipeline",
+        "dedup_exact", "dedup_keep_first", "dedup_minhash",
+        "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_capped",
+        "dedup_substring", "dedup_substring_apply", "dedup_rate_by_source",
+        "dedup_clusters", "dedup_clusters_twostar", "dedup_apply_clusters",
+        "dedup_apply_fused",
+        # operators/pipeline.py
+        "chunk_documents", "decontaminate", "dedup_within_doc",
+        "train_test_split", "pii_redact", "stratified_sample", "source_cap",
+        "source_mix", "pack_sequences", "token_budget_select",
+        # sources/embedders.py + operators/multimodal.py
+        "embed_texts", "doc_add", "doc_update", "frame_sample",
+        "multimodal_features",
     )
-    for must_grade in pending_first_grade + r11_refresh + r15_touched:
+    entry_restructured = ("memory_access_replay",)
+    advisory_refresh = (
+        "repetition_stats", "search_by_metadata", "token_stats",
+        "corpus_summary", "events_anomaly",
+    )
+    for must_grade in r16_touched + entry_restructured + advisory_refresh:
         assert must_grade in window, f"{must_grade} rotated out of the graded window"
 
 
