@@ -225,7 +225,11 @@ def _should_collapse(n: int, d: int) -> bool:
 
 
 def _exact_collapse(
-    docs: DataFrame, content_col: str, id_col: str, collapse: bool | str = "auto"
+    docs: DataFrame,
+    content_col: str,
+    id_col: str,
+    collapse: bool | str = "auto",
+    stats: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, DataFrame | None, int]:
     """Collapse byte-identical texts to a min-id representative before a
     quadratic-in-duplication candidate stage (the strings.py/editdist r10
@@ -238,6 +242,14 @@ def _exact_collapse(
     false jaccard=1.0 pairs; the collapse key never reaches the graded
     output or the SQL oracle, which runs uncollapsed, so the stronger
     digest costs nothing in oracle portability).
+
+    ``stats``: a caller-supplied (n_rows, approx_distinct_sha2_ch) pair for
+    the "auto" gate — the similarity.py stats= discipline (r13/r15): a
+    caller that already ran an aggregate over the same rows (an append
+    fingerprint, a sizing probe) extends it with count +
+    approx_count_distinct(sha2(content, 256)) and threads the pair here, so
+    the gate costs zero extra jobs. Count and HLL are partitioning-
+    independent, so the decision is bit-identical to the inline probe.
 
     ``collapse``: True forces the collapse, False skips it (the pipeline
     then runs at document grain, exactly the pre-collapse shape), "auto"
@@ -260,7 +272,7 @@ def _exact_collapse(
     )
     n = -1
     if collapse == "auto":
-        n, d = _collapse_stats(base, "_ch")
+        n, d = stats if stats is not None else _collapse_stats(base, "_ch")
         collapse = _should_collapse(n, d)
     if not collapse:
         # cast matches the fired branch's count() type: the two branches of
@@ -1508,6 +1520,7 @@ def dedup_index_write(
     num_hashes: int = 16,
     bands: int = 8,
     mode: str = "overwrite",
+    stats: tuple[int, int] | None = None,
 ) -> None:
     """Persist the corpus-side artifacts of `dedup_incremental` as a reusable
     DEDUP INDEX — the build/probe split the ANN tiers already follow
@@ -1546,7 +1559,11 @@ def dedup_index_write(
 
     rows = num_hashes // bands
     _release_stale()
-    reps, _members, _n = _exact_collapse(corpus, content_col, id_col)
+    # stats= (r16): dedup_index_append already aggregates the batch for its
+    # replay fingerprint; extending that aggregate with the collapse gate's
+    # count+HLL and threading it here saves one full batch pass per append
+    # (guide §1.2 — the similarity.py stats= discipline)
+    reps, _members, _n = _exact_collapse(corpus, content_col, id_col, stats=stats)
     reps = _scoped_cache(reps)
     # cache: the rep shingles feed BOTH the signature pipeline and the
     # digest part (the old code recomputed them once per written part)
@@ -1652,11 +1669,18 @@ def dedup_index_append(
     with open(os.path.join(path, "_meta.json")) as f:
         meta = json.load(f)
     _check_index_format(meta, path)
+    # ONE aggregate serves the replay fingerprint AND the exact-collapse
+    # gate (r16, guide §1.2): the gate's count + approx_count_distinct over
+    # sha2(content) ride the fingerprint job via stats= instead of a second
+    # full batch pass inside dedup_index_write. n/fp values (and so the
+    # manifest format) are unchanged; count and HLL are partitioning-
+    # independent, so the gate decision is bit-identical.
     probe = admitted.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.xxhash64(F.col(id_col), F.col(content_col)).cast("decimal(38,0)")
         ).alias("fp"),
+        F.approx_count_distinct(F.sha2(F.col(content_col), 256)).alias("d"),
     ).first()
     batch_fp = f"{int(probe['n'])}:{int(probe['fp'] or 0)}"
     if int(probe["n"]) == 0 or batch_fp in meta.get("appended_fps", []):
@@ -1670,6 +1694,7 @@ def dedup_index_append(
         num_hashes=meta["num_hashes"],
         bands=meta["bands"],
         mode="append",
+        stats=(int(probe["n"]), int(probe["d"])),
     )
     meta["appended_fps"] = (meta.get("appended_fps", []) + [batch_fp])[-64:]
     meta_path = os.path.join(path, "_meta.json")

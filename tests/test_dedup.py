@@ -636,6 +636,65 @@ def test_dedup_index_append_closes_the_lifecycle(spark, sf_dir, tmp_path):
     assert spark.read.parquet(os.path.join(path, "hashes")).count() == n_hashes
 
 
+def test_index_append_merged_probe_gate_matches_inline(spark, tmp_path):
+    """r16: dedup_index_append threads (n, approx-distinct) from its replay-
+    fingerprint aggregate into _exact_collapse via stats= — one batch pass
+    instead of two. The gate decision must be IDENTICAL to the inline probe
+    on both sides of the collapse threshold, and a high-duplication append
+    (gate fires → rep-grain rows with grp_n>1) must still produce the same
+    probe verdicts as a full rebuild over the union corpus."""
+    from pyspark.sql import functions as F
+
+    from mcp_synaptic_spark.operators.dedup import (
+        _collapse_stats,
+        _should_collapse,
+        dedup_incremental,
+        dedup_index_append,
+        dedup_index_load,
+        dedup_index_write,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"base document number {i} entirely distinct words") for i in range(50)],
+        "doc_id LONG, text STRING",
+    )
+    path = str(tmp_path / "idx")
+    dedup_index_write(base, path)
+
+    # high-dup batch: 40 rows, 4 distinct texts -> the auto gate FIRES
+    dup_batch = spark.createDataFrame(
+        [(1000 + i, f"novel duplicated arrival text {i % 4}") for i in range(40)],
+        "doc_id LONG, text STRING",
+    )
+    stats_inline = _collapse_stats(
+        dup_batch.select(F.sha2(F.col("text"), 256).alias("_ch")), "_ch"
+    )
+    assert _should_collapse(*stats_inline)  # the scenario exercises the fired gate
+    dedup_index_append(dup_batch, path)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    dedup_index_write(base.unionByName(dup_batch), rebuilt)
+    probe = spark.createDataFrame(
+        [(5000, "novel duplicated arrival text 2"), (5001, "base document number 7 entirely distinct words"), (5002, "nothing like anything")],
+        "doc_id LONG, text STRING",
+    )
+    via_append = sorted(
+        tuple(r)
+        for r in dedup_incremental(None, probe, index=dedup_index_load(spark, path)).collect()
+    )
+    via_rebuild = sorted(
+        tuple(r)
+        for r in dedup_incremental(None, probe, index=dedup_index_load(spark, rebuilt)).collect()
+    )
+    assert via_append == via_rebuild
+    # verdicts: the duplicated text matches its min appended id, the base
+    # text its base id, the novel text admits
+    by_id = {r[0]: r[1:] for r in via_append}
+    assert by_id[5000][0] == "exact_dup" and by_id[5000][1] == 1002
+    assert by_id[5001][0] == "exact_dup" and by_id[5001][1] == 7
+    assert by_id[5002][0] == "admitted"
+
+
 def test_dedup_index_legacy_layout_rejected(spark, tmp_path):
     """ADVICE r12: a pre-r12 index (shingles/ layout, no format marker) must
     be REFUSED loudly by load and append — the new code reading a legacy

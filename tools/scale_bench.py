@@ -106,7 +106,29 @@ def main() -> None:
         "auto_n_cells": auto_n_cells(n_emb),
     }
 
+    # In-band noise canary (r16, VERDICT r15 #1): arms here are single-pass
+    # (many are STATEFUL — appends, streams — so bench.py's min-of-2 cannot
+    # apply), which means a transient machine stall lands on whichever arm
+    # runs inside it and is indistinguishable from a code regression in the
+    # recorded artifact (r15's 677 s board; r16 run-pair: dedup_minhash
+    # 54.8 vs 11.7 s, decontaminate_semantic_10x 2.7 vs 16.8 s on
+    # bit-identical code, quiet box). A fixed trivial query — one scan +
+    # one aggregate over the replicated docs, no state — is re-timed every
+    # ~12 arms; the artifact records the series and its max/min spread so a
+    # regime window is visible IN-BAND, per-position, instead of inferred
+    # after the fact.
+    canary_series: list[float] = []
+
+    def _canary():
+        t0 = time.perf_counter()
+        docs.groupBy("lang").agg(F.count(F.lit(1)), F.sum("doc_id")).collect()
+        canary_series.append(round(time.perf_counter() - t0, 3))
+
+    _canary()  # warm + position-0 reference
+
     def timed(name, fn):
+        if len(timings) % 12 == 11:
+            _canary()
         t0 = time.perf_counter()
         result = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -688,6 +710,20 @@ def main() -> None:
     ]
     t_probe = (time.perf_counter() - t0) / len(bm_queries)
     timings["bm25_probe_per_query"] = round(t_probe, 3)
+    # warm twin (r16, additive — the cold arm above keeps its pre-r16
+    # semantics for cross-round comparison): a FIRST probe of a novel query
+    # string pays driver-side plan+codegen compile (~2 s measured — the
+    # per-term pivot generates query-specific code), which at this tier is
+    # the SAME order as the data work and drowns the index-vs-scan signal
+    # (r15 `bm25_probe_speedup` 0.72 read as "index loses"; isolated warm
+    # A/B: probe 0.51-0.66 s/q vs direct 2.3-2.4 s/q = 3.5-4.7x). A second
+    # pass of the same queries measures the PLAN — bench.py's min-of-2
+    # rationale; legal here because the probe arms are stateless reads.
+    t0 = time.perf_counter()
+    for q in bm_queries:
+        bm25_search_indexed(spark, bm25_path, q, k=10).collect()
+    t_probe_w = (time.perf_counter() - t0) / len(bm_queries)
+    timings["bm25_probe_per_query_warm"] = round(min(t_probe, t_probe_w), 3)
     if rep <= 10:
         # audit arm: the direct per-query corpus scan, plus the equality and
         # speedup checks against it (the note-126 interleaved A/B pinned the
@@ -697,6 +733,11 @@ def main() -> None:
         direct_rows = [bm25_search(docs, q, k=10).collect() for q in bm_queries]
         t_direct = (time.perf_counter() - t0) / len(bm_queries)
         timings["bm25_search_per_query"] = round(t_direct, 3)
+        t0 = time.perf_counter()
+        for q in bm_queries:
+            bm25_search(docs, q, k=10).collect()
+        t_direct_w = (time.perf_counter() - t0) / len(bm_queries)
+        timings["bm25_search_per_query_warm"] = round(min(t_direct, t_direct_w), 3)
         checks["bm25_probe_equals_direct"] = bool(
             all(
                 [tuple(r) for r in p] == [tuple(r) for r in d]
@@ -704,6 +745,9 @@ def main() -> None:
             )
         )
         checks["bm25_probe_speedup"] = round(t_direct / max(t_probe, 1e-9), 2)
+        checks["bm25_probe_speedup_warm"] = round(
+            min(t_direct, t_direct_w) / max(min(t_probe, t_probe_w), 1e-9), 2
+        )
 
     # --- r15: incremental BM25 index append (VERDICT r14 #5) -----------------
     # Base = 80% of docs, append the held-out 20%: O(batch-tokens), no base
@@ -1512,6 +1556,7 @@ def main() -> None:
     # total stays available beside it.
     band_arms = {k: v for k, v in timings.items() if k in _IO_BAND_ARMS}
     comparable = round(sum(v for k, v in timings.items() if k not in _IO_BAND_ARMS), 3)
+    _canary()  # closing reference
     payload = {
         "metric": "scale_validation_wall_clock",
         "value": comparable,
@@ -1520,6 +1565,10 @@ def main() -> None:
         "io_band_arms": band_arms,
         "total_with_band_arms": round(sum(timings.values()), 3),
         "sf_equivalent": 0.1 * rep,
+        "noise_canary_series": canary_series,
+        "noise_canary_spread": round(
+            max(canary_series) / max(min(canary_series), 1e-9), 3
+        ),
         "checks": checks,
     }
     print(json.dumps(payload))
